@@ -1,0 +1,44 @@
+"""Whitespace normalization — the chain under the byte-identical invariant.
+
+Reproduces the reference's per-page cleaning semantics
+(/root/reference/app/utils/text_cleaning.py:6-37): drop literal ``\\n``
+escapes, flatten real newlines, collapse runs of whitespace, strip. Also the
+separator-collapse pass (/root/reference/app/utils/text_localization.py:799-816).
+
+Pure Python, no Spark imports — used both by the Arrow kernel (batch loop is
+over *blocks*, not rows-at-the-DataFrame-level) and by tests. The same chain
+is mirrored as built-in column expressions in
+``ocr_parallel_spark.operators.classify.normalize_col`` for the JVM hot path.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+_WS_RE = re.compile(r"\s+")
+_SEP3_RE = re.compile(r"\n{3,}")
+
+
+def clean_text(text: str) -> str:
+    """Normalize one text run: literal ``\\n`` -> space, newline -> space,
+    whitespace runs -> single space, strip ends."""
+    if not text:
+        return text
+    cleaned = text.replace("\\n", " ")
+    cleaned = cleaned.replace("\n", " ")
+    cleaned = _WS_RE.sub(" ", cleaned)
+    return cleaned.strip()
+
+
+def nfc(text: str) -> str:
+    """UTF-8 NFC normalization (determinism rule, FIXTURES.md §5)."""
+    return unicodedata.normalize("NFC", text)
+
+
+def remove_redundant_separators(text: str) -> str:
+    """Collapse 3+ newlines to 2, strip each line, re-collapse, strip ends."""
+    text = _SEP3_RE.sub("\n\n", text)
+    text = "\n".join(line.strip() for line in text.split("\n"))
+    text = re.sub(r"\n\n\n+", "\n\n", text)
+    return text.strip()

@@ -1,0 +1,119 @@
+"""Kernel unit tests (no Spark) — the byte-identical invariant.
+
+Mirrors SURVEY §5 item 1: golden-fixture assertions on the pure-Python
+extraction kernel, plus property-style checks on the normalization chain
+(reference semantics: /root/reference/app/utils/text_cleaning.py:6-37,
+app/utils/text_localization.py:799-816).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import pathlib
+
+import pytest
+
+from ocr_parallel_spark.fixtures import fixture_payloads
+from ocr_parallel_spark.kernel import (
+    clean_text,
+    extract_payload,
+    remove_redundant_separators,
+    simhash64,
+    simhash_bands,
+)
+from ocr_parallel_spark.kernel.pdf_layout import reconstruct_layout
+from ocr_parallel_spark.kernel.simhash import hamming64, minhash_signature
+
+GOLDENS = json.loads(
+    (pathlib.Path(__file__).parent / "goldens" / "extraction_goldens.json").read_text()
+)
+
+
+@pytest.mark.parametrize("golden", GOLDENS, ids=[g["fixture_id"] for g in GOLDENS])
+def test_golden_byte_identical(golden):
+    payload = base64.b64decode(golden["payload_b64"])
+    rec = extract_payload(payload)
+    assert rec["status"] == golden["expected_status"]
+    assert rec["error_type"] == golden["expected_error_type"]
+    if golden["expected_status"] == "found":
+        # THE invariant: byte-identical extracted text.
+        assert rec["text"].encode("utf-8") == golden["expected_text"].encode("utf-8")
+        assert [list(s) for s in rec["spans"]] == golden["expected_spans"]
+        assert rec["simhash"] == golden["simhash"]
+    else:
+        assert rec["text"] is None
+
+
+def test_fixture_statuses_match_declared():
+    for case in fixture_payloads():
+        rec = extract_payload(case["payload"])
+        assert rec["status"] == case["expected_status"], case["fixture_id"]
+
+
+def test_boilerplate_removed_matches_plain():
+    cases = {c["fixture_id"]: c["payload"] for c in fixture_payloads()}
+    plain = extract_payload(cases["html-plain-01"])["text"]
+    noisy = extract_payload(cases["html-boilerplate-01"])["text"]
+    farm = extract_payload(cases["html-linkfarm-01"])["text"]
+    assert plain == noisy == farm
+    assert "Home" not in noisy and "Copyright" not in noisy
+    assert "cheap deals" not in farm
+
+
+def test_clean_text_reference_chain():
+    # literal \n -> space, newline -> space, \s+ -> single, strip
+    assert clean_text("a\\nb") == "a b"
+    assert clean_text("a\nb") == "a b"
+    assert clean_text("  a \t\t b  ") == "a b"
+    assert clean_text("") == ""
+    assert clean_text("   ") == ""
+
+
+def test_remove_redundant_separators():
+    assert remove_redundant_separators("a\n\n\n\nb") == "a\n\nb"
+    assert remove_redundant_separators("  a  \n   b ") == "a\nb"
+    assert remove_redundant_separators("a\n \n \nb") == "a\n\nb"
+
+
+def test_layout_reconstruction_reading_order():
+    runs = [
+        {"page": 1, "y": 20.0, "x": 0.0, "text": "below"},
+        {"page": 1, "y": 10.0, "x": 50.0, "text": "right"},
+        {"page": 1, "y": 10.5, "x": 0.0, "text": "left"},
+    ]
+    # y within tolerance 2.0 => same line, ordered by x; lower line after.
+    assert reconstruct_layout(runs) == "left right below"
+
+
+def test_simhash_near_texts_close():
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    c = "completely different content about distributed query engines and shuffles"
+    assert hamming64(simhash64(a), simhash64(b)) <= 16
+    assert hamming64(simhash64(a), simhash64(c)) > 20
+    # identical text => identical bands
+    assert simhash_bands(simhash64(a)) == simhash_bands(simhash64(a))
+
+
+def test_simhash_deterministic():
+    t = "stable deterministic content for fingerprinting checks"
+    assert simhash64(t) == simhash64(t)
+    assert minhash_signature(t) == minhash_signature(t)
+
+
+def test_minhash_similarity_ordering():
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    c = "one two three four five six seven eight nine ten"
+    sa, sb, sc = (minhash_signature(t) for t in (a, b, c))
+    sim_ab = sum(x == y for x, y in zip(sa, sb)) / len(sa)
+    sim_ac = sum(x == y for x, y in zip(sa, sc)) / len(sa)
+    assert sim_ab > sim_ac
+
+
+def test_error_rows_never_raise():
+    for payload in [None, b"", b"\x00\x01\x02", b"%PDF-1.4", b"%FAKEPDF{bad"]:
+        rec = extract_payload(payload)
+        assert rec["status"] == "error"
+        assert rec["error_type"] is not None
