@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-pipeline component: brute-force cosine top-k as the correctness
+baseline, plus an LSH-bucketed (random hyperplane) variant as the scale
+path. Dot products and norms are pure column expressions
+(``zip_with`` + ``aggregate``) — JVM-side, no Python on the hot path.
+
+Scale note: brute force is O(Q x N) — fine for small Q (point lookups)
+with a broadcast query side; the hyperplane-bucket variant turns that into
+a bucket-equi-join whose cost follows bucket occupancy, the standard
+ANN/LSH trade (recall < 1.0, candidates verified exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query side,
+    score all pairs, window-rank per query. Output: query_id, vec_id,
+    cos_sim, rank."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    pairs = vectors.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    scored = pairs.withColumn(
+        "cos_sim",
+        cosine(
+            F.col(vec_col).cast("array<double>"),
+            F.col("_qvec").cast("array<double>"),
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
+def hyperplane_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH bucketing."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-LSH bucket id: bit i = sign(v . plane_i). Bucket computation
+    is a pure expression over literal plane arrays — no Python, and the
+    same literal planes reproduce identical buckets everywhere."""
+    planes = hyperplane_planes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("bigint")
+    v = F.col(vec_col).cast("array<double>")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, p) > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine rank within candidates. Fewer planes => bigger buckets =>
+    higher recall, more work (standard LSH dial)."""
+    from pyspark.sql import Window
+
+    vb = with_lsh_bucket(vectors.select(id_col, vec_col), vec_col, dim, n_planes)
+    qb = with_lsh_bucket(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        "_qvec",
+        dim,
+        n_planes,
+    )
+    cands = vb.join(F.broadcast(qb), "lsh_bucket")
+    scored = cands.withColumn(
+        "cos_sim",
+        cosine(
+            F.col(vec_col).cast("array<double>"),
+            F.col("_qvec").cast("array<double>"),
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )

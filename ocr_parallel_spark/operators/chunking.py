@@ -1,0 +1,120 @@
+"""Overlap chunking and ordered concatenation (SURVEY §2.6 W1-W4).
+
+Reference semantics (/root/reference/app/utils/chunking.py:11-72): slide a
+window of ``chunk_size`` rows advancing ``chunk_size - overlap`` per step
+over the ordered rows of one document; chunk text is the ``"\\n\\n"`` join
+of member texts; the loop stops once a chunk reaches the end.
+
+Spark-first shape: no per-group Python. Chunk ids are synthesized with
+``sequence`` + ``explode`` from per-group counts, members attach via a
+range condition on the row index, and text assembles with
+``string_agg``-style ordered aggregation. Two shuffles total (rank, then
+group-by-chunk) — both on (group, chunk) keys that scale with data, never
+with the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.config import CHUNK_OVERLAP, CHUNK_SIZE
+
+
+def overlap_chunks(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    text_col: str,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """W1: overlapping chunks per partition group.
+
+    Returns (part_col, chunk_index, start_<order>, end_<order>, n_rows,
+    chunk_text). chunk_index is 0-based; last chunk may be short; a group
+    with <= chunk_size rows yields exactly one chunk — matching the
+    reference's loop-with-break (chunking.py:40-69).
+    """
+    if chunk_size <= overlap:
+        raise ValueError(f"chunk_size ({chunk_size}) must be > overlap ({overlap})")
+    step = chunk_size - overlap
+
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    ranked = df.select(part_col, order_col, text_col).withColumn(
+        "_rn", F.row_number().over(w) - 1
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(part_col)))
+
+    # number of chunks: 1 for n <= chunk_size, else ceil((n-size)/step)+1
+    n_chunks = F.when(F.col("_n") <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((F.col("_n") - chunk_size) / F.lit(step)) + 1
+    )
+    with_chunks = ranked.withColumn(
+        "chunk_index",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)),
+    ).filter(
+        (F.col("_rn") >= F.col("chunk_index") * step)
+        & (F.col("_rn") < F.col("chunk_index") * step + chunk_size)
+    )
+
+    return (
+        with_chunks.groupBy(part_col, "chunk_index")
+        .agg(
+            F.min(order_col).alias(f"start_{order_col}"),
+            F.max(order_col).alias(f"end_{order_col}"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.concat_ws(
+                "\n\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_rn"), F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def pages_from_chunks(
+    chunks: DataFrame,
+    part_col: str,
+    start_col: str,
+    end_col: str,
+    chunk_filter=None,
+) -> DataFrame:
+    """W2: union of the page ranges of selected chunks -> sorted distinct
+    page numbers per group (chunking.py:75-100)."""
+    sel = chunks if chunk_filter is None else chunks.filter(chunk_filter)
+    return (
+        sel.select(
+            part_col,
+            F.explode(F.sequence(F.col(start_col), F.col(end_col))).alias("page"),
+        )
+        .distinct()
+    )
+
+
+def ordered_concat(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """W3/W4: per-group text concatenation in explicit order (the
+    reference's sort-then-join, chunking.py:103-141 + full_ocr_service
+    page sort :203). collect_list order is made deterministic by sorting
+    on the carried order key, never on arrival order."""
+    return df.groupBy(part_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col), F.col(text_col)))
+                ),
+                lambda s: s[text_col],
+            ),
+        ).alias("concat_text"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,0 +1,71 @@
+"""Filters, predicates and status classification — all built-in expressions.
+
+Covers SURVEY §2.2: the not-found classifier (P2,
+/root/reference/app/services/extractor_service.py:145-157), row filters
+(P3), page validation (P4, /root/reference/app/utils/pdf_utils.py:31-42) and
+the payload size cap (P5, /root/reference/app/main.py:42-74). Also the
+JVM-side mirror of the kernel's normalization chain (F1,
+/root/reference/app/utils/text_cleaning.py:6-37) so normalization of
+already-textual columns never leaves whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.config import MAX_PAYLOAD_BYTES
+
+NOT_FOUND_MARKERS = ("inmueble no encontrado", "no encontrado", "not found")
+
+
+def normalize_col(col: Column | str) -> Column:
+    """F1 chain as built-ins: literal ``\\n`` -> space, newline -> space,
+    whitespace runs -> one space, trim. Byte-equal to
+    ``kernel.normalize.clean_text`` (asserted in tests)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"\\n", " ")  # literal backslash-n sequence
+    c = F.regexp_replace(c, r"\n", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def classify_status(text_col: Column | str) -> Column:
+    """P2: empty or an explicit not-found marker => not_found; NULL =>
+    error; else found. Mirrors extractor_service.py:145-157 semantics."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lowered = F.lower(F.trim(c))
+    return (
+        F.when(c.isNull(), F.lit("error"))
+        .when(lowered == "", F.lit("not_found"))
+        .when(lowered.isin(*NOT_FOUND_MARKERS), F.lit("not_found"))
+        .otherwise(F.lit("found"))
+    )
+
+
+def filter_oversized(
+    df: DataFrame, payload_col: str = "html", max_bytes: int = MAX_PAYLOAD_BYTES
+) -> DataFrame:
+    """P5: drop payloads over the ingestion cap (pushdown-friendly filter;
+    dropped rows are counted by the caller via observe/agg)."""
+    return df.filter(F.length(F.col(payload_col)) <= max_bytes)
+
+
+def validate_page_range(
+    df: DataFrame, page_col: str = "page", total_col: str = "total_pages"
+) -> DataFrame:
+    """P4 as error-as-data: out-of-range page numbers become status='error'
+    rows instead of task failures (pdf_utils.py:31-42 semantics)."""
+    ok = (F.col(page_col) >= 1) & (F.col(page_col) <= F.col(total_col))
+    return df.withColumn(
+        "page_status", F.when(ok, F.lit("found")).otherwise(F.lit("error"))
+    )
+
+
+def non_empty_rows(df: DataFrame, *cols: str) -> DataFrame:
+    """P3: drop rows where any named column is empty/NULL (CSV hygiene,
+    scripts/test_full_process.py:94-100)."""
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).isNotNull() & (F.trim(F.col(c)) != "")
+    return df.filter(cond)

@@ -1,0 +1,101 @@
+"""Token localization: tokenize, variant expansion, theta-join scoring.
+
+SURVEY §2.3 J2 + §2.8 F2-F4. Reference semantics
+(/root/reference/app/utils/text_localization.py):
+
+- tokenize (F2, :115-139): uppercase, collapse spaces, strip dashes, split
+  on separators, drop tokens < 2 chars, add digit runs.
+- variants (F3, :142-165): expand via a synonym map (broadcast-side).
+- match (F4, :168-199): fraction of tokens present in uppercased text —
+  digits word-boundary-bounded, words by substring — matched at >= 0.6.
+- localization (J2, :202-268): all-pairs targets x chunks theta-join kept
+  where score >= threshold.
+
+Spark-first: the targets side is tiny (10-500 rows, reference design
+envelope), so the join is an explicit ``broadcast`` nested-loop join; the
+score is a pure column expression (``aggregate`` over the token array) that
+runs inside codegen — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(name_col: Column | str) -> Column:
+    """F2: searchable token array from an entity name (distinct, order by
+    first appearance is irrelevant — set semantics downstream)."""
+    c = F.col(name_col) if isinstance(name_col, str) else name_col
+    norm = F.regexp_replace(F.upper(F.trim(c)), r"\s+", " ")
+    norm = F.regexp_replace(norm, r"\s*-\s*", " ")
+    words = F.filter(
+        F.split(norm, r"[\s\-_,]+"), lambda t: F.length(t) >= 2
+    )
+    digits = F.regexp_extract_all(c, F.lit(r"(\d+)"), 1)
+    return F.array_distinct(F.concat(words, digits))
+
+
+def expand_variants(tokens_col: Column, synonyms: dict[str, list[str]]) -> Column:
+    """F3: union tokens with their synonym groups. The synonym dict ships
+    in the plan as a literal map (broadcast by value — it is tiny)."""
+    if not synonyms:
+        return tokens_col
+    entries = []
+    for key, vals in synonyms.items():
+        group = sorted(set([key, *vals]))
+        entries.append((key, group))
+    pairs = [x for key, group in entries for x in (F.lit(key), F.array(*[F.lit(g) for g in group]))]
+    syn_map = F.create_map(*pairs)
+    expanded = F.flatten(
+        F.transform(
+            tokens_col,
+            lambda t: F.coalesce(syn_map.getItem(t), F.array(t)),
+        )
+    )
+    return F.array_distinct(expanded)
+
+
+def match_score(tokens_col: Column, text_col: Column) -> Column:
+    """F4: fraction of tokens present in the uppercased text. Digit tokens
+    need word boundaries; word tokens match by substring. Pure expression
+    (aggregate over the array) — whole-stage codegen, no Python."""
+    upper_text = F.upper(text_col)
+    hits = F.aggregate(
+        tokens_col,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(
+            t.rlike(r"^\d+$"),
+            F.when(
+                F.regexp_like(
+                    upper_text, F.concat(F.lit(r"\b"), t, F.lit(r"\b"))
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .otherwise(F.when(upper_text.contains(t), 1).otherwise(0)),
+    )
+    return F.when(F.size(tokens_col) > 0, hits / F.size(tokens_col)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def localize(
+    targets: DataFrame,
+    chunks: DataFrame,
+    tokens_col: str = "tokens",
+    text_col: str = "chunk_text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """J2: broadcast theta-join targets x chunks on score >= threshold.
+
+    ``targets`` must carry a ``tokens`` array column (from ``tokenize`` /
+    ``expand_variants``). Returns all matching (target, chunk) pairs with
+    their score.
+    """
+    joined = chunks.crossJoin(F.broadcast(targets))
+    scored = joined.withColumn(
+        "score", match_score(F.col(tokens_col), F.col(text_col))
+    )
+    return scored.filter(F.col("score") >= threshold)

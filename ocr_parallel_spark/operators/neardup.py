@@ -1,0 +1,152 @@
+"""Near-duplicate marking: SimHash banding and MinHash LSH.
+
+D4's near-dup half (SURVEY §2.4): the kernel already emits a 64-bit SimHash
+per document (one Python crossing, shared with extraction); everything after
+that is built-in expressions — band splitting via bit ops, candidate
+generation via a band-bucket self-join, Hamming verification via
+``bit_count(xor)``, representative election via ``min(url)`` per bucket.
+
+Scale notes: run AFTER exact dedup so identical texts (the worst band skew)
+are already collapsed; the band join shuffles on (band_idx, band_val) which
+is near-uniform after that; AQE skew-join splits any residual hot bucket.
+One-iteration min-representative labeling is the standard LSH
+approximation of connected components — documented, deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.kernel.simhash import minhash_bands, minhash_signature
+
+N_BANDS = 4
+BAND_BITS = 64 // N_BANDS
+HAMMING_THRESHOLD = 3
+
+
+def simhash_band_cols(df: DataFrame, simhash_col: str = "simhash") -> DataFrame:
+    """Split the int64 SimHash into N_BANDS unsigned 16-bit band values."""
+    out = df
+    for i in range(N_BANDS):
+        out = out.withColumn(
+            f"band_{i}",
+            F.shiftrightunsigned(F.col(simhash_col), i * BAND_BITS).bitwiseAND(
+                F.lit((1 << BAND_BITS) - 1)
+            ),
+        )
+    return out
+
+
+def mark_simhash_near_dups(
+    df: DataFrame,
+    simhash_col: str = "simhash",
+    id_col: str = "url",
+    hamming_threshold: int = HAMMING_THRESHOLD,
+) -> DataFrame:
+    """Add ``is_near_dup`` + ``near_rep`` columns.
+
+    Candidates = pairs sharing any of the 4 16-bit bands (guaranteed to
+    include all pairs within Hamming distance 3); verified with
+    ``bit_count(a^b) <= threshold``; each verified doc maps to the minimum
+    id in its candidate neighborhood, and ``is_near_dup`` is true when that
+    representative is a different, earlier doc.
+    """
+    ids = df.select(id_col, simhash_col).filter(F.col(simhash_col) != 0)
+    banded = simhash_band_cols(ids, simhash_col)
+    bands = None
+    for i in range(N_BANDS):
+        b = banded.select(
+            F.col(id_col),
+            F.col(simhash_col),
+            F.lit(i).alias("band_idx"),
+            F.col(f"band_{i}").alias("band_val"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .filter(
+            F.bit_count(
+                F.col(f"l.{simhash_col}").bitwiseXOR(F.col(f"r.{simhash_col}"))
+            )
+            <= hamming_threshold
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("_nd_id"),
+            F.col(f"r.{id_col}").alias("_nd_other"),
+        )
+    )
+    reps = pairs.groupBy("_nd_id").agg(F.min("_nd_other").alias("_nd_min_other"))
+    reps = reps.select(
+        F.col("_nd_id"),
+        F.least(F.col("_nd_id"), F.col("_nd_min_other")).alias("near_rep"),
+    )
+    out = df.join(reps, df[id_col] == reps["_nd_id"], "left").drop("_nd_id")
+    return out.withColumn(
+        "is_near_dup",
+        F.coalesce(F.col("near_rep") != F.col(id_col), F.lit(False)),
+    )
+
+
+# ---- MinHash LSH (shingle Jaccard) ------------------------------------------
+
+N_PERM = 64
+LSH_BANDS = 16
+
+
+def with_minhash_bands(
+    df: DataFrame, text_col: str = "text", id_col: str = "url"
+) -> DataFrame:
+    """Arrow-batched MinHash signatures -> LSH band bucket ids (long[16]).
+
+    The signature is the only Python step (vectorized per batch); banding,
+    explode and bucket joins are built-ins downstream.
+    """
+    schema = f"{id_col} string, bands array<bigint>"
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bands = [
+                [b - (1 << 64) if b >= (1 << 63) else b for b in
+                 minhash_bands(minhash_signature(t or ""), LSH_BANDS)]
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "bands": bands})
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "url"
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH: explode band buckets,
+    self-join on (band position, bucket hash). Returns distinct id pairs
+    (a < b) for downstream exact-Jaccard verification."""
+    banded = with_minhash_bands(df, text_col, id_col)
+    exploded = banded.select(
+        F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )

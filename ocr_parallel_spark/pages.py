@@ -1,0 +1,147 @@
+"""Deterministic synthesis of the Common-Crawl-style pages table.
+
+BASELINE.json ``input_hint`` fixes the input shape:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+No external data exists in the sandbox, so the table is synthesized — with
+built-in column expressions only (JVM-side, seedless-deterministic) — from
+the driver's ``documents`` parquet, following the FIXTURES.md §1 recipe:
+
+- Zipf-ish domain skew: ~40% of rows land on one hot domain (exercises the
+  north_rule salting/AQE path).
+- ~10% exact url duplicates (keep-first dedup D2).
+- ~5% content duplicates: distinct url, identical post-extraction text
+  (sha-256 exact content dedup D4).
+- ~4% near duplicates: small token edits (SimHash marking).
+- ~2.5% pdf-layout payloads (the kernel's second decode path).
+- ~2% malformed payloads -> status='error' rows (X7 error-as-data).
+
+``expected_text`` (what the kernel must produce, byte-identical) is computed
+with the same built-in normalization chain the engine uses, so the pipeline
+invariant test is synthesis-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.operators.classify import normalize_col
+
+HOT_DOMAIN = "hot.example.com"
+
+_CHROME_NAV = (
+    "<nav><ul><li><a href='/'>Home</a></li><li><a href='/tags'>Tags</a></li>"
+    "<li><a href='/about'>About</a></li></ul></nav>"
+    "<header><h1>Site Banner</h1><p>slogan words here</p></header>"
+)
+_CHROME_FOOT = (
+    "<footer><p>Copyright 2026 Example. All rights reserved.</p></footer>"
+    "<aside><p>Promoted stories you may also like reading today</p></aside>"
+)
+_LINKFARM = (
+    "<div><a href='/x1'>cheap deals now</a> <a href='/x2'>best offers "
+    "today</a> <a href='/x3'>click here fast</a></div>"
+)
+
+
+def synthesize_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    with_expected: bool = False,
+) -> DataFrame:
+    """Build the pages DataFrame from ``{sf_dir}/documents.parquet``.
+
+    Pure built-in expressions end-to-end: one parquet scan, one broadcast
+    self-join (content-dup text borrowing), zero Python.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # Content/near-dup rows borrow the *previous* doc's text via an
+    # equi-join on doc_id-1 (broadcast-eligible at test scale; at real
+    # scale synthesis does not exist — the table is read, not built).
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("prev_text"),
+    )
+    d = docs.join(prev, "doc_id", "left")
+
+    is_url_dup = F.col("doc_id") % 10 == 9
+    is_content_dup = (F.col("doc_id") % 20 == 13) & F.col("prev_text").isNotNull()
+    is_near_dup = (F.col("doc_id") % 25 == 21) & F.col("prev_text").isNotNull()
+    is_error = F.col("doc_id") % 50 == 7
+    is_pdf = (F.col("doc_id") % 40 == 11) & ~is_error
+
+    # Which doc's content this row carries (url dups keep their own text —
+    # they duplicate the *key*; content dups duplicate the *text*).
+    content_id = (
+        F.when(is_content_dup | is_near_dup, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id"))
+    )
+    body_text = (
+        F.when(is_content_dup, F.col("prev_text"))
+        .when(is_near_dup, F.concat(F.col("prev_text"), F.lit(" drift tail token")))
+        .otherwise(F.col("text"))
+    )
+
+    # Url: ~40% of rows on one hot domain; url dups reuse an earlier url.
+    url_id = F.when(is_url_dup, F.col("doc_id") - 9).otherwise(F.col("doc_id"))
+    domain = F.when(url_id % 5 < 2, F.lit(HOT_DOMAIN)).otherwise(
+        F.concat(F.lit("site-"), (url_id % 97).cast("string"), F.lit(".example.com"))
+    )
+    url = F.concat(F.lit("https://"), domain, F.lit("/page/"), url_id.cast("string"))
+
+    heading = F.concat(F.lit("Document number "), content_id.cast("string"))
+
+    variant = F.col("doc_id") % 3
+    html_str = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>t</title></head><body>"),
+        F.when(variant == 1, F.lit(_CHROME_NAV)).otherwise(F.lit("")),
+        F.when(variant == 2, F.lit(_LINKFARM)).otherwise(F.lit("")),
+        F.lit("<article><h2>"),
+        heading,
+        F.lit("</h2><p>"),
+        body_text,
+        F.lit("</p></article>"),
+        F.when(variant == 1, F.lit(_CHROME_FOOT)).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+    pdf_payload = F.concat(
+        F.lit('%FAKEPDF{"runs": [{"page": 1, "x": 10.0, "y": 20.0, "text": "'),
+        body_text,
+        F.lit('"}, {"page": 1, "x": 5.0, "y": 10.0, "text": "'),
+        heading,
+        F.lit('"}]}'),
+    )
+
+    html = (
+        F.when(is_error, F.unhex(F.lit("FFFE80009F")))  # invalid utf-8 + NUL
+        .when(is_pdf, pdf_payload.cast("binary"))
+        .otherwise(html_str.cast("binary"))
+    )
+
+    warc_ts = F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(
+        secs=F.col("doc_id").cast("double")
+    )
+
+    cols = [
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        F.lit("").alias("text"),  # pre-extracted CC column; engine recomputes
+        F.col("lang"),
+        F.col("doc_id"),
+    ]
+    if with_expected:
+        body_norm = normalize_col(body_text)
+        head_norm = normalize_col(heading)
+        # pdf path: both runs are on one page; layout lines are flattened by
+        # the per-page normalization chain, so heading and body join with a
+        # single space. html path: blocks join with "\n\n".
+        expected = (
+            F.when(is_error, F.lit(None).cast("string"))
+            .when(is_pdf, F.concat(head_norm, F.lit(" "), body_norm))
+            .otherwise(F.concat(head_norm, F.lit("\n\n"), body_norm))
+        )
+        cols.append(expected.alias("expected_text"))
+    return d.select(*cols)

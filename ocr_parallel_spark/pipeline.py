@@ -1,0 +1,89 @@
+"""The flagship pipeline — SURVEY §3.1 re-expressed as one logical plan.
+
+Reference lifecycle (ocr_service.process_pages_async,
+/root/reference/app/services/ocr_service.py:324-535): dedup -> group by file
+-> bounded per-page OCR fan-out -> map results back -> aggregate metrics.
+
+Spark plan: scan -> size-cap filter (P5) -> keep-first dedup (D2, earliest
+crawl wins) -> repartition by url (A3 locality) -> mapInArrow kernel (X1/X2)
+-> sha-256 exact content dedup (D4) -> SimHash near-dup marking -> observe
+counters (A1/D3). Everything except the single Arrow kernel stage is
+whole-stage-codegen built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.config import MAX_PAYLOAD_BYTES
+from ocr_parallel_spark.operators.classify import classify_status, filter_oversized
+from ocr_parallel_spark.operators.dedup import keep_first, mark_exact_content_dups
+from ocr_parallel_spark.operators.extraction import extract_pages, repartition_by_key
+from ocr_parallel_spark.operators.neardup import mark_simhash_near_dups
+
+
+def run_extraction_pipeline(
+    pages: DataFrame,
+    max_bytes: int = MAX_PAYLOAD_BYTES,
+    near_dups: bool = True,
+    repartition: bool = True,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang, ...) -> extraction results.
+
+    Output: url, warc_ts, lang, status, error_type, text, n_blocks_total,
+    n_blocks_kept, n_chars_in, n_chars_out, simhash, content_sha256,
+    is_exact_dup, rep_url [, is_near_dup, near_rep].
+    """
+    capped = filter_oversized(pages, "html", max_bytes)
+    # Keep-first by url: earliest crawl wins, deterministic at any
+    # parallelism (D2 — NOT dropDuplicates).
+    unique = keep_first(capped, ["url"], ["warc_ts"])
+    if repartition:
+        unique = repartition_by_key(unique, "url")
+    extracted = extract_pages(unique, "html", ("url", "warc_ts", "lang"))
+    extracted = extracted.withColumn(
+        "status",
+        F.when(F.col("status") == "error", F.lit("error")).otherwise(
+            classify_status("text")
+        ),
+    )
+    deduped = mark_exact_content_dups(extracted, "text", ["warc_ts", "url"])
+    if near_dups:
+        # Near-dup candidates only among exact-dedup survivors with real text.
+        survivors = deduped.filter(
+            (~F.col("is_exact_dup")) & (F.col("status") == "found")
+        ).select("url", "simhash")
+        marked = mark_simhash_near_dups(survivors, "simhash", "url").select(
+            "url", "near_rep", "is_near_dup"
+        )
+        deduped = (
+            deduped.join(marked, "url", "left")
+            .withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False)))
+        )
+    return deduped.observe(
+        "pipeline",
+        F.count(F.lit(1)).alias("rows_out"),
+        F.count(F.when(F.col("status") == "found", 1)).alias("pages_extracted"),
+        F.count(F.when(F.col("status") == "error", 1)).alias("error_rows"),
+        F.count(F.when(F.col("is_exact_dup"), 1)).alias("exact_dups"),
+        F.sum("n_chars_in").alias("bytes_in"),
+        F.sum("n_chars_out").alias("chars_out"),
+    )
+
+
+def pipeline_stats(result: DataFrame) -> DataFrame:
+    """A1-style batch metrics over a pipeline result (ocr_service.py:442-519
+    semantics: success/error counts, by-error-type counts, size totals)."""
+    return result.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(F.col("status") == "found", 1)).alias("success_count"),
+        F.count(F.when(F.col("status") == "error", 1)).alias("error_count"),
+        F.count(F.when(F.col("status") == "not_found", 1)).alias("not_found_count"),
+        F.count(F.when(F.col("is_exact_dup"), 1)).alias("exact_dup_count"),
+        F.sum("n_chars_in").alias("total_bytes_in"),
+        F.sum("n_chars_out").alias("total_chars_out"),
+        F.avg("n_chars_out").alias("avg_chars_out"),
+        F.min("n_chars_out").alias("min_chars_out"),
+        F.max("n_chars_out").alias("max_chars_out"),
+    )

@@ -1,0 +1,647 @@
+"""Operator catalog for the driver contract (__spark_entry__.py).
+
+One entry per implemented operator from SURVEY.md §2 + the training-data
+toolkit. Every ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
+over the same parquet views, with identical column names and types
+(counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
+driver's order-insensitive value-hash matches. Non-SQL-expressible ops
+(SimHash/MinHash marking, the Arrow extraction pipeline) ship without an
+oracle — rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.functions.similarity import brute_force_topk
+from ocr_parallel_spark.functions.text_quality import (
+    detect_lang,
+    fingerprint_prefix,
+    quality_features,
+    token_count_re,
+    token_count_ws,
+)
+from ocr_parallel_spark.operators.chunking import (
+    ordered_concat,
+    overlap_chunks,
+    pages_from_chunks,
+)
+from ocr_parallel_spark.operators.classify import classify_status, normalize_col
+from ocr_parallel_spark.operators.dedup import dedup_savings, keep_first
+from ocr_parallel_spark.operators.localization import localize, match_score
+from ocr_parallel_spark.operators.neardup import minhash_candidate_pairs
+from ocr_parallel_spark.operators.sessionize import densest_range, sessionize
+
+# Chunking parameters for the documents-as-pages oracle tests: small enough
+# that every ~25-row source yields multiple overlapping chunks (the
+# reference defaults 40/5 are the config defaults; semantics identical).
+TCHUNK, TOVERLAP = 8, 2
+TSTEP = TCHUNK - TOVERLAP
+
+# The SQL twin of operators.classify.normalize_col (F1 chain).
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace("
+    "text, '\\\\n', ' ', 'g'), '\\n', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+# Inline localization targets (J2): tiny dimension side, broadcast.
+TARGETS = [
+    (1, ["SPARK", "WINDOW", "JOIN"]),
+    (2, ["MERGE", "SORT", "BATCH"]),
+    (3, ["CUSTOMER", "LINE", "TABLE"]),
+    (4, ["VECTOR", "QUERY", "STREAM"]),
+    (5, ["12", "FILTER", "KEY"]),
+    (6, ["ZZZNOPE", "QQQMISS", "XXXNONE"]),
+]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "norm", normalize_col("text")
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------- queries ---
+
+
+def q_normalize_text(spark, sf_dir):
+    """F1 normalization chain as built-ins (text_cleaning.py:6-37)."""
+    return _docs(spark, sf_dir).select("doc_id", F.col("norm").alias("norm_text"))
+
+
+def q_status_classify(spark, sf_dir):
+    """P2 not-found classifier (extractor_service.py:145-157)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", classify_status("norm").alias("status")
+    )
+
+
+def q_content_hash_dedup(spark, sf_dir):
+    """D4 exact content dedup: sha-256 over normalized text, keep-first by
+    doc_id (deduplication.py:24-61 keep-first semantics on content)."""
+    d = _docs(spark, sf_dir).withColumn("content_sha256", F.sha2(F.col("norm"), 256))
+    w = Window.partitionBy("content_sha256").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        "content_sha256",
+        (F.row_number().over(w) > 1).alias("is_exact_dup"),
+    )
+
+
+def q_dedup_savings(spark, sf_dir):
+    """D3 duplicate accounting (deduplication.py:54-59)."""
+    d = _docs(spark, sf_dir).withColumn("content_sha256", F.sha2(F.col("norm"), 256))
+    return dedup_savings(d, ["content_sha256"])
+
+
+def q_keep_first(spark, sf_dir):
+    """D2 keep-first dedup window on lineitem: first line per order."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
+    # keep-first order is a total order over the output columns —
+    # deterministic survivor at any parallelism (the D2 discipline).
+    return keep_first(
+        li,
+        ["l_orderkey"],
+        ["l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"],
+    ).select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+
+
+def q_mapback_rep(spark, sf_dir):
+    """J1 map-back: every row joined to its keep-first representative
+    (deduplication.py:64-95 as an equi-join)."""
+    d = _docs(spark, sf_dir).withColumn("content_sha256", F.sha2(F.col("norm"), 256))
+    w = Window.partitionBy("content_sha256")
+    return d.select(
+        "doc_id", F.min("doc_id").over(w).alias("rep_doc_id")
+    )
+
+
+def q_ordered_concat(spark, sf_dir):
+    """W3 ordered concat per group (chunking.py:103-141)."""
+    d = _docs(spark, sf_dir)
+    return ordered_concat(d, "source", "doc_id", "norm")
+
+
+def q_overlap_chunks(spark, sf_dir):
+    """W1 overlap chunking (chunking.py:11-72), docs-as-pages per source."""
+    d = _docs(spark, sf_dir)
+    return overlap_chunks(d, "source", "doc_id", "norm", TCHUNK, TOVERLAP)
+
+
+def q_pages_from_chunks(spark, sf_dir):
+    """W2 chunk->pages expansion (chunking.py:75-100): distinct covered
+    ids of the even-indexed chunks."""
+    chunks = q_overlap_chunks(spark, sf_dir)
+    return pages_from_chunks(
+        chunks, "source", "start_doc_id", "end_doc_id", F.col("chunk_index") % 2 == 0
+    ).select("source", F.col("page").alias("doc_id"))
+
+
+def q_theta_join_localization(spark, sf_dir):
+    """J2 broadcast theta-join targets x docs on token score >= 0.6
+    (text_localization.py:202-268; scorer :168-199)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.col("norm").alias("chunk_text"))
+    targets = spark.createDataFrame(TARGETS, "target_id int, tokens array<string>")
+    hits = localize(targets, d, "tokens", "chunk_text", 0.6)
+    return hits.select(
+        "target_id", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """A8 gap-based sessionization per user over event ids."""
+    e = _events(spark, sf_dir)
+    sess = sessionize(e, "user_id", "event_id", gap=3)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+def q_densest_range(spark, sf_dir):
+    """A8 densest run per user (text_localization.py:646-680)."""
+    e = _events(spark, sf_dir)
+    return densest_range(e, "user_id", "event_id", gap=3)
+
+
+def q_group_stats(spark, sf_dir):
+    """A1 batch metrics: per-type count/avg/min/max/sum
+    (ocr_service.py:442-519)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_found_counts(spark, sf_dir):
+    """A6 found-count by classified status."""
+    d = _docs(spark, sf_dir).withColumn("status", classify_status("norm"))
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_user_rollup(spark, sf_dir):
+    """A5 phase-stats rollup analog: per-user totals."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W6 caps/limits: first 3 docs per source (slice/limit semantics)."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_set_union(spark, sf_dir):
+    """§2.7 set union/distinct over row sets."""
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") % 2 == 0).select("source", "doc_id")
+    b = d.filter(F.col("n_chars") > 300).select("source", "doc_id")
+    return a.union(b).distinct()
+
+
+def q_langid(spark, sf_dir):
+    """Language ID by stopword hits (training-data toolkit)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", detect_lang("norm").alias("pred_lang"))
+
+
+def q_quality(spark, sf_dir):
+    """Quality-scoring features (training-data toolkit)."""
+    d = _docs(spark, sf_dir)
+    feats = quality_features("norm")
+    return d.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars_norm"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(feats["mean_token_len"], 4).alias("mean_token_len"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(feats["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace + regex word-run tokens."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_ws("norm").cast("long").alias("n_ws_tokens"),
+        token_count_re("norm").cast("long").alias("n_re_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Prefix fingerprint (md5 of first 12 tokens)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint_prefix("norm", 12).alias("fp"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs within source (training toolkit)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.col("norm"), " ")).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = F.round(inter / union, 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for queries vec_id < 5 (similarity search
+    baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---- rows-only (no SQL oracle) ----------------------------------------------
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash LSH candidate pairs (D4 near half; Python = one Arrow batch
+    stage). Not SQL-expressible -> rows-only check."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), F.col("norm").alias("text")
+    )
+    return minhash_candidate_pairs(d, "text", "url")
+
+
+def q_extraction_pipeline(spark, sf_dir):
+    """Flagship: synthesized pages -> full extraction pipeline (kernel +
+    dedup + near-dup marking). Not SQL-expressible -> rows-only check."""
+    from ocr_parallel_spark.pages import synthesize_pages
+    from ocr_parallel_spark.pipeline import run_extraction_pipeline
+
+    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+    out = run_extraction_pipeline(pages)
+    return out.select(
+        "url", "status", "error_type", "text", "content_sha256",
+        "is_exact_dup", "is_near_dup",
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "normalize_text": q_normalize_text,
+        "status_classify": q_status_classify,
+        "content_hash_dedup": q_content_hash_dedup,
+        "dedup_savings": q_dedup_savings,
+        "keep_first": q_keep_first,
+        "mapback_rep": q_mapback_rep,
+        "ordered_concat": q_ordered_concat,
+        "overlap_chunks": q_overlap_chunks,
+        "pages_from_chunks": q_pages_from_chunks,
+        "theta_join_localization": q_theta_join_localization,
+        "sessionize": q_sessionize,
+        "densest_range": q_densest_range,
+        "group_stats": q_group_stats,
+        "found_counts": q_found_counts,
+        "user_rollup": q_user_rollup,
+        "topk_per_group": q_topk_per_group,
+        "set_union": q_set_union,
+        "langid": q_langid,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "extraction_pipeline": q_extraction_pipeline,
+    }
+
+
+# ----------------------------------------------------------------- oracles --
+
+_DOCS_CTE = f"docs AS (SELECT doc_id, source, lang, n_chars, {NORM_SQL} AS norm FROM documents)"
+
+_STATUS_CASE = (
+    "CASE WHEN norm IS NULL THEN 'error' "
+    "WHEN lower(trim(norm)) = '' THEN 'not_found' "
+    "WHEN lower(trim(norm)) IN ('inmueble no encontrado', 'no encontrado', "
+    "'not found') THEN 'not_found' ELSE 'found' END"
+)
+
+_CHUNKS_CTE = f"""
+WITH {_DOCS_CTE},
+o AS (
+  SELECT source, doc_id, norm,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM docs
+),
+cnt AS (SELECT DISTINCT source, n FROM o),
+c AS (
+  SELECT source,
+         unnest(generate_series(0,
+           CASE WHEN n <= {TCHUNK} THEN 0
+                ELSE CAST(ceil((n - {TCHUNK}) / {TSTEP}.0) AS INT) END)) AS chunk_index
+  FROM cnt
+),
+j AS (
+  SELECT c.source, c.chunk_index, o.rn, o.doc_id, o.norm
+  FROM c JOIN o ON o.source = c.source
+   AND o.rn >= c.chunk_index * {TSTEP}
+   AND o.rn < c.chunk_index * {TSTEP} + {TCHUNK}
+),
+chunks AS (
+  SELECT source, chunk_index,
+         min(doc_id) AS start_doc_id, max(doc_id) AS end_doc_id,
+         count(*) AS n_rows,
+         string_agg(norm, e'\n\n' ORDER BY rn) AS chunk_text
+  FROM j GROUP BY source, chunk_index
+)
+"""
+
+_TARGETS_SQL = "targets(target_id, tokens) AS (VALUES " + ", ".join(
+    f"({tid}, [{', '.join(repr(t) for t in toks)}])" for tid, toks in TARGETS
+) + ")"
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "normalize_text": f"SELECT doc_id, {NORM_SQL} AS norm_text FROM documents",
+        "status_classify": (
+            f"WITH {_DOCS_CTE} SELECT doc_id, {_STATUS_CASE} AS status FROM docs"
+        ),
+        "content_hash_dedup": f"""
+            WITH {_DOCS_CTE},
+            h AS (SELECT doc_id, sha256(norm) AS content_sha256 FROM docs)
+            SELECT doc_id, content_sha256,
+                   row_number() OVER (PARTITION BY content_sha256 ORDER BY doc_id) > 1
+                     AS is_exact_dup
+            FROM h
+        """,
+        "dedup_savings": f"""
+            WITH {_DOCS_CTE}
+            SELECT count(*) AS total_rows,
+                   count(DISTINCT sha256(norm)) AS unique_rows,
+                   count(*) - count(DISTINCT sha256(norm)) AS duplicate_rows
+            FROM docs
+        """,
+        "keep_first": """
+            SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+              SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_partkey, l_quantity,
+                                 l_extendedprice) AS rn
+              FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "mapback_rep": f"""
+            WITH {_DOCS_CTE}
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY sha256(norm)) AS rep_doc_id
+            FROM docs
+        """,
+        "ordered_concat": f"""
+            WITH {_DOCS_CTE}
+            SELECT source,
+                   string_agg(norm, e'\n\n' ORDER BY doc_id) AS concat_text,
+                   count(*) AS n_rows
+            FROM docs GROUP BY source
+        """,
+        "overlap_chunks": _CHUNKS_CTE + "SELECT * FROM chunks",
+        "pages_from_chunks": _CHUNKS_CTE
+        + """
+            SELECT DISTINCT source,
+                   unnest(generate_series(start_doc_id, end_doc_id)) AS doc_id
+            FROM chunks WHERE chunk_index % 2 = 0
+        """,
+        "theta_join_localization": f"""
+            WITH {_DOCS_CTE},
+            {_TARGETS_SQL},
+            scored AS (
+              SELECT t.target_id, d.doc_id,
+                     round(CAST(list_sum(list_transform(t.tokens, tok ->
+                       CASE WHEN regexp_matches(tok, '^\\d+$')
+                            THEN CASE WHEN regexp_matches(upper(d.norm),
+                                   '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                            ELSE CASE WHEN contains(upper(d.norm), tok)
+                                 THEN 1 ELSE 0 END
+                       END)) AS DOUBLE) / len(t.tokens), 4) AS score
+              FROM docs d CROSS JOIN targets t
+            )
+            SELECT target_id, doc_id, score FROM scored WHERE score >= 0.6
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     CASE WHEN event_id - lag(event_id) OVER
+                       (PARTITION BY user_id ORDER BY event_id) > 3
+                     THEN 1 ELSE 0 END AS flag
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, event_id,
+                     sum(flag) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS min_event, max(event_id) AS max_event
+            FROM s GROUP BY user_id, session_id
+        """,
+        "densest_range": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     CASE WHEN event_id - lag(event_id) OVER
+                       (PARTITION BY user_id ORDER BY event_id) > 3
+                     THEN 1 ELSE 0 END AS flag
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, event_id,
+                     sum(flag) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            ),
+            runs AS (
+              SELECT user_id, session_id, count(*) AS run_count,
+                     min(event_id) AS run_start, max(event_id) AS run_end
+              FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, session_id, run_count, run_start, run_end FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY run_count DESC, run_start ASC) AS rk
+              FROM runs
+            ) WHERE rk = 1
+        """,
+        "group_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 4) AS avg_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "found_counts": (
+            f"WITH {_DOCS_CTE} SELECT {_STATUS_CASE} AS status, count(*) AS n "
+            "FROM docs GROUP BY 1"
+        ),
+        "user_rollup": """
+            SELECT user_id, count(*) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        "topk_per_group": """
+            SELECT source, doc_id, rk FROM (
+              SELECT source, doc_id, row_number() OVER
+                (PARTITION BY source ORDER BY doc_id) AS rk
+              FROM documents
+            ) WHERE rk <= 3
+        """,
+        "set_union": """
+            SELECT DISTINCT source, doc_id FROM (
+              SELECT source, doc_id FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT source, doc_id FROM documents WHERE n_chars > 300
+            )
+        """,
+        "langid": _langid_sql(),
+        "quality": _quality_sql(),
+        "token_counts": f"""
+            WITH {_DOCS_CTE}
+            SELECT doc_id,
+                   len(string_split(lower(trim(norm)), ' ')) AS n_ws_tokens,
+                   len(regexp_extract_all(norm, '\\w+')) AS n_re_tokens
+            FROM docs
+        """,
+        "fingerprint": f"""
+            WITH {_DOCS_CTE}
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_slice(string_split(lower(trim(norm)), ' '), 1, 12),
+                     ' ')) AS fp
+            FROM docs
+        """,
+        "ngram_jaccard": f"""
+            WITH {_DOCS_CTE},
+            t AS (SELECT doc_id, source,
+                         list_distinct(string_split(norm, ' ')) AS toks
+                  FROM docs)
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                       (len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks))), 4) AS jaccard
+              FROM t a JOIN t b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.2
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id < 5
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS cs
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(cs, 4) AS cos_sim, rank FROM (
+              SELECT query_id, vec_id, cs, row_number() OVER
+                (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rank
+              FROM s
+            ) WHERE rank <= 5
+        """,
+    }
+
+
+def _langid_sql() -> str:
+    from ocr_parallel_spark.functions.text_quality import LANG_PRECEDENCE, STOPWORDS
+
+    hit_exprs = {
+        lang: (
+            "len(list_filter(string_split(lower(trim(norm)), ' '), "
+            f"t -> t IN ({', '.join(repr(w) for w in STOPWORDS[lang])})))"
+        )
+        for lang in LANG_PRECEDENCE
+    }
+    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_PRECEDENCE) + ")"
+    case = "CASE "
+    for lang in LANG_PRECEDENCE:
+        case += f"WHEN best > 0 AND h_{lang} = best THEN '{lang}' "
+    case += "ELSE 'und' END"
+    hits_select = ", ".join(f"{e} AS h_{lang}" for lang, e in hit_exprs.items())
+    return f"""
+        WITH {_DOCS_CTE},
+        h AS (SELECT doc_id, {hits_select} FROM docs),
+        b AS (SELECT doc_id, h_en, h_es, h_fr, h_de, {greatest} AS best FROM h)
+        SELECT doc_id, {case} AS pred_lang FROM b
+    """
+
+
+def _quality_sql() -> str:
+    from ocr_parallel_spark.functions.text_quality import STOPWORDS
+
+    en = ", ".join(repr(w) for w in STOPWORDS["en"])
+    return f"""
+        WITH {_DOCS_CTE},
+        f AS (
+          SELECT doc_id,
+                 length(norm) AS n_chars_norm,
+                 len(string_split(lower(trim(norm)), ' ')) AS n_tokens,
+                 length(regexp_replace(lower(norm), '[^a-z]', '', 'g'))
+                   AS alpha_chars,
+                 length(regexp_replace(norm, '[^.,;:!?]', '', 'g'))
+                   AS punct_chars,
+                 len(list_filter(string_split(lower(trim(norm)), ' '),
+                     t -> t IN ({en}))) AS en_hits
+          FROM docs
+        )
+        SELECT doc_id, n_chars_norm, n_tokens,
+               round(CASE WHEN n_tokens > 0
+                 THEN CAST(n_chars_norm AS DOUBLE) / n_tokens ELSE 0.0 END, 4)
+                 AS mean_token_len,
+               round(CASE WHEN n_tokens > 0
+                 THEN CAST(en_hits AS DOUBLE) / n_tokens ELSE 0.0 END, 4)
+                 AS stopword_ratio,
+               round(CASE WHEN n_chars_norm > 0
+                 THEN CAST(alpha_chars AS DOUBLE) / n_chars_norm ELSE 0.0 END, 4)
+                 AS alpha_ratio,
+               round(CASE WHEN n_chars_norm > 0
+                 THEN CAST(punct_chars AS DOUBLE) / n_chars_norm ELSE 0.0 END, 4)
+                 AS punct_ratio
+        FROM f
+    """

@@ -1,0 +1,111 @@
+"""End-to-end pipeline tests over the synthesized pages table.
+
+SURVEY §5 items 3-5: golden equality (byte-identical extracted text per
+url), error-as-data, dedup marking, and determinism across parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.pages import synthesize_pages
+from ocr_parallel_spark.pipeline import pipeline_stats, run_extraction_pipeline
+
+
+def _result(spark, sf_dir):
+    pages = synthesize_pages(spark, sf_dir, with_expected=True)
+    expected = pages.select("url", "warc_ts", "doc_id", "expected_text")
+    result = run_extraction_pipeline(pages.drop("expected_text", "doc_id"))
+    return pages, expected, result
+
+
+def test_byte_identical_per_url(spark, sf_dir):
+    """THE invariant: extracted text == expected text for every kept url."""
+    pages, expected, result = _result(spark, sf_dir)
+    # keep-first by url: compare against the expected text of the earliest
+    # crawl per url.
+    first_expected = (
+        expected.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("url").orderBy("warc_ts")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("url", "expected_text")
+    )
+    joined = result.join(first_expected, "url", "inner")
+    mismatches = joined.filter(
+        (F.col("status") == "found")
+        & (
+            F.col("text").isNull()
+            | (F.col("text") != F.col("expected_text"))
+        )
+    )
+    bad = mismatches.select("url", "text", "expected_text").limit(5).collect()
+    assert not bad, f"text mismatch for {bad}"
+    # error rows have NULL text and an error_type
+    errs = joined.filter(F.col("status") == "error")
+    assert errs.filter(F.col("text").isNotNull()).count() == 0
+    assert errs.filter(F.col("error_type").isNull()).count() == 0
+
+
+def test_keep_first_dedup_unique_urls(spark, sf_dir):
+    pages, _, result = _result(spark, sf_dir)
+    n_unique_urls = pages.select("url").distinct().count()
+    assert result.count() == n_unique_urls
+    assert result.select("url").distinct().count() == n_unique_urls
+    # synthesis guarantees ~10% url dups at sf0.001 (doc_id % 10 == 9)
+    assert pages.count() > n_unique_urls
+
+
+def test_exact_content_dups_marked(spark, sf_dir):
+    _, _, result = _result(spark, sf_dir)
+    dups = result.filter(F.col("is_exact_dup"))
+    assert dups.count() > 0
+    # every dup's representative has identical text
+    rep = result.select(
+        F.col("url").alias("rep_url"), F.col("text").alias("rep_text")
+    )
+    joined = dups.join(rep, "rep_url", "inner")
+    assert joined.filter(F.col("text") != F.col("rep_text")).count() == 0
+    # representatives are never themselves marked dup
+    assert (
+        result.filter((F.col("url") == F.col("rep_url")) & F.col("is_exact_dup"))
+        .count()
+        == 0
+    )
+
+
+def test_near_dups_marked(spark, sf_dir):
+    _, _, result = _result(spark, sf_dir)
+    # synthesis plants near-dups (doc_id % 25 == 21): small drift off the
+    # previous doc's text
+    assert result.filter(F.col("is_near_dup")).count() > 0
+
+
+def test_error_rows_never_fail_job(spark, sf_dir):
+    _, _, result = _result(spark, sf_dir)
+    errors = result.filter(F.col("status") == "error")
+    n = errors.count()
+    assert n > 0  # synthesis plants malformed payloads
+    types = {r["error_type"] for r in errors.select("error_type").distinct().collect()}
+    assert types <= {"EMPTY", "DECODE", "PARSE", "PDF", "UNKNOWN"}
+
+
+def test_stats_rollup(spark, sf_dir):
+    _, _, result = _result(spark, sf_dir)
+    stats = pipeline_stats(result).collect()[0]
+    assert stats["total_rows"] == stats["success_count"] + stats["error_count"] + stats["not_found_count"]
+    assert stats["success_count"] > 0
+    assert stats["total_bytes_in"] > 0
+
+
+def test_determinism_across_parallelism(spark, sf_dir):
+    """Same input, different partitioning => byte-identical result set."""
+    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+    r1 = run_extraction_pipeline(pages.repartition(2), near_dups=False)
+    r2 = run_extraction_pipeline(pages.repartition(17), near_dups=False)
+    cols = ["url", "status", "text", "content_sha256", "is_exact_dup"]
+    a = sorted(map(tuple, r1.select(*cols).collect()))
+    b = sorted(map(tuple, r2.select(*cols).collect()))
+    assert a == b
