@@ -1,0 +1,152 @@
+"""Snapshot-committed, resumable table writes (SURVEY §7.2 step 5).
+
+The production design is an Iceberg table partitioned by ``bucket(N, url)``
+with commits as snapshots and resume = anti-join against the last committed
+snapshot. The Iceberg runtime jar is not in this sandbox, so the same
+semantics are implemented over parquet + a JSON manifest directory behind
+one IO interface:
+
+- Each run writes its data files under ``data/run-<run_id>/`` (parquet).
+- Commit = write ``_manifests/snapshot-<n>.json`` listing every live data
+  directory, then atomically rename a ``_manifests/CURRENT.tmp`` pointer to
+  ``_manifests/CURRENT``. Readers only ever see the pointed-at snapshot —
+  never a partial write (the reference's file-existence poll,
+  /root/reference/app/api/endpoints/full_process.py:136-145, is exactly the
+  race this replaces; X9/S2 completion semantics become snapshot commits).
+- Resume = read committed keys, anti-join the source, process the rest,
+  commit a new snapshot appending the new run directory.
+- Lineage: every snapshot records the run's counters (rows, pages
+  extracted, errors, dups dropped — from ``df.observe``) + per-run config,
+  mirroring A1/A5 metrics persistence.
+
+Run ids derive from the snapshot ordinal — no uuid/wall-clock (determinism
+rule; reference used uuid4 at full_process.py:34-36).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.root = pathlib.Path(path)
+        self.manifest_dir = self.root / "_manifests"
+
+    # ---- read side ----------------------------------------------------------
+
+    def current_snapshot(self) -> dict | None:
+        cur = self.manifest_dir / "CURRENT"
+        if not cur.exists():
+            return None
+        name = cur.read_text().strip()
+        return json.loads((self.manifest_dir / name).read_text())
+
+    def snapshots(self) -> list[dict]:
+        if not self.manifest_dir.exists():
+            return []
+        out = []
+        for p in sorted(self.manifest_dir.glob("snapshot-*.json")):
+            out.append(json.loads(p.read_text()))
+        return out
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Read the committed table state (union of live data dirs)."""
+        snap = self.current_snapshot()
+        if snap is None or not snap["data_dirs"]:
+            return None
+        paths = [str(self.root / d) for d in snap["data_dirs"]]
+        return spark.read.parquet(*paths)
+
+    def committed_keys(self, spark: SparkSession, key_col: str) -> DataFrame | None:
+        df = self.read(spark)
+        return None if df is None else df.select(key_col).distinct()
+
+    # ---- write side ---------------------------------------------------------
+
+    def append(
+        self,
+        df: DataFrame,
+        lineage: dict | None = None,
+    ) -> dict:
+        """Write ``df`` as a new run directory and commit a snapshot that
+        appends it to the live set. Data lands fully before the manifest
+        pointer flips — crash mid-write leaves the table at the previous
+        snapshot."""
+        prior = self.current_snapshot()
+        ordinal = (prior["ordinal"] + 1) if prior else 0
+        run_dir = f"data/run-{ordinal:06d}"
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+        df.write.mode("errorifexists").parquet(str(self.root / run_dir))
+
+        data_dirs = (prior["data_dirs"] if prior else []) + [run_dir]
+        snap = {
+            "ordinal": ordinal,
+            "data_dirs": data_dirs,
+            "lineage": lineage or {},
+        }
+        self._commit(snap)
+        return snap
+
+    def overwrite(self, df: DataFrame, lineage: dict | None = None) -> dict:
+        prior = self.current_snapshot()
+        ordinal = (prior["ordinal"] + 1) if prior else 0
+        run_dir = f"data/run-{ordinal:06d}"
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+        df.write.mode("errorifexists").parquet(str(self.root / run_dir))
+        snap = {"ordinal": ordinal, "data_dirs": [run_dir], "lineage": lineage or {}}
+        self._commit(snap)
+        return snap
+
+    def _commit(self, snap: dict) -> None:
+        self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        name = f"snapshot-{snap['ordinal']:06d}.json"
+        (self.manifest_dir / name).write_text(json.dumps(snap, indent=1))
+        tmp = self.manifest_dir / "CURRENT.tmp"
+        tmp.write_text(name)
+        os.replace(tmp, self.manifest_dir / "CURRENT")  # atomic pointer flip
+
+
+def resume_filter(
+    source: DataFrame, table: SnapshotTable, spark: SparkSession, key_col: str = "url"
+) -> DataFrame:
+    """Anti-join the source against already-committed keys: only
+    never-processed documents flow into the run. At scale both sides hash
+    on the same key; with bucketed storage this is exchange-free."""
+    done = table.committed_keys(spark, key_col)
+    if done is None:
+        return source
+    return source.join(done, key_col, "left_anti")
+
+
+def run_resumable(
+    source: DataFrame,
+    table: SnapshotTable,
+    spark: SparkSession,
+    transform,
+    key_col: str = "url",
+    lineage: dict | None = None,
+) -> dict:
+    """One resumable batch step: filter out committed keys, apply the
+    pipeline ``transform``, append + commit. Returns the snapshot dict
+    (with ``rows_written`` in lineage)."""
+    todo = resume_filter(source, table, spark, key_col)
+    result = transform(todo)
+    n = result.count()
+    info = dict(lineage or {})
+    info["rows_written"] = n
+    if n == 0:
+        # Nothing new to process: leave the table at its current snapshot
+        # and report a no-op instead of committing an empty append.
+        prior = table.current_snapshot()
+        return {
+            "ordinal": prior["ordinal"] if prior else -1,
+            "noop": True,
+            "lineage": info,
+        }
+    return table.append(result, lineage=info)

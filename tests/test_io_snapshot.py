@@ -1,0 +1,69 @@
+"""Snapshot table: atomic commit, append, resume (X9/S2 semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.io import SnapshotTable, resume_filter, run_resumable
+
+
+def _mkdf(spark, ids):
+    return spark.createDataFrame(
+        [(f"https://x/{i}", i) for i in ids], "url string, v int"
+    )
+
+
+def test_commit_and_read(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t1"))
+    assert t.read(spark) is None
+    snap = t.append(_mkdf(spark, range(10)), lineage={"run": "a"})
+    assert snap["ordinal"] == 0
+    got = t.read(spark)
+    assert got.count() == 10
+    assert t.current_snapshot()["lineage"]["run"] == "a"
+
+
+def test_append_accumulates(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t2"))
+    t.append(_mkdf(spark, range(5)))
+    t.append(_mkdf(spark, range(5, 8)))
+    assert t.read(spark).count() == 8
+    assert len(t.snapshots()) == 2
+    assert t.current_snapshot()["ordinal"] == 1
+
+
+def test_resume_skips_committed(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t3"))
+    source = _mkdf(spark, range(10))
+    first = source.filter(F.col("v") < 4)
+    t.append(first)
+    todo = resume_filter(source, t, spark, "url")
+    assert todo.count() == 6
+    assert todo.agg(F.min("v")).collect()[0][0] == 4
+
+
+def test_run_resumable_end_to_end(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t4"))
+    source = _mkdf(spark, range(10))
+
+    def transform(df):
+        return df.withColumn("v2", F.col("v") * 2)
+
+    s1 = run_resumable(source.filter(F.col("v") < 6), t, spark, transform, "url")
+    assert s1["lineage"]["rows_written"] == 6
+    s2 = run_resumable(source, t, spark, transform, "url")
+    assert s2["lineage"]["rows_written"] == 4
+    assert t.read(spark).count() == 10
+    # third run: nothing new -> no-op, table unchanged
+    s3 = run_resumable(source, t, spark, transform, "url")
+    assert s3.get("noop") is True
+    assert t.current_snapshot()["ordinal"] == s2["ordinal"]
+
+
+def test_partial_write_invisible(spark, tmp_path):
+    """Uncommitted data dirs are never read (atomic pointer semantics)."""
+    t = SnapshotTable(str(tmp_path / "t5"))
+    t.append(_mkdf(spark, range(3)))
+    # simulate a crashed run: data written, no manifest commit
+    _mkdf(spark, range(100, 105)).write.parquet(str(t.root / "data/run-999999"))
+    assert t.read(spark).count() == 3

@@ -1,0 +1,160 @@
+"""Operator unit tests against reference-documented semantics.
+
+Each test pins a behavior cited in SURVEY §2 to the reference source
+(chunk boundaries, keep-first survivor, token match threshold, dense-range
+grouping, status classification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.operators.chunking import (
+    ordered_concat,
+    overlap_chunks,
+    pages_from_chunks,
+)
+from ocr_parallel_spark.operators.classify import classify_status, normalize_col
+from ocr_parallel_spark.operators.dedup import keep_first
+from ocr_parallel_spark.operators.localization import (
+    expand_variants,
+    localize,
+    tokenize,
+)
+from ocr_parallel_spark.operators.sessionize import densest_range, sessionize
+from ocr_parallel_spark.kernel.normalize import clean_text
+
+
+def _pages(spark, n, doc="d1"):
+    return spark.createDataFrame(
+        [(doc, i + 1, f"page {i + 1} text") for i in range(n)],
+        "doc string, page int, text string",
+    )
+
+
+def test_chunking_reference_example(spark):
+    """100 pages at 40/5 -> chunks 1-40, 36-75, 71-100 (chunking.py:40-69)."""
+    chunks = overlap_chunks(_pages(spark, 100), "doc", "page", "text", 40, 5)
+    rows = sorted(
+        (r["chunk_index"], r["start_page"], r["end_page"], r["n_rows"])
+        for r in chunks.collect()
+    )
+    assert rows == [(0, 1, 40, 40), (1, 36, 75, 40), (2, 71, 100, 30)]
+
+
+def test_chunking_single_short_group(spark):
+    chunks = overlap_chunks(_pages(spark, 7), "doc", "page", "text", 40, 5)
+    rows = chunks.collect()
+    assert len(rows) == 1
+    assert rows[0]["start_page"] == 1 and rows[0]["end_page"] == 7
+
+
+def test_chunk_text_join_order(spark):
+    chunks = overlap_chunks(_pages(spark, 3), "doc", "page", "text", 40, 5)
+    assert chunks.collect()[0]["chunk_text"] == "page 1 text\n\npage 2 text\n\npage 3 text"
+
+
+def test_pages_from_chunks_distinct_sorted(spark):
+    chunks = overlap_chunks(_pages(spark, 100), "doc", "page", "text", 40, 5)
+    pages = pages_from_chunks(chunks, "doc", "start_page", "end_page")
+    got = sorted(r["page"] for r in pages.collect())
+    assert got == list(range(1, 101))  # union of overlapping ranges, distinct
+
+
+def test_ordered_concat_is_page_order_not_arrival(spark):
+    df = spark.createDataFrame(
+        [("d", 3, "c"), ("d", 1, "a"), ("d", 2, "b")],
+        "doc string, page int, text string",
+    ).repartition(3)
+    out = ordered_concat(df, "doc", "page", "text")
+    assert out.collect()[0]["concat_text"] == "a\n\nb\n\nc"
+
+
+def test_keep_first_earliest_wins(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "late"), ("k1", 1, "early"), ("k2", 5, "only")],
+        "k string, ts int, v string",
+    )
+    out = {r["k"]: r["v"] for r in keep_first(df, ["k"], ["ts"]).collect()}
+    assert out == {"k1": "early", "k2": "only"}
+
+
+def test_tokenize_reference_example(spark):
+    """'APARTAMENTO 102 -T3 MZ 12' -> words >= 2 chars + ALL digit runs
+    (including the '3' inside 'T3' — text_localization.py:115-139 adds
+    every ``\\d+`` run of the raw name regardless of length)."""
+    df = spark.createDataFrame([("APARTAMENTO 102 -T3 MZ 12",)], "name string")
+    toks = set(df.select(tokenize("name").alias("t")).collect()[0]["t"])
+    assert toks == {"APARTAMENTO", "102", "T3", "MZ", "12", "3"}
+
+
+def test_expand_variants_includes_synonyms(spark):
+    df = spark.createDataFrame([("APTO 5",)], "name string")
+    syn = {"APTO": ["APARTAMENTO", "APT"], "APARTAMENTO": ["APTO"]}
+    out = df.select(
+        expand_variants(tokenize("name"), syn).alias("t")
+    ).collect()[0]["t"]
+    assert "APARTAMENTO" in out and "APTO" in out and "5" in out
+
+
+def test_match_threshold_word_and_digit(spark):
+    """2 of 3 tokens (0.667 >= 0.6) matches; digit needs word boundary
+    (text_localization.py:168-199)."""
+    chunks = spark.createDataFrame(
+        [
+            (0, "THE APARTAMENTO BLOCK MZ IS HERE"),  # 2/3 words
+            (1, "number 1025 present"),  # 102 must NOT match inside 1025
+        ],
+        "chunk_id int, chunk_text string",
+    )
+    targets = spark.createDataFrame(
+        [(1, ["APARTAMENTO", "MZ", "QQQ"]), (2, ["102", "QQQ", "ZZZ"])],
+        "target_id int, tokens array<string>",
+    )
+    hits = localize(targets, chunks, "tokens", "chunk_text", 0.6)
+    got = {(r["target_id"], r["chunk_id"]) for r in hits.collect()}
+    assert (1, 0) in got
+    assert (2, 1) not in got  # word-boundary guard on digits
+
+
+def test_sessionize_gap3(spark):
+    """Runs split on gap > 3: [1,2,3, 8,9, 20] -> 3 runs; densest = first
+    (text_localization.py:646-680: strict > keeps the earlier run)."""
+    df = spark.createDataFrame(
+        [("u", p) for p in [1, 2, 3, 8, 9, 20]], "u string, page int"
+    )
+    sess = sessionize(df, "u", "page", gap=3)
+    n_sessions = sess.select("session_id").distinct().count()
+    assert n_sessions == 3
+    best = densest_range(df, "u", "page", gap=3).collect()[0]
+    assert (best["run_start"], best["run_end"], best["run_count"]) == (1, 3, 3)
+
+
+def test_densest_tie_keeps_earlier(spark):
+    df = spark.createDataFrame(
+        [("u", p) for p in [1, 2, 10, 11]], "u string, page int"
+    )
+    best = densest_range(df, "u", "page", gap=3).collect()[0]
+    assert (best["run_start"], best["run_end"]) == (1, 2)
+
+
+def test_classify_status_markers(spark):
+    df = spark.createDataFrame(
+        [("x", "real text"), ("y", ""), ("z", " Inmueble No Encontrado "), ("w", None)],
+        "k string, t string",
+    )
+    got = {r["k"]: r["s"] for r in df.select("k", classify_status("t").alias("s")).collect()}
+    assert got == {"x": "found", "y": "not_found", "z": "not_found", "w": "error"}
+
+
+def test_normalize_col_matches_kernel(spark):
+    """JVM normalize chain byte-equals the Python kernel chain."""
+    samples = [
+        "a\\nb\twith  spaces\nand lines ",
+        "  leading and trailing  ",
+        "multi\n\n\nnewlines\\n\\nhere",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r["n"] for r in df.select(normalize_col("t").alias("n")).collect()]
+    assert got == [clean_text(s) for s in samples]
