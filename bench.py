@@ -1,0 +1,131 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship is the full extraction pipeline (synthesized CC-style pages ->
+keep-first dedup -> mapInArrow kernel -> content/near-dup marking); its
+pages/sec is reported alongside the per-query wall times. Each query is
+materialized with a ``noop``-format write (full execution, no driver
+collect). Set ``SPARK_GRAFT_BENCH_QUERIES`` to a comma list to subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline subset: the flagship plus the operators that dominate a real
+# extraction run (dedup windows, chunking shuffle, theta join, LSH, ANN).
+HEADLINE = [
+    "extraction_pipeline",
+    "keep_first",
+    "content_hash_dedup",
+    "overlap_chunks",
+    "ordered_concat",
+    "theta_join_localization",
+    "sessionize",
+    "topk_per_group",
+    "quality",
+    "token_counts",
+    "ngram_jaccard",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+]
+
+
+def build_spark(cpus: int, app: str = "ocr-parallel-spark-bench"):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> int:
+    """Force full execution; return row count via a cheap post-pass."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
+    from ocr_parallel_spark import queries_catalog
+    from ocr_parallel_spark.pages import synthesize_pages
+    from ocr_parallel_spark.pipeline import run_extraction_pipeline
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = queries_catalog.queries()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    # warm the JVM and the Python/Arrow worker pool so the first timed
+    # query is not paying session + worker-fork startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: F401
+
+    spark.range(64).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    for name in names:
+        if name == "extraction_pipeline":
+            pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+            n_pages = pages.count()  # input size, not timed
+            t0 = time.perf_counter()
+            result = run_extraction_pipeline(pages)
+            materialize(result)
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            extras["pages_in"] = n_pages
+            extras["pages_per_sec"] = round(n_pages / dt, 1)
+        else:
+            fn = catalog.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    names = HEADLINE
+    env_subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if env_subset:
+        names = [n.strip() for n in env_subset.split(",") if n.strip()]
+    print(json.dumps(run_bench(sf_dir, cpus, names)))
+
+
+if __name__ == "__main__":
+    main()
