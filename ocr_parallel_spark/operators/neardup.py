@@ -27,6 +27,13 @@ N_BANDS = 4
 BAND_BITS = 64 // N_BANDS
 HAMMING_THRESHOLD = 3
 
+# A band bucket holding more than this many docs is degenerate (boilerplate
+# or adversarial near-constant content): joining it is quadratic for no
+# recall gain — every member already has 3 other band chances. Production
+# LSH dedup caps bucket width for exactly this reason; the cap keeps the
+# self-join linear in practice and is deterministic.
+MAX_BAND_BUCKET = 256
+
 
 def simhash_band_cols(df: DataFrame, simhash_col: str = "simhash") -> DataFrame:
     """Split the int64 SimHash into N_BANDS unsigned 16-bit band values."""
@@ -46,6 +53,7 @@ def mark_simhash_near_dups(
     simhash_col: str = "simhash",
     id_col: str = "url",
     hamming_threshold: int = HAMMING_THRESHOLD,
+    max_bucket: int = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Add ``is_near_dup`` + ``near_rep`` columns.
 
@@ -56,16 +64,28 @@ def mark_simhash_near_dups(
     representative is a different, earlier doc.
     """
     ids = df.select(id_col, simhash_col).filter(F.col(simhash_col) != 0)
-    banded = simhash_band_cols(ids, simhash_col)
-    bands = None
-    for i in range(N_BANDS):
-        b = banded.select(
-            F.col(id_col),
-            F.col(simhash_col),
-            F.lit(i).alias("band_idx"),
-            F.col(f"band_{i}").alias("band_val"),
+    # One pass over the input: posexplode the band array (a 4-way union
+    # would scan the upstream table once per band).
+    band_exprs = [
+        F.shiftrightunsigned(F.col(simhash_col), i * BAND_BITS)
+        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+        for i in range(N_BANDS)
+    ]
+    bands = ids.select(
+        F.col(id_col),
+        F.col(simhash_col),
+        F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_val"),
+    )
+
+    if max_bucket:
+        bucket_sizes = bands.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("_nd_bucket_n")
         )
-        bands = b if bands is None else bands.unionByName(b)
+        bands = (
+            bands.join(bucket_sizes, ["band_idx", "band_val"])
+            .filter(F.col("_nd_bucket_n") <= max_bucket)
+            .drop("_nd_bucket_n")
+        )
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -128,15 +148,28 @@ def with_minhash_bands(
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "url"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    max_bucket: int = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash LSH: explode band buckets,
     self-join on (band position, bucket hash). Returns distinct id pairs
-    (a < b) for downstream exact-Jaccard verification."""
+    (a < b) for downstream exact-Jaccard verification. Buckets wider than
+    ``max_bucket`` are skipped (degenerate content; see MAX_BAND_BUCKET)."""
     banded = with_minhash_bands(df, text_col, id_col)
     exploded = banded.select(
         F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
     )
+    if max_bucket:
+        sizes = exploded.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("_mh_bucket_n")
+        )
+        exploded = (
+            exploded.join(sizes, ["band_idx", "band_hash"])
+            .filter(F.col("_mh_bucket_n") <= max_bucket)
+            .drop("_mh_bucket_n")
+        )
     l, r = exploded.alias("l"), exploded.alias("r")
     return (
         l.join(

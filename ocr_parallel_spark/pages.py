@@ -48,13 +48,42 @@ def synthesize_pages(
     spark: SparkSession,
     sf_dir: str,
     with_expected: bool = False,
+    copies: int = 1,
+    body_repeat: int = 1,
 ) -> DataFrame:
     """Build the pages DataFrame from ``{sf_dir}/documents.parquet``.
 
     Pure built-in expressions end-to-end: one parquet scan, one broadcast
     self-join (content-dup text borrowing), zero Python.
+
+    ``copies > 1`` deterministically replicates the corpus (distinct
+    doc_ids, slightly varied text) so bench runs can be compute-dominated
+    at any sf — the sandbox stand-in for reading a bigger table.
+    ``body_repeat > 1`` expands each page's body into that many paragraph
+    blocks (~300 chars each), approximating real Common-Crawl page sizes so
+    the extraction kernel, not stage overhead, dominates the run.
+    ``body_repeat=1`` reproduces the original single-paragraph pages
+    byte-for-byte.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if copies > 1:
+        reps = spark.range(copies).select(F.col("id").alias("copy_id"))
+        docs = (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * copies + F.col("copy_id")).alias("doc_id"),
+                F.when(
+                    F.col("copy_id") == 0, F.col("text")
+                ).otherwise(
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" replica "),
+                        F.col("copy_id").cast("string"),
+                    )
+                ).alias("text"),
+                F.col("lang"),
+            )
+        )
 
     # Content/near-dup rows borrow the *previous* doc's text via an
     # equi-join on doc_id-1 (broadcast-eligible at test scale; at real
@@ -92,24 +121,42 @@ def synthesize_pages(
 
     heading = F.concat(F.lit("Document number "), content_id.cast("string"))
 
+    # Paragraph k=0 is the bare body (byte-compatible with body_repeat=1);
+    # later paragraphs get a deterministic suffix so blocks stay distinct.
+    paras = [body_text] + [
+        F.concat(body_text, F.lit(f" pp {k}")) for k in range(1, body_repeat)
+    ]
+
     variant = F.col("doc_id") % 3
+    body_html_parts = []
+    for p in paras:
+        body_html_parts += [F.lit("<p>"), p, F.lit("</p>")]
     html_str = F.concat(
         F.lit("<!DOCTYPE html><html><head><title>t</title></head><body>"),
         F.when(variant == 1, F.lit(_CHROME_NAV)).otherwise(F.lit("")),
         F.when(variant == 2, F.lit(_LINKFARM)).otherwise(F.lit("")),
         F.lit("<article><h2>"),
         heading,
-        F.lit("</h2><p>"),
-        body_text,
-        F.lit("</p></article>"),
+        F.lit("</h2>"),
+        *body_html_parts,
+        F.lit("</article>"),
         F.when(variant == 1, F.lit(_CHROME_FOOT)).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
 
+    pdf_run_parts = []
+    for k, p in enumerate(paras):
+        pdf_run_parts += [
+            F.lit(
+                '{"page": 1, "x": 10.0, "y": %s.0, "text": "' % (20 + 10 * k)
+            ),
+            p,
+            F.lit('"}, '),
+        ]
     pdf_payload = F.concat(
-        F.lit('%FAKEPDF{"runs": [{"page": 1, "x": 10.0, "y": 20.0, "text": "'),
-        body_text,
-        F.lit('"}, {"page": 1, "x": 5.0, "y": 10.0, "text": "'),
+        F.lit('%FAKEPDF{"runs": ['),
+        *pdf_run_parts,
+        F.lit('{"page": 1, "x": 5.0, "y": 10.0, "text": "'),
         heading,
         F.lit('"}]}'),
     )
@@ -133,15 +180,15 @@ def synthesize_pages(
         F.col("doc_id"),
     ]
     if with_expected:
-        body_norm = normalize_col(body_text)
+        para_norms = [normalize_col(p) for p in paras]
         head_norm = normalize_col(heading)
-        # pdf path: both runs are on one page; layout lines are flattened by
-        # the per-page normalization chain, so heading and body join with a
-        # single space. html path: blocks join with "\n\n".
+        # pdf path: all runs are on one page; layout lines are flattened by
+        # the per-page normalization chain, so heading and paragraphs join
+        # with single spaces. html path: blocks join with "\n\n".
         expected = (
             F.when(is_error, F.lit(None).cast("string"))
-            .when(is_pdf, F.concat(head_norm, F.lit(" "), body_norm))
-            .otherwise(F.concat(head_norm, F.lit("\n\n"), body_norm))
+            .when(is_pdf, F.concat_ws(" ", head_norm, *para_norms))
+            .otherwise(F.concat_ws("\n\n", head_norm, *para_norms))
         )
         cols.append(expected.alias("expected_text"))
     return d.select(*cols)

@@ -4,11 +4,20 @@ Reference lifecycle (ocr_service.process_pages_async,
 /root/reference/app/services/ocr_service.py:324-535): dedup -> group by file
 -> bounded per-page OCR fan-out -> map results back -> aggregate metrics.
 
-Spark plan: scan -> size-cap filter (P5) -> keep-first dedup (D2, earliest
-crawl wins) -> repartition by url (A3 locality) -> mapInArrow kernel (X1/X2)
--> sha-256 exact content dedup (D4) -> SimHash near-dup marking -> observe
+Spark plan: scan -> size-cap filter (P5) -> mapInArrow kernel (X1/X2) on
+the scan partitions -> keep-first url dedup (D2, earliest crawl wins) ->
+sha-256 exact content dedup (D4) -> SimHash near-dup marking -> observe
 counters (A1/D3). Everything except the single Arrow kernel stage is
 whole-stage-codegen built-ins.
+
+Order rationale (vs the reference's dedup-before-work): the kernel runs
+BEFORE the url-dedup shuffle, so the multi-MB html payloads never cross an
+exchange — only the ~10x-smaller extracted rows shuffle. At a 10^12-row
+table the payload shuffle would dominate the job; re-extracting the ~10%
+duplicate-url rows is far cheaper. Results are identical because the
+kernel is deterministic and keep-first picks the same (url, min warc_ts)
+winner either way. Set ``dedup_before_extract=True`` to restore the
+reference's order (useful when dup rates are extreme).
 """
 
 from __future__ import annotations
@@ -27,7 +36,8 @@ def run_extraction_pipeline(
     pages: DataFrame,
     max_bytes: int = MAX_PAYLOAD_BYTES,
     near_dups: bool = True,
-    repartition: bool = True,
+    repartition: bool = False,
+    dedup_before_extract: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) -> extraction results.
 
@@ -38,10 +48,15 @@ def run_extraction_pipeline(
     capped = filter_oversized(pages, "html", max_bytes)
     # Keep-first by url: earliest crawl wins, deterministic at any
     # parallelism (D2 — NOT dropDuplicates).
-    unique = keep_first(capped, ["url"], ["warc_ts"])
-    if repartition:
-        unique = repartition_by_key(unique, "url")
-    extracted = extract_pages(unique, "html", ("url", "warc_ts", "lang"))
+    if dedup_before_extract:
+        unique = keep_first(capped, ["url"], ["warc_ts"])
+        if repartition:
+            unique = repartition_by_key(unique, "url")
+        extracted = extract_pages(unique, "html", ("url", "warc_ts", "lang"))
+    else:
+        # Kernel directly on the scan partitions: html bytes never shuffle.
+        extracted = extract_pages(capped, "html", ("url", "warc_ts", "lang"))
+        extracted = keep_first(extracted, ["url"], ["warc_ts"])
     extracted = extracted.withColumn(
         "status",
         F.when(F.col("status") == "error", F.lit("error")).otherwise(
@@ -50,6 +65,15 @@ def run_extraction_pipeline(
     )
     deduped = mark_exact_content_dups(extracted, "text", ["warc_ts", "url"])
     if near_dups:
+        # The near-dup branch re-consumes `deduped` (diamond DAG): without
+        # persistence Spark recomputes the whole kernel lineage for each
+        # consumer. Persist the extracted table once — the at-scale analog
+        # is committing extraction output to the results table and marking
+        # dups against the committed snapshot (io.snapshot), never
+        # re-extracting.
+        from pyspark import StorageLevel
+
+        deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
         # Near-dup candidates only among exact-dedup survivors with real text.
         survivors = deduped.filter(
             (~F.col("is_exact_dup")) & (F.col("status") == "found")

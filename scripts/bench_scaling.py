@@ -1,0 +1,137 @@
+"""Two-parallelism scaling evidence for the north_rule.
+
+The BASELINE.json metric requires throughput-scaling efficiency >= 0.8
+between N and 4N executors. No real cluster exists in the sandbox, so the
+sanctioned evidence is the same job at two local parallelism levels on
+identical input:
+
+    python scripts/bench_scaling.py            # local[8] vs local[32]
+
+Each level runs in a FRESH subprocess/JVM (a SparkSession's master cannot
+change in-process). The job is the flagship extraction pipeline over a
+deterministically replicated pages table (compute-dominated; see
+ocr_parallel_spark.pages.synthesize_pages(copies=...)). Prints one JSON
+line: pages/sec at both levels + efficiency = (pps_4N / pps_N) / 4.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_SCALE_N (default 8), SPARK_GRAFT_SCALE_COPIES (default 8),
+SPARK_GRAFT_SCALE_BODY_REPEAT (default 24 -> ~7.5 KB pages, CC-realistic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def worker(cpus: int, sf_dir: str, copies: int, body_repeat: int) -> None:
+    from bench import build_spark
+    from ocr_parallel_spark.pages import synthesize_pages
+    from ocr_parallel_spark.pipeline import run_extraction_pipeline
+
+    spark = build_spark(cpus, app=f"scaling-{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = synthesize_pages(
+        spark, sf_dir, copies=copies, body_repeat=body_repeat
+    ).drop("doc_id")
+    # Materialize the input once so synthesis cost (broadcast self-join)
+    # is excluded and both levels read identical bytes.
+    inp = (
+        f"/tmp/scaling_pages_{os.path.basename(sf_dir)}_{copies}_{body_repeat}"
+        ".parquet"
+    )
+    if not os.path.exists(inp):
+        # Many files: a real CC-scale table has thousands of splits; a
+        # single-row-group file would cap scan parallelism at any level.
+        pages.repartition(256).write.mode("overwrite").parquet(inp)
+    pages = spark.read.parquet(inp)
+    n = pages.count()
+    # Steady-state measurement: one untimed warm-up pass of the same job
+    # first. The first run in a fresh JVM pays JIT compilation of the whole
+    # scan/shuffle/Arrow path (~20 s) which would otherwise be charged as a
+    # constant to both levels and mask the true scaling ratio.
+    run_extraction_pipeline(pages).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    # Steady-state: best of 3 timed reps (JIT compilation lands at its own
+    # pace per JVM; min is the stable throughput estimate). The pipeline
+    # persists its extraction output, so the cache is dropped between reps
+    # (Spark's cache manager matches identical plans).
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_extraction_pipeline(pages).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        walls.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    wall = min(walls)
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "pages": n,
+                "wall_sec": round(wall, 3),
+                "walls": [round(w, 2) for w in walls],
+                "pages_per_sec": round(n / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        copies = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "8"))
+        body_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_BODY_REPEAT", "24"))
+        worker(cpus, sf_dir, copies, body_repeat)
+        return
+
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    levels = [n, 4 * n]
+    results = {}
+    for cpus in levels:
+        # Pin the whole subprocess (JVM + Python workers) to `cpus` cores:
+        # local[N] alone only caps task slots — the JVM's sidecar work
+        # (parquet decode, Arrow encode, shuffle) would still spread over
+        # all 32 cores, overstating the small-"cluster" throughput. The
+        # taskset cap is the sandbox analog of an N-core cluster.
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, __file__, "--worker", "--cpus", str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=str(REPO),
+            check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.strip()][-1]
+        results[cpus] = json.loads(line)
+
+    pps_n = results[levels[0]]["pages_per_sec"]
+    pps_4n = results[levels[1]]["pages_per_sec"]
+    eff = round((pps_4n / pps_n) / (levels[1] / levels[0]), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_Nx4N",
+                "value": eff,
+                "unit": "ratio",
+                "levels": results,
+                "target": 0.8,
+                "pass": eff >= 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
