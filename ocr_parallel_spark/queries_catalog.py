@@ -322,6 +322,136 @@ def q_extraction_pipeline(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (training toolkit): all pairs with
+    cosine >= 0.9. Exact cosine is a pure column expression; at scale the
+    pair space is pruned by the LSH bucket join (see ann_lsh_topk)."""
+    from ocr_parallel_spark.functions.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+
+
+def q_full_process(spark, sf_dir):
+    """SURVEY §3.3 composite: chunk (W1) -> localize (J2) -> chunk->pages
+    (W2) -> ordered concat (W3) per matched target. One broadcast join +
+    two keyed shuffles; the reference's whole full-process endpoint as a
+    single logical plan."""
+    docs = _docs(spark, sf_dir)
+    chunks = overlap_chunks(docs, "source", "doc_id", "norm", TCHUNK, TOVERLAP)
+    targets = spark.createDataFrame(
+        TARGETS, "target_id int, tokens array<string>"
+    )
+    loc = localize(targets, chunks, "tokens", "chunk_text", 0.6)
+    pages = loc.select(
+        "target_id",
+        "source",
+        F.explode(
+            F.sequence(F.col("start_doc_id"), F.col("end_doc_id"))
+        ).alias("doc_id"),
+    ).distinct()
+    joined = pages.join(docs.select("doc_id", "norm"), "doc_id")
+    return joined.groupBy("target_id", "source").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "norm"))),
+                lambda s: s["norm"],
+            ),
+        ).alias("refined_text"),
+        F.count(F.lit(1)).alias("n_pages"),
+    )
+
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal metadata decode over binary payloads (mapInPandas batch
+    plumbing; size-derived stand-in arithmetic pinned by the SQL oracle)."""
+    from ocr_parallel_spark.multimodal import decode_media_meta, synthesize_media
+
+    media = synthesize_media(spark, sf_dir)
+    return decode_media_meta(media)
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame-sampling plan: 1 row -> N frame rows, pure expressions."""
+    from ocr_parallel_spark.multimodal import frame_sample_plan, synthesize_media
+
+    return frame_sample_plan(synthesize_media(spark, sf_dir))
+
+
+def q_audio_chunks(spark, sf_dir):
+    """Overlapping audio chunk plan over decoded durations (W1 over time)."""
+    from ocr_parallel_spark.multimodal import (
+        audio_chunk_plan,
+        decode_media_meta,
+        synthesize_media,
+    )
+
+    meta = decode_media_meta(synthesize_media(spark, sf_dir))
+    return audio_chunk_plan(meta)
+
+
+def q_media_features(spark, sf_dir):
+    """Byte-histogram feature vectors (embedding-extractor batch shape).
+    Python-side numpy -> rows-only check."""
+    from ocr_parallel_spark.multimodal import (
+        byte_histogram_features,
+        synthesize_media,
+    )
+
+    return byte_histogram_features(synthesize_media(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN via sign-LSH bucketing (scale path of cosine_topk).
+    Approximate by construction -> rows-only check; recall vs brute force
+    is pinned in tests/test_operators.py."""
+    from ocr_parallel_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, k=5, dim=64, n_planes=4)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup marking over documents (D4 near half; the hash is
+    Python-side -> rows-only check)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ocr_parallel_spark.kernel.simhash import simhash64
+    from ocr_parallel_spark.operators.neardup import mark_simhash_near_dups
+
+    d = _docs(spark, sf_dir).select("doc_id", "norm")
+
+    def hashes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vals = [
+                (v - (1 << 64) if (v := simhash64(t or "")) >= (1 << 63) else v)
+                for t in pdf["norm"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": vals})
+
+    hashed = d.mapInPandas(hashes, schema="doc_id bigint, simhash bigint")
+    return mark_simhash_near_dups(hashed, "simhash", "doc_id").select(
+        "doc_id", "near_rep", "is_near_dup"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_text": q_normalize_text,
@@ -347,6 +477,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "full_process": q_full_process,
+        "media_meta": q_media_meta,
+        "video_frames": q_video_frames,
+        "audio_chunks": q_audio_chunks,
+        "media_features": q_media_features,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "simhash_near_dups": q_simhash_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "extraction_pipeline": q_extraction_pipeline,
     }
@@ -584,6 +722,89 @@ def oracle_sql() -> dict[str, str]:
                 (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rank
               FROM s
             ) WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.9
+        """,
+        "full_process": _CHUNKS_CTE + f""",
+            {_TARGETS_SQL},
+            loc AS (
+              SELECT t.target_id, c.source, c.start_doc_id, c.end_doc_id
+              FROM chunks c CROSS JOIN targets t
+              WHERE CAST(list_sum(list_transform(t.tokens, tok ->
+                CASE WHEN regexp_matches(tok, '^\\d+$')
+                     THEN CASE WHEN regexp_matches(upper(c.chunk_text),
+                            '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                     ELSE CASE WHEN contains(upper(c.chunk_text), tok)
+                          THEN 1 ELSE 0 END
+                END)) AS DOUBLE) / len(t.tokens) >= 0.6
+            ),
+            pg AS (
+              SELECT DISTINCT target_id, source,
+                     unnest(generate_series(start_doc_id, end_doc_id)) AS doc_id
+              FROM loc
+            ),
+            pj AS (
+              SELECT p.target_id, p.source, p.doc_id, d.norm
+              FROM pg p JOIN docs d ON d.doc_id = p.doc_id
+            )
+            SELECT target_id, source,
+                   string_agg(norm, e'\n\n' ORDER BY doc_id) AS refined_text,
+                   count(*) AS n_pages
+            FROM pj GROUP BY target_id, source
+        """,
+        "media_meta": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     octet_length(encode(text)) AS n_bytes
+              FROM documents)
+            SELECT media_id, kind, n_bytes,
+                   CAST(CASE WHEN kind = 'image' THEN 64 + n_bytes % 577
+                        ELSE 0 END AS INT) AS width,
+                   CAST(CASE WHEN kind = 'image' THEN 48 + n_bytes % 331
+                        ELSE 0 END AS INT) AS height,
+                   round(CASE WHEN kind = 'audio' THEN n_bytes / 5000.0
+                         WHEN kind = 'video' THEN (n_bytes // 1024) / 24.0
+                         ELSE 0.0 END, 4) AS duration_s
+            FROM m
+        """,
+        "video_frames": """
+            WITH m AS (
+              SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+              FROM documents WHERE doc_id % 3 = 2)
+            SELECT media_id, frame_idx, frame_idx * 1024 AS byte_offset
+            FROM (
+              SELECT media_id,
+                     unnest(generate_series(0, greatest(n // 1024 - 1, 0), 24))
+                       AS frame_idx
+              FROM m)
+        """,
+        "audio_chunks": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     round(octet_length(encode(text)) / 5000.0, 4) AS duration_s
+              FROM documents WHERE doc_id % 3 = 1),
+            a AS (
+              SELECT media_id, duration_s,
+                     CAST(ceil(greatest(duration_s - 1.0, 0.0) / 4.0) AS BIGINT)
+                       AS n_chunks
+              FROM m WHERE duration_s > 0)
+            SELECT media_id, chunk_idx,
+                   CAST(round(chunk_idx * 4.0, 4) AS DOUBLE) AS start_s,
+                   CAST(round(least(chunk_idx * 4.0 + 5.0, duration_s), 4)
+                        AS DOUBLE) AS end_s
+            FROM (
+              SELECT media_id, duration_s,
+                     unnest(generate_series(0, greatest(n_chunks - 1, 0)))
+                       AS chunk_idx
+              FROM a)
         """,
     }
 

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Package + spark-submit entrypoint (north_star packaging requirement).
+
+Builds the ``--py-files`` zip of ocr_parallel_spark and either prints the
+spark-submit command (default) or execs it (``--run``). The job script is
+``scripts/job_extract.py`` — the production batch: read pages parquet/
+Iceberg table -> extraction pipeline -> snapshot-committed output with
+lineage, resumable.
+
+    python scripts/submit.py --input /data/pages --output /data/results \
+        [--master spark://...] [--run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import subprocess
+import sys
+import zipfile
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def build_zip(dest: pathlib.Path) -> pathlib.Path:
+    """Zip the package (source only) for --py-files shipping."""
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg = REPO / "ocr_parallel_spark"
+        for py in sorted(pkg.rglob("*.py")):
+            zf.write(py, py.relative_to(REPO))
+    return dest
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="pages table/parquet dir")
+    ap.add_argument("--output", required=True, help="snapshot table root")
+    ap.add_argument("--master", default="local[*]")
+    ap.add_argument("--zip", default="/tmp/ocr_parallel_spark.zip")
+    ap.add_argument("--executor-memory", default="4g")
+    ap.add_argument("--run", action="store_true", help="exec spark-submit")
+    args = ap.parse_args()
+
+    zip_path = build_zip(pathlib.Path(args.zip))
+    cmd = [
+        "spark-submit",
+        "--master", args.master,
+        "--py-files", str(zip_path),
+        "--executor-memory", args.executor_memory,
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
+        "--conf", "spark.sql.files.maxPartitionBytes=16m",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=2048",
+        str(REPO / "scripts" / "job_extract.py"),
+        "--input", args.input,
+        "--output", args.output,
+    ]
+    print(" ".join(cmd))
+    if args.run:
+        env = dict(os.environ)
+        sys.exit(subprocess.run(cmd, env=env).returncode)
+
+
+if __name__ == "__main__":
+    main()

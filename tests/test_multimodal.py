@@ -1,0 +1,122 @@
+"""Multimodal plumbing + similarity-search tests (training toolkit).
+
+The decode arithmetic is a deterministic stand-in (no codecs in the
+container) — these tests pin the REAL parts: Arrow batch shapes, schemas,
+1->N plans, feature normalization, and ANN recall against brute force.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.multimodal import (
+    audio_chunk_plan,
+    byte_histogram_features,
+    decode_image_pixels,
+    decode_media_meta,
+    frame_sample_plan,
+    synthesize_media,
+)
+
+
+def test_media_meta_schema_and_values(spark, sf_dir):
+    media = synthesize_media(spark, sf_dir)
+    meta = decode_media_meta(media)
+    assert [f.name for f in meta.schema.fields] == [
+        "media_id", "kind", "n_bytes", "width", "height", "duration_s",
+    ]
+    rows = {r.media_id: r for r in meta.collect()}
+    src = {r.media_id: r for r in media.select("media_id", "kind", F.octet_length("payload").alias("n")).collect()}
+    assert rows.keys() == src.keys()
+    for mid, r in rows.items():
+        n = src[mid].n
+        assert r.n_bytes == n
+        if r.kind == "image":
+            assert r.width == 64 + n % 577 and r.height == 48 + n % 331
+            assert r.duration_s == 0.0
+        else:
+            assert r.width == 0 and r.height == 0
+            assert r.duration_s > 0 or n < 1024
+
+
+def test_decode_pixels_is_an_explicit_gap():
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(b"\x89PNG...")
+
+
+def test_byte_histogram_features_normalized(spark, sf_dir):
+    feats = byte_histogram_features(synthesize_media(spark, sf_dir)).collect()
+    assert len(feats) > 0
+    for r in feats:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-4  # bins rounded to 6 dp
+
+
+def test_frame_sample_plan_counts(spark, sf_dir):
+    media = synthesize_media(spark, sf_dir)
+    frames = frame_sample_plan(media, every_n=24)
+    got = (
+        frames.groupBy("media_id").count().collect()
+    )
+    src = {
+        r.media_id: r.n
+        for r in media.filter(F.col("kind") == "video")
+        .select("media_id", F.octet_length("payload").alias("n"))
+        .collect()
+    }
+    assert {r.media_id for r in got} == set(src)
+    for r in got:
+        n_frames = max(src[r.media_id] // 1024 - 1, 0)
+        assert r["count"] == n_frames // 24 + 1
+    offs = frames.filter(F.col("frame_idx") > 0).select(
+        (F.col("byte_offset") == F.col("frame_idx") * 1024).alias("ok")
+    )
+    assert all(x.ok for x in offs.collect())
+
+
+def test_audio_chunks_cover_duration(spark, sf_dir):
+    meta = decode_media_meta(synthesize_media(spark, sf_dir))
+    chunks = audio_chunk_plan(meta, chunk_s=5.0, overlap_s=1.0)
+    per = chunks.groupBy("media_id").agg(
+        F.max("end_s").alias("max_end"), F.count(F.lit(1)).alias("n")
+    )
+    j = per.join(meta.select("media_id", "duration_s"), "media_id")
+    for r in j.collect():
+        assert r.max_end == r.duration_s  # last chunk reaches the end
+    # chunks overlap by 1s: consecutive starts differ by step=4
+    two = chunks.filter(F.col("chunk_idx") == 1).select("start_s").collect()
+    assert all(abs(r.start_s - 4.0) < 1e-9 for r in two)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    from ocr_parallel_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, dim=64, n_planes=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # rank-1 self-match always survives (query is in its own bucket)
+    self_hits = {(r.query_id, r.vec_id) for r in approx.filter("rank = 1").collect()}
+    assert all(q == v for q, v in self_hits)
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_simhash_near_dups_marks_drifted_copy(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_simhash_near_dups
+
+    marked = q_simhash_near_dups(spark, sf_dir)
+    rows = marked.collect()
+    assert len(rows) > 0
+    # representative invariants: near_rep <= doc_id for marked dups;
+    # non-dups either unmarked (null rep) or are their own representative
+    for r in rows:
+        if r.is_near_dup:
+            assert r.near_rep is not None and r.near_rep < r.doc_id
+        elif r.near_rep is not None:
+            assert r.near_rep == r.doc_id
