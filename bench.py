@@ -38,6 +38,12 @@ HEADLINE = [
     "ngram_jaccard",
     "minhash_lsh_pairs",
     "cosine_topk",
+    "full_process",
+    "embedding_neardup",
+    "ann_lsh_topk",
+    "salted_rollup",
+    "media_meta",
+    "simhash_near_dups",
 ]
 
 

@@ -426,6 +426,48 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries_df, k=5, dim=64, n_planes=4)
 
 
+def q_salted_rollup(spark, sf_dir):
+    """Skew-safe aggregation (north_rule salting): two-stage rollup — partial
+    agg on (key, salt-of-fine-key), final agg on key. Result provably equals
+    the plain GROUP BY (the oracle) while a pathological hot key spreads
+    over 16 reducers at stage 1."""
+    from ocr_parallel_spark.operators.extraction import salted_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    salted = docs.withColumn("_sk", salted_key("lang", "doc_id", 16))
+    partial = salted.groupBy("lang", "_sk").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("n_chars").alias("_chars")
+    )
+    return partial.groupBy("lang").agg(
+        F.sum("_n").alias("n_docs"), F.sum("_chars").alias("total_chars")
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """F13 JSON extraction (full_extractor_service.py:188-212): find the
+    JSON array in a text blob, parse, pluck fields. Built-ins only:
+    regexp_extract + from_json + explode."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blob = F.concat(
+        F.lit('noise [{"encontrado": '),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(', "inmueble": "D'),
+        F.col("doc_id").cast("string"),
+        F.lit('"}] trailing noise'),
+    )
+    arr = F.from_json(
+        F.regexp_extract(blob, r"(\[.*\])", 1),
+        "array<struct<encontrado:boolean,inmueble:string>>",
+    )
+    return docs.select(
+        "doc_id", F.explode(arr).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.encontrado").alias("encontrado"),
+        F.col("e.inmueble").alias("inmueble"),
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup marking over documents (D4 near half; the hash is
     Python-side -> rows-only check)."""
@@ -483,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
         "media_features": q_media_features,
+        "salted_rollup": q_salted_rollup,
+        "json_extract": q_json_extract,
         "ann_lsh_topk": q_ann_lsh_topk,
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -757,6 +801,25 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(norm, e'\n\n' ORDER BY doc_id) AS refined_text,
                    count(*) AS n_pages
             FROM pj GROUP BY target_id, source
+        """,
+        "salted_rollup": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "json_extract": """
+            WITH b AS (
+              SELECT doc_id,
+                     'noise [{"encontrado": '
+                     || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+                     || ', "inmueble": "D' || doc_id || '"}] trailing noise'
+                       AS blob
+              FROM documents)
+            SELECT doc_id,
+                   CAST(regexp_extract(blob, '(\\[.*\\])', 1)::JSON
+                        ->0->>'encontrado' AS BOOLEAN) AS encontrado,
+                   regexp_extract(blob, '(\\[.*\\])', 1)::JSON
+                        ->0->>'inmueble' AS inmueble
+            FROM b
         """,
         "media_meta": """
             WITH m AS (

@@ -1,0 +1,85 @@
+"""Physical-plan shape regression tests — the 100 TB guarantees.
+
+Correctness tests say the answers are right; these say the PLANS stay
+right: filters/projections reach the parquet scan, the tiny-dimension
+theta join broadcasts, keep-first dedup gets the map-side rank-limit
+(shuffle shrinks before the exchange), and exactly one Python boundary
+exists in the extraction pipeline. A regression here is a 100x cost bug
+at scale that no row-count test would catch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.select("doc_id").filter(F.col("doc_id") < 100)
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in p
+    assert "ReadSchema: struct<doc_id:bigint>" in p  # column pruning
+
+
+def test_pipeline_has_exactly_one_python_boundary(spark, sf_dir):
+    from ocr_parallel_spark.pages import synthesize_pages
+    from ocr_parallel_spark.pipeline import run_extraction_pipeline
+
+    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+    out = run_extraction_pipeline(pages)
+    p = plan_of(out)
+    # the persisted subtree is PRINTED at each reuse site; count distinct
+    # physical node ids, not textual occurrences
+    import re
+
+    arrow_nodes = set(re.findall(r"\((\d+)\) MapInArrow", p))
+    assert len(arrow_nodes) == 1, "extraction kernel must be ONE Arrow stage"
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, (
+        "no row-at-a-time / extra Python UDFs on the hot path"
+    )
+
+
+def test_keep_first_gets_mapside_rank_limit(spark, sf_dir):
+    from ocr_parallel_spark.operators.dedup import keep_first
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = keep_first(docs, ["source"], ["doc_id"])
+    p = plan_of(out)
+    # Spark's WindowGroupLimit appears on the map side (before Exchange):
+    # duplicate rows are cut before they shuffle.
+    pre_exchange = p.split("Exchange")[0]
+    assert "WindowGroupLimit" in pre_exchange
+
+
+def test_theta_join_broadcasts_target_side(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_theta_join_localization
+
+    p = plan_of(q_theta_join_localization(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p  # never shuffles the big side for J2
+
+
+def test_cosine_topk_broadcasts_query_side(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_cosine_topk
+
+    p = plan_of(q_cosine_topk(spark, sf_dir), "simple")
+    assert "BroadcastExchange" in p
+
+
+def test_salted_rollup_two_stage(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_salted_rollup
+
+    p = plan_of(q_salted_rollup(spark, sf_dir), "simple")
+    # two-stage: partial agg on the salted key, final agg on the bare key
+    # -> at least two HashAggregate pairs in the plan
+    assert p.count("HashAggregate") >= 4
