@@ -12,8 +12,10 @@ per page (/root/reference/app/utils/text_cleaning.py:6-37) and joins pages
 with ``"\\n\\n"`` in page order
 (/root/reference/app/services/full_ocr_service.py:203).
 
-A genuine PDF byte stream (``%PDF`` prefix) raises ``NotImplementedError``
-so the gap is explicit, as required for the sandbox.
+A genuine PDF byte stream (``%PDF`` prefix) goes through the minimal
+pure-Python parser in ``pdf_parse.py`` (Flate + standard text operators);
+documents beyond its scope (CID fonts, encryption, object streams) raise
+``ValueError`` and become error-as-data rows upstream (X7).
 """
 
 from __future__ import annotations
@@ -63,13 +65,16 @@ def extract_pdf(payload: bytes) -> dict:
     unit on this path).
     """
     if payload.startswith(b"%PDF"):
-        raise NotImplementedError(
-            "real PDF decoding requires a PDF library not present in this "
-            "container; only %FAKEPDF layout payloads are supported"
-        )
-    body = payload[len(PDF_MAGIC):]
-    doc = json.loads(body.decode("utf-8"))
-    runs = doc["runs"]
+        # Real PDF byte stream: minimal pure-Python parser (Flate + standard
+        # text operators; see kernel/pdf_parse.py for scope). Unsupported
+        # documents raise ValueError -> error-as-data row upstream (X7).
+        from ocr_parallel_spark.kernel.pdf_parse import extract_pdf_runs
+
+        runs = extract_pdf_runs(payload)
+    else:
+        body = payload[len(PDF_MAGIC):]
+        doc = json.loads(body.decode("utf-8"))
+        runs = doc["runs"]
     text = reconstruct_layout(runs)
     n_pages = len({int(r["page"]) for r in runs})
     return {
