@@ -124,6 +124,31 @@ def resume_filter(
     return source.join(done, key_col, "left_anti")
 
 
+def partition_counters(df: DataFrame) -> list[dict]:
+    """Per-partition lineage counters (north_star: 'per-partition lineage +
+    counters persisted'): one row per physical partition with rows seen,
+    pages extracted, error rows, chars out — the distributed analog of the
+    reference's per-batch metrics (A1/A5). Cheap: one map-side agg over an
+    already-persisted result."""
+    cols = set(df.columns)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if "status" in cols:
+        aggs.append(
+            F.count(F.when(F.col("status") == "found", 1)).alias("pages_extracted")
+        )
+        aggs.append(F.count(F.when(F.col("status") == "error", 1)).alias("errors"))
+    if "is_exact_dup" in cols:
+        aggs.append(F.count(F.when(F.col("is_exact_dup"), 1)).alias("exact_dups"))
+    if "n_chars_out" in cols:
+        aggs.append(F.sum("n_chars_out").alias("chars_out"))
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(*aggs)
+        .collect()
+    )
+    return [r.asDict() for r in sorted(rows, key=lambda r: r.partition_id)]
+
+
 def run_resumable(
     source: DataFrame,
     table: SnapshotTable,
@@ -134,19 +159,26 @@ def run_resumable(
 ) -> dict:
     """One resumable batch step: filter out committed keys, apply the
     pipeline ``transform``, append + commit. Returns the snapshot dict
-    (with ``rows_written`` in lineage)."""
+    (with ``rows_written`` + per-partition counters in lineage)."""
+    from pyspark import StorageLevel
+
     todo = resume_filter(source, table, spark, key_col)
-    result = transform(todo)
+    result = transform(todo).persist(StorageLevel.MEMORY_AND_DISK)
     n = result.count()
     info = dict(lineage or {})
     info["rows_written"] = n
+    if n:
+        info["partitions"] = partition_counters(result)
     if n == 0:
         # Nothing new to process: leave the table at its current snapshot
         # and report a no-op instead of committing an empty append.
+        result.unpersist()
         prior = table.current_snapshot()
         return {
             "ordinal": prior["ordinal"] if prior else -1,
             "noop": True,
             "lineage": info,
         }
-    return table.append(result, lineage=info)
+    snap = table.append(result, lineage=info)
+    result.unpersist()
+    return snap

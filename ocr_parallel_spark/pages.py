@@ -99,6 +99,7 @@ def synthesize_pages(
     is_near_dup = (F.col("doc_id") % 25 == 21) & F.col("prev_text").isNotNull()
     is_error = F.col("doc_id") % 50 == 7
     is_pdf = (F.col("doc_id") % 40 == 11) & ~is_error
+    is_real_pdf = (F.col("doc_id") % 40 == 31) & ~is_error
 
     # Which doc's content this row carries (url dups keep their own text —
     # they duplicate the *key*; content dups duplicate the *text*).
@@ -161,9 +162,31 @@ def synthesize_pages(
         F.lit('"}]}'),
     )
 
+    # Real %PDF flavor: an UNCOMPRESSED pdf is plain text, so a structurally
+    # valid document (catalog/pages/page/contents objects, BT..ET text
+    # operators) is expressible as pure concat — the kernel's pdf_parse path
+    # gets exercised by synthesis with zero Python. Same reading order as
+    # the %FAKEPDF flavor: heading on the top line, paragraphs below.
+    real_pdf_text_ops = [F.lit("BT 72 760 Td ("), heading, F.lit(") Tj ")]
+    for k, p in enumerate(paras):
+        real_pdf_text_ops += [F.lit("0 -12 Td ("), p, F.lit(") Tj ")]
+    real_pdf_stream = F.concat(*real_pdf_text_ops, F.lit("ET"))
+    real_pdf_payload = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            "4 0 obj\n<< >>\nstream\n"
+        ),
+        real_pdf_stream,
+        F.lit("\nendstream\nendobj\n%%EOF\n"),
+    )
+
     html = (
         F.when(is_error, F.unhex(F.lit("FFFE80009F")))  # invalid utf-8 + NUL
         .when(is_pdf, pdf_payload.cast("binary"))
+        .when(is_real_pdf, real_pdf_payload.cast("binary"))
         .otherwise(html_str.cast("binary"))
     )
 
@@ -187,7 +210,7 @@ def synthesize_pages(
         # with single spaces. html path: blocks join with "\n\n".
         expected = (
             F.when(is_error, F.lit(None).cast("string"))
-            .when(is_pdf, F.concat_ws(" ", head_norm, *para_norms))
+            .when(is_pdf | is_real_pdf, F.concat_ws(" ", head_norm, *para_norms))
             .otherwise(F.concat_ws("\n\n", head_norm, *para_norms))
         )
         cols.append(expected.alias("expected_text"))

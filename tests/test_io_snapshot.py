@@ -67,3 +67,24 @@ def test_partial_write_invisible(spark, tmp_path):
     # simulate a crashed run: data written, no manifest commit
     _mkdf(spark, range(100, 105)).write.parquet(str(t.root / "data/run-999999"))
     assert t.read(spark).count() == 3
+
+
+def test_partition_lineage_counters(spark, tmp_path):
+    """Per-partition lineage: each snapshot records one counter row per
+    physical partition; totals reconcile with rows_written."""
+    from ocr_parallel_spark.pages import synthesize_pages
+    from ocr_parallel_spark.pipeline import run_extraction_pipeline
+
+    t = SnapshotTable(str(tmp_path / "t5"))
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001").drop("doc_id")
+    snap = run_resumable(
+        pages, t, spark,
+        lambda df: run_extraction_pipeline(df, near_dups=False), "url",
+    )
+    parts = snap["lineage"]["partitions"]
+    assert len(parts) >= 1
+    assert sum(p["rows"] for p in parts) == snap["lineage"]["rows_written"]
+    assert sum(p["errors"] for p in parts) > 0  # synthesis plants error rows
+    assert sum(p["pages_extracted"] for p in parts) > 0
+    for p in parts:
+        assert set(p) >= {"partition_id", "rows", "pages_extracted", "errors"}
