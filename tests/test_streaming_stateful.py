@@ -1,0 +1,97 @@
+"""Watermarked windows + applyInPandasWithState custom stateful operator."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.streaming.stateful import (
+    running_user_counts,
+    windowed_lang_counts,
+)
+
+TS = datetime.datetime  # noqa: N816
+
+
+def _write_pages(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    df.write.mode("append").parquet(path)
+
+
+def test_watermark_closes_windows_append_mode(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    h = bytearray(b"<p>x</p>")
+    # hour 10 has 3 pages (2 en, 1 de); a 12:00 row pushes the watermark
+    # past 11:00 so the 10:00 window closes and emits.
+    _write_pages(spark, inp, [
+        ("u1", TS(2026, 1, 1, 10, 5), h, "", "en"),
+        ("u2", TS(2026, 1, 1, 10, 25), h, "", "en"),
+        ("u3", TS(2026, 1, 1, 10, 45), h, "", "de"),
+        ("u4", TS(2026, 1, 1, 12, 0), h, "", "en"),
+    ])
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).parquet(inp)
+    )
+    q = (
+        windowed_lang_counts(stream, "1 hour", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start.hour, r.lang): r.n_pages
+        for r in spark.read.parquet(out).collect()
+    }
+    # only the closed hour-10 window emitted; hour-12 stays open in state
+    assert got == {(10, "en"): 2, (10, "de"): 1}
+
+
+def test_stateful_running_counts_survive_restart(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "ein"), str(tmp_path / "eout"), str(tmp_path / "eck")
+
+    def write_events(rows):
+        spark.createDataFrame(rows, "user_id bigint, event_id bigint").write.mode(
+            "append"
+        ).parquet(inp)
+
+    def run():
+        stream = spark.readStream.schema("user_id bigint, event_id bigint").parquet(inp)
+        q = (
+            running_user_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_events([(1, 10), (1, 11), (2, 20)])
+    run()
+    write_events([(1, 12), (3, 30)])
+    run()  # state recovered from checkpoint: user 1 continues at 2
+
+    res = spark.read.parquet(out)
+    latest = {
+        r.user_id: (r.total_events, r.batches)
+        for r in res.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("batches"))
+            ),
+        ).filter("rn = 1").collect()
+    }
+    assert latest[1] == (3, 2)  # 2 events in run 1 + 1 in run 2
+    assert latest[2] == (1, 1)
+    assert latest[3] == (1, 1)
