@@ -1,7 +1,7 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit. Every ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
+toolkit (37 queries; 27 with exact DuckDB value-hash oracles). Every ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
 driver's order-insensitive value-hash matches. Non-SQL-expressible ops
