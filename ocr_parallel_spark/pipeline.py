@@ -31,6 +31,8 @@ from ocr_parallel_spark.operators.dedup import keep_first, mark_exact_content_du
 from ocr_parallel_spark.operators.extraction import extract_pages, repartition_by_key
 from ocr_parallel_spark.operators.neardup import mark_simhash_near_dups
 
+_OBS_SEQ = 0
+
 
 def run_extraction_pipeline(
     pages: DataFrame,
@@ -85,8 +87,13 @@ def run_extraction_pipeline(
             deduped.join(marked, "url", "left")
             .withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False)))
         )
+    # Unique-but-deterministic metric name: Spark rejects two CollectMetrics
+    # nodes with the same name and different results in one query (e.g. a
+    # diff of two pipeline variants).
+    global _OBS_SEQ
+    _OBS_SEQ += 1
     return deduped.observe(
-        "pipeline",
+        f"pipeline_{_OBS_SEQ}",
         F.count(F.lit(1)).alias("rows_out"),
         F.count(F.when(F.col("status") == "found", 1)).alias("pages_extracted"),
         F.count(F.when(F.col("status") == "error", 1)).alias("error_rows"),

@@ -1,0 +1,115 @@
+"""Property-based invariants (hypothesis) for the kernel + operators.
+
+These pin algebraic properties the example-based tests can't sweep:
+normalization idempotence, chunk coverage/overlap laws, fingerprint
+stability, and plan-order equivalence of the pipeline's two dedup orders.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_parallel_spark.kernel.normalize import clean_text
+from ocr_parallel_spark.kernel.simhash import (
+    hamming64,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+WORDS = st.lists(
+    st.text(alphabet="abcdefghijklmnop", min_size=1, max_size=8),
+    min_size=0,
+    max_size=120,
+).map(" ".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(TEXT)
+def test_clean_text_idempotent(s):
+    once = clean_text(s)
+    assert clean_text(once) == once
+
+
+@settings(max_examples=120, deadline=None)
+@given(TEXT)
+def test_clean_text_no_runs_or_edges(s):
+    out = clean_text(s)
+    assert "  " not in out
+    assert out == out.strip()
+    assert "\n" not in out and "\t" not in out
+
+
+@settings(max_examples=60, deadline=None)
+@given(WORDS)
+def test_simhash_deterministic_and_selfsame(s):
+    a, b = simhash64(s), simhash64(s)
+    assert a == b
+    assert hamming64(a, b) == 0
+    if not s.split():
+        assert a == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(WORDS)
+def test_shingle_hash_count_law(s):
+    toks = s.split()
+    h = shingle_hashes(s, k=3)
+    if not toks:
+        assert h.size == 0
+    elif len(toks) < 3:
+        assert h.size == 1
+    else:
+        assert h.size == len(toks) - 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(WORDS)
+def test_minhash_signature_shape_and_determinism(s):
+    sig = minhash_signature(s, n_perm=32)
+    assert len(sig) == 32
+    assert sig == minhash_signature(s, n_perm=32)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=60), st.integers(min_value=2, max_value=12))
+def test_chunk_count_law(n_rows, chunk_size):
+    """Pure-python mirror of the chunk-count formula used by
+    operators.chunking (1 chunk when n <= size, else ceil((n-size)/step)+1):
+    chunks cover every row and consecutive chunks overlap by `overlap`."""
+    import math
+
+    overlap = min(chunk_size - 1, 2)
+    step = chunk_size - overlap
+    n_chunks = 1 if n_rows <= chunk_size else math.ceil((n_rows - chunk_size) / step) + 1
+    covered = set()
+    for c in range(n_chunks):
+        covered |= set(range(c * step, min(c * step + chunk_size, n_rows)))
+    assert covered == set(range(n_rows))
+    if n_chunks > 1:
+        for c in range(n_chunks - 1):
+            a = set(range(c * step, min(c * step + chunk_size, n_rows)))
+            b = set(range((c + 1) * step, min((c + 1) * step + chunk_size, n_rows)))
+            assert len(a & b) >= 1  # consecutive chunks overlap
+
+
+def test_pipeline_dedup_order_equivalence(spark, sf_dir):
+    """extract-then-dedup (scale default) and dedup-then-extract (the
+    reference's order) produce identical result sets — the correctness
+    claim behind the shuffle-volume optimization in pipeline.py."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.pages import synthesize_pages
+    from ocr_parallel_spark.pipeline import run_extraction_pipeline
+
+    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+    cols = ["url", "status", "error_type", "text", "content_sha256", "is_exact_dup"]
+    a = run_extraction_pipeline(pages, dedup_before_extract=False).select(cols)
+    b = run_extraction_pipeline(pages, dedup_before_extract=True).select(cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
