@@ -107,10 +107,11 @@ class _BlockParser(HTMLParser):
 
     def __init__(self, source: str):
         super().__init__(convert_charrefs=True)
-        self._line_starts = [0]
-        for i, ch in enumerate(source):
-            if ch == "\n":
-                self._line_starts.append(i + 1)
+        import re as _re
+
+        self._line_starts = [0] + [
+            m.end() for m in _re.finditer("\n", source)
+        ]
         self.blocks: list[_Block] = []
         self._cur = _Block()
         self._drop_depth = 0
