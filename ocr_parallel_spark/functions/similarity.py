@@ -97,6 +97,87 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF cell assignment: nearest ``nprobe`` centroids per vector by
+    cosine, as pure column expressions over literal centroid arrays.
+    Centroids ship in the plan (tiny; at scale they come from a sampled
+    k-means run and are broadcast the same way)."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(v, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return df.withColumn("ivf_cells", F.transform(top, lambda s: s["cell"]))
+
+
+def deterministic_centroids(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic centroid seed: the first ``n_cells`` vectors by id.
+    (Production would run sampled k-means; determinism matters more than
+    cell balance for the correctness harness.)"""
+    rows = (
+        vectors.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    )
+    return [list(map(float, r[0])) for r in rows]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: vectors live in their nearest cell (nprobe=1),
+    queries probe their ``nprobe`` nearest cells; exact cosine ranks within
+    the probed cells. The candidate join is a cell-equi-join — cost follows
+    cell occupancy, the standard IVF trade."""
+    from pyspark.sql import Window
+
+    vc = ivf_assign(vectors.select(id_col, vec_col), centroids, vec_col, 1).select(
+        id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell")
+    )
+    qc = ivf_assign(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        centroids,
+        "_qvec",
+        nprobe,
+    ).select(query_id_col, "_qvec", F.explode("ivf_cells").alias("cell"))
+    cands = vc.join(F.broadcast(qc), "cell")
+    scored = cands.withColumn(
+        "cos_sim",
+        cosine(
+            F.col(vec_col).cast("array<double>"), F.col("_qvec").cast("array<double>")
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -486,6 +486,47 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate NN (second ANN scale path beside sign-LSH): cell
+    assignment via literal centroids, candidates by cell-equi-join, exact
+    cosine rank within probed cells. Approximate -> rows-only; recall vs
+    brute force pinned in tests."""
+    from ocr_parallel_spark.functions.similarity import (
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = deterministic_centroids(emb, n_cells=8)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, cents, k=5, nprobe=3)
+
+
+def q_minhash_verified_pairs(spark, sf_dir):
+    """The production near-dup flow end-to-end: MinHash-LSH candidates ->
+    exact token-Jaccard verification >= 0.5 (candidate recall is
+    approximate -> rows-only)."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), F.col("norm").alias("text")
+    )
+    cands = minhash_candidate_pairs(d, "text", "url")
+    toks = d.select(
+        "url", F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    a = toks.select(F.col("url").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("url").alias("id_b"), F.col("toks").alias("toks_b"))
+    j = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        j.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dup marking over documents (D4 near half; the hash is
     Python-side -> rows-only check)."""
@@ -546,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup": q_salted_rollup,
         "json_extract": q_json_extract,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "extraction_pipeline": q_extraction_pipeline,

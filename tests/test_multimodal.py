@@ -120,3 +120,33 @@ def test_simhash_near_dups_marks_drifted_copy(spark, sf_dir):
             assert r.near_rep is not None and r.near_rep < r.doc_id
         elif r.near_rep is not None:
             assert r.near_rep == r.doc_id
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from ocr_parallel_spark.functions.similarity import (
+        brute_force_topk,
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = deterministic_centroids(emb, n_cells=8)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, cents, k=5, nprobe=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # every query finds itself (its cell is always probed at nprobe>=1)
+    self_hits = {(r.query_id, r.vec_id) for r in approx.filter("rank = 1").collect()}
+    assert all(q == v for q, v in self_hits)
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_minhash_verified_pairs_only_high_jaccard(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_minhash_verified_pairs
+
+    rows = q_minhash_verified_pairs(spark, sf_dir).collect()
+    assert all(r.jaccard >= 0.5 for r in rows)
