@@ -130,6 +130,9 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
+        # pipelines persist() their extraction output; drop it so later
+        # queries aren't squeezed by stale cached blocks
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
