@@ -1,7 +1,8 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit (37 queries; 27 with exact DuckDB value-hash oracles). Every ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
+toolkit (37 queries; 30 with exact DuckDB value-hash oracles).
+Every SQL-expressible ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
 driver's order-insensitive value-hash matches. Non-SQL-expressible ops
@@ -31,7 +32,7 @@ from ocr_parallel_spark.operators.chunking import (
 )
 from ocr_parallel_spark.operators.classify import classify_status, normalize_col
 from ocr_parallel_spark.operators.dedup import dedup_savings, keep_first
-from ocr_parallel_spark.operators.localization import localize, match_score
+from ocr_parallel_spark.operators.localization import localize
 from ocr_parallel_spark.operators.neardup import minhash_candidate_pairs
 from ocr_parallel_spark.operators.sessionize import densest_range, sessionize
 
