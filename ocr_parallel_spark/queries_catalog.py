@@ -1,7 +1,7 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit (37 queries; 30 with exact DuckDB value-hash oracles).
+toolkit (38 queries; 31 with exact DuckDB value-hash oracles).
 Every SQL-expressible ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
@@ -445,6 +445,26 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries_df, k=5, dim=64, n_planes=4)
 
 
+def q_two_pass_localization(spark, sf_dir):
+    """The reference's hybrid fast/slow path (full_extractor_service.py:
+    395-459): cheap pass 1 at threshold 0.6; only targets with NO pass-1
+    match get the expensive relaxed pass 2 (threshold 1/3) — an anti-join
+    gates the costly work, the plan-shape analog of predicate pushdown."""
+    d = _docs(spark, sf_dir).select("doc_id", F.col("norm").alias("chunk_text"))
+    targets = spark.createDataFrame(TARGETS, "target_id int, tokens array<string>")
+    p1 = localize(targets, d, "tokens", "chunk_text", 0.6).select(
+        "target_id", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+    matched = p1.select("target_id").distinct()
+    missed = targets.join(matched, "target_id", "left_anti")
+    p2 = localize(missed, d, "tokens", "chunk_text", 1.0 / 3).select(
+        "target_id", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+    return p1.withColumn("pass_no", F.lit(1)).unionByName(
+        p2.withColumn("pass_no", F.lit(2))
+    )
+
+
 def q_salted_rollup(spark, sf_dir):
     """Skew-safe aggregation (north_rule salting): two-stage rollup — partial
     agg on (key, salt-of-fine-key), final agg on key. Result provably equals
@@ -585,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
         "media_features": q_media_features,
+        "two_pass_localization": q_two_pass_localization,
         "salted_rollup": q_salted_rollup,
         "json_extract": q_json_extract,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -872,6 +893,33 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(norm, e'\n\n' ORDER BY doc_id) AS refined_text,
                    count(*) AS n_pages
             FROM pj GROUP BY target_id, source
+        """,
+        "two_pass_localization": f"""
+            WITH {_DOCS_CTE},
+            {_TARGETS_SQL},
+            raw AS (
+              SELECT t.target_id, d.doc_id,
+                     CAST(list_sum(list_transform(t.tokens, tok ->
+                CASE WHEN regexp_matches(tok, '^\\d+$')
+                     THEN CASE WHEN regexp_matches(upper(d.norm),
+                            '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                     ELSE CASE WHEN contains(upper(d.norm), tok)
+                          THEN 1 ELSE 0 END
+                END)) AS DOUBLE) / len(t.tokens) AS s
+              FROM docs d CROSS JOIN targets t
+            ),
+            p1 AS (
+              SELECT target_id, doc_id, round(s, 4) AS score, 1 AS pass_no
+              FROM raw WHERE s >= 0.6),
+            missed AS (
+              SELECT target_id FROM targets
+              EXCEPT SELECT DISTINCT target_id FROM p1),
+            p2 AS (
+              SELECT r.target_id, r.doc_id, round(r.s, 4) AS score,
+                     2 AS pass_no
+              FROM raw r JOIN missed m ON m.target_id = r.target_id
+              WHERE r.s >= 1.0/3)
+            SELECT * FROM p1 UNION ALL SELECT * FROM p2
         """,
         "salted_rollup": """
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
