@@ -1,0 +1,7 @@
+"""Input connectors: pages table, extraction-target CSV, media/embeddings."""
+
+from ocr_parallel_spark.sources.readers import (  # noqa: F401
+    read_embeddings,
+    read_pages,
+    read_targets_csv,
+)

@@ -15,12 +15,7 @@ from pyspark.sql import functions as F
 SF = "/root/testdata/sf0.001"
 
 
-def plan_of(df, mode: str = "formatted") -> str:
-    qe = df._jdf.queryExecution()
-    jvm = df.sparkSession._jvm
-    return qe.explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    )
+from ocr_parallel_spark.plans import count_nodes, plan_string as plan_of  # noqa: E402
 
 
 def test_scan_pushdown_and_pruning(spark, sf_dir):
@@ -37,13 +32,10 @@ def test_pipeline_has_exactly_one_python_boundary(spark, sf_dir):
 
     pages = synthesize_pages(spark, sf_dir).drop("doc_id")
     out = run_extraction_pipeline(pages)
+    assert count_nodes(out, "MapInArrow") == 1, (
+        "extraction kernel must be ONE Arrow stage"
+    )
     p = plan_of(out)
-    # the persisted subtree is PRINTED at each reuse site; count distinct
-    # physical node ids, not textual occurrences
-    import re
-
-    arrow_nodes = set(re.findall(r"\((\d+)\) MapInArrow", p))
-    assert len(arrow_nodes) == 1, "extraction kernel must be ONE Arrow stage"
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, (
         "no row-at-a-time / extra Python UDFs on the hot path"
     )
