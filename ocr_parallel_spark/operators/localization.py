@@ -56,11 +56,29 @@ def expand_variants(tokens_col: Column, synonyms: dict[str, list[str]]) -> Colum
     return F.array_distinct(expanded)
 
 
+def wordify(upper_text: Column) -> Column:
+    """Collapse non-word chars to single spaces and pad — turns ASCII
+    ``\\b``-bounded matching into plain substring containment."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(upper_text, r"[^A-Z0-9_]+", " "),
+        F.lit(" "),
+    )
+
+
 def match_score(tokens_col: Column, text_col: Column) -> Column:
     """F4: fraction of tokens present in the uppercased text. Digit tokens
     need word boundaries; word tokens match by substring. Pure expression
-    (aggregate over the array) — whole-stage codegen, no Python."""
+    (aggregate over the array) — whole-stage codegen, no Python.
+
+    Word-boundary check without a per-token dynamic regex: non-word chars
+    are collapsed to single spaces ONCE per row (``\\b`` is defined by the
+    ASCII word class in both Java and RE2), so ``\\b123\\b`` becomes a
+    plain ``contains(' 123 ')`` over the padded wordified text — the
+    per-(row, token) work is substring search, never regex compilation.
+    """
     upper_text = F.upper(text_col)
+    wordified = wordify(upper_text)
     hits = F.aggregate(
         tokens_col,
         F.lit(0),
@@ -68,10 +86,7 @@ def match_score(tokens_col: Column, text_col: Column) -> Column:
         + F.when(
             t.rlike(r"^\d+$"),
             F.when(
-                F.regexp_like(
-                    upper_text, F.concat(F.lit(r"\b"), t, F.lit(r"\b"))
-                ),
-                1,
+                wordified.contains(F.concat(F.lit(" "), t, F.lit(" "))), 1
             ).otherwise(0),
         )
         .otherwise(F.when(upper_text.contains(t), 1).otherwise(0)),
@@ -94,8 +109,32 @@ def localize(
     ``expand_variants``). Returns all matching (target, chunk) pairs with
     their score.
     """
-    joined = chunks.crossJoin(F.broadcast(targets))
-    scored = joined.withColumn(
-        "score", match_score(F.col(tokens_col), F.col(text_col))
+    # Materialize the per-row derived texts BEFORE the cross join so they
+    # are computed once per chunk row (inside the aggregate lambda Catalyst
+    # would re-evaluate them per token) and never per (chunk, target) pair.
+    prepped = chunks.withColumn("_upper", F.upper(F.col(text_col))).withColumn(
+        "_wordified", wordify(F.col("_upper"))
     )
-    return scored.filter(F.col("score") >= threshold)
+    joined = prepped.crossJoin(F.broadcast(targets))
+    hits = F.aggregate(
+        F.col(tokens_col),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(
+            t.rlike(r"^\d+$"),
+            F.when(
+                F.col("_wordified").contains(
+                    F.concat(F.lit(" "), t, F.lit(" "))
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .otherwise(F.when(F.col("_upper").contains(t), 1).otherwise(0)),
+    )
+    scored = joined.withColumn(
+        "score",
+        F.when(
+            F.size(F.col(tokens_col)) > 0, hits / F.size(F.col(tokens_col))
+        ).otherwise(F.lit(0.0)),
+    )
+    return scored.filter(F.col("score") >= threshold).drop("_upper", "_wordified")
