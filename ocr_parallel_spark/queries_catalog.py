@@ -332,7 +332,7 @@ def q_extraction_pipeline(spark, sf_dir):
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (training toolkit): pairs with
-    cosine >= 0.9 among the first 1500 vectors — the EXACT all-pairs
+    cosine >= 0.9 among the first 1000 vectors — the EXACT all-pairs
     baseline that grounds the LSH scale path (ann_lsh_topk); all-pairs is
     O(n^2) by definition, so production runs bucket first and verify
     exactly within buckets. Unit vectors are precomputed once per row
@@ -341,7 +341,7 @@ def q_embedding_neardup(spark, sf_dir):
 
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .filter(F.col("vec_id") < 1500)
+        .filter(F.col("vec_id") < 1000)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("_n", norm(F.col("v")))
         .filter(F.col("_n") > 0)
@@ -853,7 +853,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": """
             WITH e0 AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-              WHERE vec_id < 1500),
+              WHERE vec_id < 1000),
             e1 AS (
               SELECT vec_id, v,
                      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
