@@ -259,8 +259,11 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs within source (training toolkit)."""
-    d = _docs(spark, sf_dir).select(
+    """Token-set Jaccard near-dup pairs within source (training toolkit).
+    Exact all-pairs baseline over the first 2500 docs — it grounds the
+    LSH scale path (minhash_verified_pairs); all-pairs is O(n^2) by
+    definition."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 2500).select(
         "doc_id",
         "source",
         F.array_distinct(F.split(F.col("norm"), " ")).alias("toks"),
@@ -824,7 +827,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DOCS_CTE},
             t AS (SELECT doc_id, source,
                          list_distinct(string_split(norm, ' ')) AS toks
-                  FROM docs)
+                  FROM docs WHERE doc_id < 2500)
             SELECT doc_a, doc_b, jaccard FROM (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
