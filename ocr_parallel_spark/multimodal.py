@@ -122,6 +122,68 @@ def byte_histogram_features(
     return df.select(id_col, payload_col).mapInPandas(feats, schema=schema)
 
 
+def resize_plan(
+    meta: DataFrame, id_col: str = "media_id", max_side: int = 256
+) -> DataFrame:
+    """Image resize planning: target dims that fit ``max_side`` preserving
+    aspect ratio. Integer arithmetic only (w*max_side // longest) so the
+    result is bit-identical across engines — the SQL oracle recomputes it.
+    The pixel work itself happens in ``resize_images``."""
+    longest = F.greatest("width", "height")
+    need = longest > max_side
+    # floor(int*int/int) is bit-identical across engines (exact operands,
+    # correctly-rounded IEEE division) — never CAST a double, whose
+    # int-conversion truncates in Spark but rounds in DuckDB.
+    new_w = F.when(
+        need, F.floor(F.col("width") * max_side / longest).cast("int")
+    ).otherwise(F.col("width"))
+    new_h = F.when(
+        need, F.floor(F.col("height") * max_side / longest).cast("int")
+    ).otherwise(F.col("height"))
+    return meta.filter(F.col("kind") == "image").select(
+        id_col,
+        "width",
+        "height",
+        new_w.alias("new_width"),
+        new_h.alias("new_height"),
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    plan: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Arrow-batched resize execution. The pixel transform is STUBBED
+    (container ships no codec): the payload is deterministically truncated
+    to the area ratio, standing in for the resized encoding while keeping
+    the real plumbing — join plan to payloads, per-batch pandas transform
+    over binary, typed output schema."""
+    joined = media.select(id_col, payload_col).join(plan, id_col)
+    schema = f"{id_col} bigint, new_width int, new_height int, n_bytes_resized bigint"
+
+    def do_resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            area_in = (pdf["width"] * pdf["height"]).clip(lower=1)
+            area_out = pdf["new_width"] * pdf["new_height"]
+            n = pdf[payload_col].map(len)
+            keep = (n * area_out // area_in).clip(lower=1)
+            out_bytes = [
+                b[: int(k)] for b, k in zip(pdf[payload_col], keep)
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "new_width": pdf["new_width"],
+                    "new_height": pdf["new_height"],
+                    "n_bytes_resized": [len(b) for b in out_bytes],
+                }
+            )
+
+    return joined.mapInPandas(do_resize, schema=schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     payload_col: str = "payload",

@@ -1,7 +1,7 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit (38 queries; 31 with exact DuckDB value-hash oracles).
+toolkit (39 queries; 32 with exact DuckDB value-hash oracles).
 Every SQL-expressible ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
@@ -424,6 +424,19 @@ def q_audio_chunks(spark, sf_dir):
     return audio_chunk_plan(meta)
 
 
+def q_media_resize_plan(spark, sf_dir):
+    """Image resize planning (training toolkit 'resize'): aspect-preserving
+    target dims under max_side=256, pure integer arithmetic."""
+    from ocr_parallel_spark.multimodal import (
+        decode_media_meta,
+        resize_plan,
+        synthesize_media,
+    )
+
+    meta = decode_media_meta(synthesize_media(spark, sf_dir))
+    return resize_plan(meta, max_side=256)
+
+
 def q_media_features(spark, sf_dir):
     """Byte-histogram feature vectors (embedding-extractor batch shape).
     Python-side numpy -> rows-only check."""
@@ -607,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
+        "media_resize_plan": q_media_resize_plan,
         "media_features": q_media_features,
         "two_pass_localization": q_two_pass_localization,
         "salted_rollup": q_salted_rollup,
@@ -958,6 +972,21 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN kind = 'audio' THEN n_bytes / 5000.0
                          WHEN kind = 'video' THEN (n_bytes // 1024) / 24.0
                          ELSE 0.0 END, 4) AS duration_s
+            FROM m
+        """,
+        "media_resize_plan": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+                     CAST(48 + octet_length(encode(text)) % 331 AS INT) AS height
+              FROM documents WHERE doc_id % 3 = 0)
+            SELECT media_id, width, height,
+                   CAST(CASE WHEN greatest(width, height) > 256
+                        THEN floor(width * 256.0 / greatest(width, height))
+                        ELSE width END AS INT) AS new_width,
+                   CAST(CASE WHEN greatest(width, height) > 256
+                        THEN floor(height * 256.0 / greatest(width, height))
+                        ELSE height END AS INT) AS new_height
             FROM m
         """,
         "video_frames": """

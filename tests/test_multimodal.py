@@ -150,3 +150,31 @@ def test_minhash_verified_pairs_only_high_jaccard(spark, sf_dir):
 
     rows = q_minhash_verified_pairs(spark, sf_dir).collect()
     assert all(r.jaccard >= 0.5 for r in rows)
+
+
+def test_resize_plan_and_execution(spark, sf_dir):
+    from ocr_parallel_spark.multimodal import (
+        decode_media_meta,
+        resize_images,
+        resize_plan,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, sf_dir)
+    meta = decode_media_meta(media)
+    plan = resize_plan(meta, max_side=256)
+    rows = plan.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert max(r.new_width, r.new_height) <= 256
+        if max(r.width, r.height) <= 256:
+            assert (r.new_width, r.new_height) == (r.width, r.height)
+        else:
+            # aspect ratio preserved within integer floor error
+            assert abs(r.new_width * r.height - r.new_height * r.width) <= max(
+                r.width, r.height
+            )
+    done = resize_images(media, plan).collect()
+    assert {r.media_id for r in done} == {r.media_id for r in rows}
+    for r in done:
+        assert r.n_bytes_resized >= 1
