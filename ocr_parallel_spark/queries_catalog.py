@@ -1,7 +1,7 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit (39 queries; 32 with exact DuckDB value-hash oracles).
+toolkit (40 queries; 33 with exact DuckDB value-hash oracles).
 Every SQL-expressible ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
@@ -396,6 +396,41 @@ def q_full_process(spark, sf_dir):
     )
 
 
+def q_full_process_capped(spark, sf_dir):
+    """§3.3 composite with the reference's W6 refinement cap applied: at
+    most 20 pages per matched target (MAX_PAGES_WITHOUT_BOUNDARIES,
+    text_localization.py:685-705), keeping the LOWEST page numbers — the
+    reference's deterministic truncation — before the ordered concat."""
+    docs = _docs(spark, sf_dir)
+    chunks = overlap_chunks(docs, "source", "doc_id", "norm", TCHUNK, TOVERLAP)
+    targets = spark.createDataFrame(
+        TARGETS, "target_id int, tokens array<string>"
+    )
+    loc = localize(targets, chunks, "tokens", "chunk_text", 0.6)
+    pages = loc.select(
+        "target_id",
+        "source",
+        F.explode(
+            F.sequence(F.col("start_doc_id"), F.col("end_doc_id"))
+        ).alias("doc_id"),
+    ).distinct()
+    w = Window.partitionBy("target_id", "source").orderBy("doc_id")
+    capped = pages.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 20
+    )
+    joined = capped.join(docs.select("doc_id", "norm"), "doc_id")
+    return joined.groupBy("target_id", "source").agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "norm"))),
+                lambda s: s["norm"],
+            ),
+        ).alias("refined_text"),
+        F.count(F.lit(1)).alias("n_pages"),
+    )
+
+
 def q_media_meta(spark, sf_dir):
     """Multimodal metadata decode over binary payloads (mapInPandas batch
     plumbing; size-derived stand-in arithmetic pinned by the SQL oracle)."""
@@ -617,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "full_process": q_full_process,
+        "full_process_capped": q_full_process_capped,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
@@ -956,6 +992,40 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(blob, '(\\[.*\\])', 1)::JSON
                         ->0->>'inmueble' AS inmueble
             FROM b
+        """,
+        "full_process_capped": _CHUNKS_CTE + f""",
+            {_TARGETS_SQL},
+            loc AS (
+              SELECT t.target_id, c.source, c.start_doc_id, c.end_doc_id
+              FROM chunks c CROSS JOIN targets t
+              WHERE CAST(list_sum(list_transform(t.tokens, tok ->
+                CASE WHEN regexp_matches(tok, '^\\d+$')
+                     THEN CASE WHEN regexp_matches(upper(c.chunk_text),
+                            '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                     ELSE CASE WHEN contains(upper(c.chunk_text), tok)
+                          THEN 1 ELSE 0 END
+                END)) AS DOUBLE) / len(t.tokens) >= 0.6
+            ),
+            pg AS (
+              SELECT DISTINCT target_id, source,
+                     unnest(generate_series(start_doc_id, end_doc_id)) AS doc_id
+              FROM loc
+            ),
+            pc AS (
+              SELECT target_id, source, doc_id FROM (
+                SELECT target_id, source, doc_id,
+                       row_number() OVER (PARTITION BY target_id, source
+                                          ORDER BY doc_id) AS rn
+                FROM pg) WHERE rn <= 20
+            ),
+            pj AS (
+              SELECT p.target_id, p.source, p.doc_id, d.norm
+              FROM pc p JOIN docs d ON d.doc_id = p.doc_id
+            )
+            SELECT target_id, source,
+                   string_agg(norm, e'\n\n' ORDER BY doc_id) AS refined_text,
+                   count(*) AS n_pages
+            FROM pj GROUP BY target_id, source
         """,
         "media_meta": """
             WITH m AS (
