@@ -88,9 +88,14 @@ def simhash64(text: str, k: int = 3) -> int:
     hashes = shingle_hashes(text, k)
     if hashes.size == 0:
         return 0
-    # Unpack bits: (n, 64) of {0,1}; vote per bit position.
+    # Unpack bits: (n, 64) of {0,1}; vote per bit position. Force a
+    # little-endian byte view first — a plain .view(np.uint8) would flip
+    # bit positions on big-endian hosts, breaking cross-platform
+    # determinism of the hash values.
     bits = np.unpackbits(
-        hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        hashes.astype("<u8").view(np.uint8).reshape(-1, 8),
+        axis=1,
+        bitorder="little",
     )
     votes = bits.sum(axis=0, dtype=np.int64) * 2 - hashes.size  # >0: majority-1
     out = 0

@@ -13,8 +13,9 @@ the decode boundary is explicit:
   plumbing — schema, Arrow batch shape, UDF signature, partitioning — is
   real and oracle-checked.
 - ``byte_histogram_features`` is a real computation (numpy 16-bin byte
-  histogram, L1-normalized): the stand-in for an embedding/feature
-  extractor with the exact batch shape a real one would have.
+  histogram, emitted as long-format scalar rows with exact counts and an
+  L1 weight): the stand-in for an embedding/feature extractor with the
+  exact batch shape a real one would have.
 - ``frame_sample_plan`` / ``audio_chunk_plan`` are pure column expressions
   (1 row -> N frame/chunk rows via ``explode(sequence(...))``) — JVM-side.
 
@@ -104,20 +105,32 @@ def decode_media_meta(
 def byte_histogram_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id", bins: int = 16
 ) -> DataFrame:
-    """Feature extraction stand-in: L1-normalized byte histogram per blob
-    (real numpy work with the exact batch shape of an embedding extractor).
-    Output: id, features array<double>[bins]."""
-    schema = f"{id_col} bigint, features array<double>"
+    """Feature extraction stand-in: byte histogram per blob over the high
+    nibble (real numpy work with the exact batch shape of an embedding
+    extractor). Output is LONG format — one scalar row per (id, bin):
+    ``(id, bin int, n bigint, weight double)`` with all ``bins`` rows
+    present per id (zeros included) and ``weight = n / total`` as a plain
+    IEEE double division of two exact integers, so a SQL engine recomputes
+    it bit-identically (no round-half-rule exposure). Long format keeps
+    every column hashable/sortable for exact cross-engine comparison; a
+    vector consumer regroups with ``collect_list`` over ``bin`` order."""
+    schema = f"{id_col} bigint, bin int, n bigint, weight double"
 
     def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for b in pdf[payload_col]:
+            ids = np.repeat(pdf[id_col].to_numpy(), bins)
+            bin_idx = np.tile(np.arange(bins, dtype="int32"), len(pdf))
+            counts = np.empty(len(pdf) * bins, dtype="int64")
+            for i, b in enumerate(pdf[payload_col]):
                 arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=bins).astype("float64")
-                s = hist.sum()
-                out.append((hist / s if s else hist).round(6).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "features": out})
+                counts[i * bins : (i + 1) * bins] = np.bincount(
+                    arr >> 4, minlength=bins
+                )
+            totals = counts.reshape(-1, bins).sum(axis=1)
+            weight = counts / np.repeat(totals, bins)
+            yield pd.DataFrame(
+                {id_col: ids, "bin": bin_idx, "n": counts, "weight": weight}
+            )
 
     return df.select(id_col, payload_col).mapInPandas(feats, schema=schema)
 

@@ -145,20 +145,39 @@ def synthesize_pages(
         F.lit("</body></html>"),
     )
 
+    # Escape text before embedding in structured payloads: the kernel's
+    # json.loads / PDF-literal decoder unescapes these back, so the
+    # roundtrip stays byte-identical even if the corpus ever grows
+    # backslashes, quotes, or parens (today it has none — this guards
+    # against a silent datagen change corrupting expected_text).
+    def _json_escape(c):
+        return F.regexp_replace(
+            F.regexp_replace(c, r"\\", r"\\\\"), r'"', r'\\"'
+        )
+
+    def _pdf_escape(c):
+        return F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, r"\\", r"\\\\"), r"\(", r"\\("
+            ),
+            r"\)",
+            r"\\)",
+        )
+
     pdf_run_parts = []
     for k, p in enumerate(paras):
         pdf_run_parts += [
             F.lit(
                 '{"page": 1, "x": 10.0, "y": %s.0, "text": "' % (20 + 10 * k)
             ),
-            p,
+            _json_escape(p),
             F.lit('"}, '),
         ]
     pdf_payload = F.concat(
         F.lit('%FAKEPDF{"runs": ['),
         *pdf_run_parts,
         F.lit('{"page": 1, "x": 5.0, "y": 10.0, "text": "'),
-        heading,
+        _json_escape(heading),
         F.lit('"}]}'),
     )
 
@@ -167,9 +186,13 @@ def synthesize_pages(
     # operators) is expressible as pure concat — the kernel's pdf_parse path
     # gets exercised by synthesis with zero Python. Same reading order as
     # the %FAKEPDF flavor: heading on the top line, paragraphs below.
-    real_pdf_text_ops = [F.lit("BT 72 760 Td ("), heading, F.lit(") Tj ")]
+    real_pdf_text_ops = [
+        F.lit("BT 72 760 Td ("),
+        _pdf_escape(heading),
+        F.lit(") Tj "),
+    ]
     for k, p in enumerate(paras):
-        real_pdf_text_ops += [F.lit("0 -12 Td ("), p, F.lit(") Tj ")]
+        real_pdf_text_ops += [F.lit("0 -12 Td ("), _pdf_escape(p), F.lit(") Tj ")]
     real_pdf_stream = F.concat(*real_pdf_text_ops, F.lit("ET"))
     real_pdf_payload = F.concat(
         F.lit(

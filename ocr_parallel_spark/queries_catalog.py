@@ -473,8 +473,10 @@ def q_media_resize_plan(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Byte-histogram feature vectors (embedding-extractor batch shape).
-    Python-side numpy -> rows-only check."""
+    """Byte-histogram features (embedding-extractor batch shape), long
+    format: one (media_id, bin, n, weight) row per bin — exact integer
+    counts plus an IEEE-exact n/total division, so the DuckDB oracle
+    (hex-string nibble counting) hash-matches bit-for-bit."""
     from ocr_parallel_spark.multimodal import (
         byte_histogram_features,
         synthesize_media,
@@ -792,8 +794,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, event_id,
-                     sum(flag) OVER (PARTITION BY user_id ORDER BY event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(flag) OVER (PARTITION BY user_id
+                       ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS session_id
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -810,8 +813,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, event_id,
-                     sum(flag) OVER (PARTITION BY user_id ORDER BY event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(flag) OVER (PARTITION BY user_id
+                       ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS session_id
               FROM g
             ),
             runs AS (
@@ -975,7 +979,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM p1 UNION ALL SELECT * FROM p2
         """,
         "salted_rollup": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
         "json_extract": """
@@ -1089,6 +1094,37 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(0, greatest(n_chunks - 1, 0)))
                        AS chunk_idx
               FROM a)
+        """,
+        # High-nibble byte histogram recomputed in pure SQL: hex() renders
+        # two chars per byte; the char at odd positions (1-indexed 2i+1) IS
+        # the high nibble. weight = n/total is IEEE double division of two
+        # exact integers — bit-identical to the numpy computation.
+        "media_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id, upper(hex(encode(text))) AS hx
+              FROM documents),
+            by AS (
+              SELECT media_id,
+                     strpos('0123456789ABCDEF',
+                            substr(hx, CAST(2 * i + 1 AS BIGINT), 1)) - 1
+                       AS bin
+              FROM (SELECT media_id, hx,
+                           unnest(range(CAST(length(hx) / 2 AS BIGINT))) AS i
+                    FROM m)),
+            counts AS (
+              SELECT media_id, bin, count(*) AS cnt
+              FROM by GROUP BY media_id, bin),
+            tot AS (
+              SELECT media_id, count(*) AS total FROM by GROUP BY media_id),
+            bins AS (SELECT unnest(range(16)) AS bin)
+            SELECT m.media_id,
+                   CAST(bins.bin AS INT) AS bin,
+                   CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n,
+                   CAST(COALESCE(c.cnt, 0) AS DOUBLE) / t.total AS weight
+            FROM (SELECT DISTINCT media_id FROM m) m
+            CROSS JOIN bins
+            LEFT JOIN counts c ON c.media_id = m.media_id AND c.bin = bins.bin
+            JOIN tot t ON t.media_id = m.media_id
         """,
     }
 

@@ -21,7 +21,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--near-dups", action="store_true", default=True)
+    ap.add_argument(
+        "--near-dups",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="mark SimHash near-duplicates (disable with --no-near-dups)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

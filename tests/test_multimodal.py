@@ -48,9 +48,16 @@ def test_decode_pixels_is_an_explicit_gap():
 def test_byte_histogram_features_normalized(spark, sf_dir):
     feats = byte_histogram_features(synthesize_media(spark, sf_dir)).collect()
     assert len(feats) > 0
+    per_id: dict[int, list] = {}
     for r in feats:
-        assert len(r.features) == 16
-        assert abs(sum(r.features) - 1.0) < 1e-4  # bins rounded to 6 dp
+        per_id.setdefault(r.media_id, []).append(r)
+    for rows in per_id.values():
+        assert sorted(r.bin for r in rows) == list(range(16))
+        total = sum(r.n for r in rows)
+        assert total > 0
+        for r in rows:
+            assert r.weight == r.n / total  # exact IEEE division
+        assert abs(sum(r.weight for r in rows) - 1.0) < 1e-12
 
 
 def test_frame_sample_plan_counts(spark, sf_dir):
