@@ -14,12 +14,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def with_input_idx(df: DataFrame, order_cols: list[str]) -> DataFrame:
+def with_input_idx(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None = None
+) -> DataFrame:
     """Explicit input index from a deterministic sort key (the reference's
     enumerate(); monotonically_increasing_id is partition-dependent so a
-    semantic order column is required for cross-run determinism)."""
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn("input_idx", F.row_number().over(w) - 1)
+    semantic order column is required for cross-run determinism —
+    ``order_cols`` must be a unique key).
+
+    Scale shape: a plain ``Window.orderBy`` with no partition funnels the
+    whole table through ONE reducer. Instead: range-repartition on the key
+    (non-overlapping sorted ranges, partition id order == key order), rank
+    within each partition, then add per-partition row-count offsets. The
+    only unpartitioned window runs over the per-partition counts — one row
+    per partition, never the data. The two consumers of the range exchange
+    (counts + join probe) share it via Spark's ReusedExchange, so the
+    sampled range boundaries are computed once."""
+    cols = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)) - 1,
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # over #partitions rows only — O(partitions), not O(rows)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("input_idx", (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
 
 
 def representative(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:

@@ -6,12 +6,17 @@ The web-scale analog is a drip of new crawl files landing in a directory /
 table. This module expresses that as Structured Streaming:
 
 - ``readStream`` over the pages directory (explicit schema — never infer),
-- **stateful** url dedup with ``dropDuplicates`` (streaming keep-first:
-  the first *arrival* wins; state lives in the checkpoint, so duplicates
-  are suppressed across restarts, not just within a micro-batch; note
-  ties WITHIN one micro-batch are arbitrated by partition order — batch
-  keep-first-by-warc_ts over the committed table is the deterministic
-  arbiter, see pipeline.py),
+- **stateful, bounded** url dedup with ``withWatermark`` +
+  ``dropDuplicatesWithinWatermark`` (streaming keep-first: the first
+  *arrival* wins; state lives in the checkpoint, so duplicates are
+  suppressed across restarts, not just within a micro-batch; state for a
+  url is EVICTED once the event-time watermark passes its ``warc_ts`` +
+  TTL, so the state store is bounded by the crawl's re-fetch horizon
+  instead of growing with every url ever seen — at CC scale an unbounded
+  ``dropDuplicates`` checkpoint dies. A re-crawl landing after the TTL
+  re-emits; the batch compaction pass over the committed table
+  (pipeline.py keep-first-by-warc_ts) is the deterministic global
+  arbiter either way, including for ties WITHIN one micro-batch),
 - the same Arrow extraction kernel (``mapInArrow`` is streaming-safe: one
   batch function, no global state),
 - parquet append sink + checkpoint; ``Trigger.AvailableNow`` drains
@@ -60,12 +65,20 @@ def read_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
 
 
 def incremental_extraction(
-    pages_stream: DataFrame, max_bytes: int = MAX_PAYLOAD_BYTES
+    pages_stream: DataFrame,
+    max_bytes: int = MAX_PAYLOAD_BYTES,
+    dedup_ttl: str = "30 days",
 ) -> DataFrame:
-    """Streaming plan: size cap -> stateful url dedup -> Arrow kernel ->
-    status classify. Returns the streaming DataFrame to sink."""
+    """Streaming plan: size cap -> bounded stateful url dedup -> Arrow
+    kernel -> status classify. Returns the streaming DataFrame to sink.
+
+    ``dedup_ttl`` is the event-time horizon within which a re-fetched url
+    is suppressed; state older than the watermark minus TTL is evicted
+    (bounded state store). Pick it >= the crawler's re-visit interval."""
     capped = filter_oversized(pages_stream, "html", max_bytes)
-    deduped = capped.dropDuplicates(["url"])
+    deduped = capped.withWatermark(
+        "warc_ts", dedup_ttl
+    ).dropDuplicatesWithinWatermark(["url"])
     extracted = extract_pages(deduped, "html", ("url", "warc_ts", "lang"))
     return extracted.withColumn(
         "status",
@@ -81,12 +94,16 @@ def run_available_now(
     output_dir: str,
     checkpoint_dir: str,
     max_bytes: int = MAX_PAYLOAD_BYTES,
-) -> None:
+    dedup_ttl: str = "30 days",
+):
     """Drain all currently-available input files into the output table and
     stop. Re-running after new files land processes ONLY the new files
-    (file-source log) and suppresses already-seen urls (dedup state) —
-    both recovered from the checkpoint."""
-    out = incremental_extraction(read_pages_stream(spark, input_dir), max_bytes)
+    (file-source log) and suppresses already-seen urls within the TTL
+    (bounded dedup state) — both recovered from the checkpoint. Returns
+    the finished query (for state-store metrics via ``recentProgress``)."""
+    out = incremental_extraction(
+        read_pages_stream(spark, input_dir), max_bytes, dedup_ttl
+    )
     q = (
         out.writeStream.format("parquet")
         .option("path", output_dir)
@@ -96,3 +113,4 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    return q
