@@ -431,6 +431,57 @@ def q_full_process_capped(spark, sf_dir):
     )
 
 
+# Corpus-derived boundary markers for the F5-F7 refinement composite.
+# The reference's markers are Spanish legal section headers
+# (text_localization.py:352-358,430-441); post-F1 normalization its
+# \s+-separated phrase regexes reduce to literal substrings, so markers
+# here are literal phrases drawn from the synthetic corpus vocabulary
+# (present in ~5-10% of pages: some targets get detected boundaries, some
+# exercise the fallback paths).
+BOUNDARY_START_MARKERS = ["STREAM WINDOW", "LINE SORT"]
+BOUNDARY_END_AFTER = ["AGG QUERY", "BATCH TABLE"]
+BOUNDARY_END_BEFORE = ["SLOW FILTER"]
+
+
+def q_full_process_boundaries(spark, sf_dir):
+    """F9 with char-level boundary refinement (F5-F7) and the W6 caps
+    5/15/20 (text_localization.py:540-708): chunk (W1) -> localize (J2)
+    -> chunk->pages (W2) -> per-page re-match -> start/end char-window
+    detection -> char span mapped back to a page span. Pure column
+    expressions over one groupBy — zero Python."""
+    from ocr_parallel_spark.operators.boundaries import (
+        refine_pages_with_boundaries,
+    )
+
+    docs = _docs(spark, sf_dir)
+    chunks = overlap_chunks(docs, "source", "doc_id", "norm", TCHUNK, TOVERLAP)
+    targets = spark.createDataFrame(
+        [(tid, toks, toks[0]) for tid, toks in TARGETS],
+        "target_id int, tokens array<string>, anchor string",
+    )
+    loc = localize(
+        targets.select("target_id", "tokens"), chunks, "tokens", "chunk_text", 0.6
+    )
+    cand = loc.select(
+        "target_id",
+        "source",
+        F.explode(F.sequence("start_doc_id", "end_doc_id")).alias("doc_id"),
+    ).distinct()
+    # Pages join is source-scoped: doc_ids are interleaved across sources
+    # in the synthetic corpus, and a chunk's [start, end] id range must
+    # only pull pages of ITS OWN document — the reference's candidate
+    # pages always live inside one escritura.
+    return refine_pages_with_boundaries(
+        cand,
+        docs.select("doc_id", "source", "norm"),
+        targets,
+        BOUNDARY_START_MARKERS,
+        BOUNDARY_END_AFTER,
+        BOUNDARY_END_BEFORE,
+        page_join_cols=["doc_id", "source"],
+    )
+
+
 def q_media_meta(spark, sf_dir):
     """Multimodal metadata decode over binary payloads (mapInPandas batch
     plumbing; size-derived stand-in arithmetic pinned by the SQL oracle)."""
@@ -655,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "full_process": q_full_process,
         "full_process_capped": q_full_process_capped,
+        "full_process_boundaries": q_full_process_boundaries,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
@@ -862,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid": _langid_sql(),
         "quality": _quality_sql(),
+        "full_process_boundaries": _boundaries_sql(),
         "token_counts": f"""
             WITH {_DOCS_CTE}
             SELECT doc_id,
@@ -1127,6 +1180,242 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot t ON t.media_id = m.media_id
         """,
     }
+
+
+def _boundaries_sql() -> str:
+    """DuckDB twin of q_full_process_boundaries: the same F5-F7 char
+    arithmetic via substr/strpos/list lambdas, page mapping via window
+    sums, densest run via gap-flag sessionization. Constants interpolated
+    from operators.boundaries so the two engines cannot drift."""
+    from ocr_parallel_spark.operators import boundaries as B
+
+    targets_b = "targets_b(target_id, tokens, anchor) AS (VALUES " + ", ".join(
+        f"({tid}, [{', '.join(repr(t) for t in toks)}], {toks[0]!r})"
+        for tid, toks in TARGETS
+    ) + ")"
+
+    def marker_case(var: str) -> str:
+        # 0-based position of the first occurrence of the highest-priority
+        # start marker present in the window (F5 pattern loop with break).
+        parts = []
+        for m in BOUNDARY_START_MARKERS:
+            parts.append(f"WHEN strpos({var}, {m!r}) > 0 THEN strpos({var}, {m!r}) - 1")
+        return "CASE " + " ".join(parts) + " END"
+
+    # F4 per-page match, exact integer threshold (3/5 = 0.6).
+    page_match = """
+        len(t.tokens) > 0 AND 5 * list_sum(list_transform(t.tokens, tok ->
+            CASE WHEN regexp_matches(tok, '^\\d+$')
+                 THEN CASE WHEN regexp_matches(upper(d.norm),
+                        '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                 ELSE CASE WHEN contains(upper(d.norm), tok)
+                      THEN 1 ELSE 0 END
+            END)) >= 3 * len(t.tokens)
+    """
+
+    # F6 end candidates: after-markers run through the F7 section end
+    # (".\n\n" paragraph end -> match end = pos+3, else pos+500 capped).
+    end_cands = []
+    for m in BOUNDARY_END_AFTER:
+        fm = f"strpos(stext, {m!r})"
+        rel = f"strpos(substr(stext, {fm} + {len(m)}, {B.MAX_SEARCH_LENGTH}), e'.\\n\\n')"
+        end_cands.append(
+            f"CASE WHEN {fm} > 0 THEN "
+            f"(CASE WHEN {rel} > 0 THEN {fm} - 1 + {len(m)} + {rel} - 1 + 3 "
+            f"ELSE least({fm} - 1 + {len(m)} + {B.SECTION_FALLBACK_CHARS}, slen) END) END"
+        )
+    for m in BOUNDARY_END_BEFORE:
+        end_cands.append(f"CASE WHEN strpos(stext, {m!r}) > 0 THEN strpos(stext, {m!r}) - 1 END")
+    earliest = "least(" + ", ".join(end_cands) + ")"
+
+    return _CHUNKS_CTE + f""",
+        {targets_b},
+        loc AS (
+          SELECT t.target_id, c.source, c.start_doc_id, c.end_doc_id
+          FROM chunks c CROSS JOIN targets_b t
+          WHERE CAST(list_sum(list_transform(t.tokens, tok ->
+            CASE WHEN regexp_matches(tok, '^\\d+$')
+                 THEN CASE WHEN regexp_matches(upper(c.chunk_text),
+                        '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                 ELSE CASE WHEN contains(upper(c.chunk_text), tok)
+                      THEN 1 ELSE 0 END
+            END)) AS DOUBLE) / len(t.tokens) >= 0.6
+        ),
+        pg AS (
+          SELECT DISTINCT target_id, source,
+                 unnest(generate_series(start_doc_id, end_doc_id)) AS doc_id
+          FROM loc
+        ),
+        pj AS (
+          SELECT p.target_id, p.source, p.doc_id, d.norm, t.tokens, t.anchor,
+                 ({page_match}) AS matched
+          FROM pg p JOIN docs d
+            ON d.doc_id = p.doc_id AND d.source = p.source
+          JOIN targets_b t ON t.target_id = p.target_id
+        ),
+        grp AS (
+          SELECT target_id, source,
+                 list(doc_id ORDER BY doc_id) AS page_ids,
+                 string_agg(norm, e'\\n\\n' ORDER BY doc_id) AS full_text,
+                 coalesce(list(doc_id ORDER BY doc_id)
+                          FILTER (WHERE matched), []) AS matching,
+                 any_value(tokens) AS tokens, any_value(anchor) AS anchor
+          FROM pj GROUP BY target_id, source
+        ),
+        st AS (
+          SELECT *, upper(full_text) AS U, length(full_text) AS n FROM grp
+        ),
+        s1 AS (
+          SELECT *,
+            list_filter(
+              list_transform(
+                list_transform(range(0, greatest(n - {B.START_WINDOW}, 0),
+                                     {B.START_STRIDE}),
+                  i -> struct_pack(i := i,
+                        w := substr(U, CAST(i + 1 AS BIGINT), {B.START_WINDOW}))),
+                s -> struct_pack(i := s.i,
+                      hits := len(list_filter(tokens, t -> contains(s.w, t))),
+                      mpos := {marker_case('s.w')})),
+              s -> 2 * s.hits >= len(tokens) AND s.hits > 0
+                   AND s.mpos IS NOT NULL) AS qual,
+            list_filter(
+              list_transform(range(0, greatest(n - {B.FALLBACK_WINDOW}, 0),
+                                   {B.START_STRIDE}),
+                i -> struct_pack(i := i,
+                      w := substr(U, CAST(i + 1 AS BIGINT), {B.FALLBACK_WINDOW}))),
+              s -> len(tokens) > 0
+                   AND 10 * len(list_filter(tokens, t -> contains(s.w, t)))
+                       >= 7 * len(tokens)
+                   AND contains(s.w, anchor)) AS fq
+          FROM st
+        ),
+        s2 AS (
+          SELECT *,
+            CASE WHEN len(matching) > 0 THEN coalesce(
+              (list_filter(qual, s -> s.hits =
+                 list_max(list_transform(qual, q -> q.hits))))[1].i
+              + (list_filter(qual, s -> s.hits =
+                 list_max(list_transform(qual, q -> q.hits))))[1].mpos,
+              (fq)[1].i) END AS start0
+          FROM s1
+        ),
+        en AS (
+          SELECT *, CASE WHEN start0 IS NOT NULL
+            THEN substr(U, CAST(start0 + 1 AS BIGINT), {B.MAX_SEARCH_LENGTH})
+            END AS stext
+          FROM s2
+        ),
+        en2 AS (
+          SELECT *, length(stext) AS slen, {earliest} AS earliest FROM en
+        ),
+        en3 AS (
+          SELECT *, CASE
+            WHEN earliest IS NOT NULL AND earliest < slen THEN start0 + earliest
+            WHEN slen > {B.HARD_END_CAP} THEN start0 + {B.HARD_END_CAP}
+            END AS end0
+          FROM en2
+        ),
+        pgo AS (
+          SELECT target_id, source, doc_id, length(norm) AS plen,
+                 coalesce(sum(length(norm) + {B.PAGE_SEP_LEN}) OVER
+                   (PARTITION BY target_id, source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off0
+          FROM pj
+        ),
+        mp AS (
+          SELECT g.target_id, g.source,
+                 min(CASE WHEN g.start0 >= p.off0
+                      AND g.start0 < p.off0 + p.plen + {B.PAGE_SEP_LEN}
+                      THEN p.doc_id END) AS start_page,
+                 min(CASE WHEN g.end0 >= p.off0
+                      AND g.end0 < p.off0 + p.plen + {B.PAGE_SEP_LEN}
+                      THEN p.doc_id END) AS end_page
+          FROM en3 g JOIN pgo p ON p.target_id = g.target_id
+           AND p.source = g.source
+          GROUP BY g.target_id, g.source
+        ),
+        dr0 AS (
+          SELECT target_id, source, unnest(matching) AS p
+          FROM en3 WHERE len(matching) > {B.DENSE_MIN_MATCHES}
+        ),
+        dr1 AS (
+          SELECT *, CASE WHEN lag(p) OVER w IS NULL
+                 OR p - lag(p) OVER w > {B.DENSE_GAP} THEN 1 ELSE 0 END AS flag
+          FROM dr0 WINDOW w AS (PARTITION BY target_id, source ORDER BY p)
+        ),
+        dr2 AS (
+          SELECT *, sum(flag) OVER (PARTITION BY target_id, source ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS gid
+          FROM dr1
+        ),
+        dr3 AS (
+          SELECT target_id, source, gid, count(*) AS cnt,
+                 min(p) AS lo, max(p) AS hi
+          FROM dr2 GROUP BY target_id, source, gid
+        ),
+        dense AS (
+          SELECT target_id, source, lo, hi FROM (
+            SELECT *, row_number() OVER (PARTITION BY target_id, source
+                   ORDER BY cnt DESC, lo ASC) AS rk
+            FROM dr3) WHERE rk = 1
+        ),
+        fin AS (
+          SELECT g.*, m.start_page, m.end_page,
+                 CASE WHEN len(g.matching) > {B.DENSE_MIN_MATCHES}
+                   THEN list_filter(g.matching,
+                          p -> p >= d.lo AND p <= d.hi)
+                   ELSE g.matching END AS meff
+          FROM en3 g
+          JOIN mp m ON m.target_id = g.target_id AND m.source = g.source
+          LEFT JOIN dense d ON d.target_id = g.target_id
+           AND d.source = g.source
+        ),
+        fx AS (
+          SELECT *,
+            CASE WHEN len(matching) = 0 THEN 'fallback_first5'
+                 WHEN start0 IS NOT NULL AND end0 IS NOT NULL
+                  AND start_page IS NOT NULL AND end_page IS NOT NULL
+                 THEN 'boundaries' ELSE 'expanded' END AS method,
+            list_min(meff) AS mn, list_max(meff) AS mx,
+            list_position(page_ids, list_min(meff)) AS i_min,
+            list_position(page_ids, list_max(meff)) AS i_max
+          FROM fin
+        ),
+        fy AS (
+          SELECT *,
+            page_ids[CAST(greatest(i_min - 1 - {B.EXPAND_BEFORE_IDX}, 0) + 1
+                          AS BIGINT) :
+                     CAST(least(len(page_ids),
+                          i_max - 1 + {B.EXPAND_AFTER_IDX} + 1) AS BIGINT)]
+              AS expanded,
+            list_filter(page_ids, p -> p >= mn - {B.NUMERIC_BEFORE}
+              AND p <= mx + {B.NUMERIC_AFTER})[1:{B.MAX_PAGES_WITHOUT_BOUNDARIES}]
+              AS numeric_limited
+          FROM fx
+        ),
+        fz AS (
+          SELECT *,
+            CASE method
+              WHEN 'fallback_first5' THEN page_ids[1:{B.MAX_FALLBACK_PAGES}]
+              WHEN 'boundaries' THEN list_filter(page_ids,
+                p -> p >= start_page AND p <= end_page)
+                [1:{B.MAX_PAGES_WITH_BOUNDARIES}]
+              ELSE CASE WHEN len(expanded) > {B.MAX_PAGES_WITHOUT_BOUNDARIES}
+                   THEN numeric_limited ELSE expanded END
+            END AS final_pages
+          FROM fy
+        )
+        SELECT target_id, source, method,
+               array_to_string(list_transform(final_pages,
+                 p -> CAST(p AS VARCHAR)), ',') AS pages_csv,
+               CAST(len(final_pages) AS BIGINT) AS n_pages,
+               CASE WHEN len(matching) > 0 THEN CAST(start0 AS BIGINT) END
+                 AS start_char,
+               CASE WHEN len(matching) > 0 THEN CAST(end0 AS BIGINT) END
+                 AS end_char
+        FROM fz
+    """
 
 
 def _langid_sql() -> str:
