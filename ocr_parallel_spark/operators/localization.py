@@ -36,16 +36,67 @@ def tokenize(name_col: Column | str) -> Column:
     return F.array_distinct(F.concat(words, digits))
 
 
-def expand_variants(tokens_col: Column, synonyms: dict[str, list[str]]) -> Column:
-    """F3: union tokens with their synonym groups. The synonym dict ships
-    in the plan as a literal map (broadcast by value — it is tiny)."""
+# F3 synonym dictionary (the MECHANISM mirrors the reference's ~60-entry
+# map with reverse lookup, text_localization.py:14-112,142-165; the
+# CONTENT is generic data-engineering vocabulary, not the reference's
+# domain dictionary). Keys and values are pre-tokenized uppercase terms.
+GENERIC_SYNONYMS: dict[str, list[str]] = {
+    "MERGE": ["JOIN", "COMBINE"],
+    "SORT": ["ORDER", "ARRANGE"],
+    "SCAN": ["READ", "SWEEP"],
+    "ROW": ["RECORD", "TUPLE"],
+    "COLUMN": ["FIELD", "ATTRIBUTE"],
+    "TABLE": ["RELATION"],
+    "QUERY": ["STATEMENT"],
+    "FAST": ["QUICK", "RAPID"],
+    "SLOW": ["SLUGGISH"],
+    "BIG": ["LARGE", "HUGE"],
+    "SMALL": ["TINY"],
+    "BATCH": ["BULK"],
+    "STREAM": ["FLOW", "PIPE"],
+    "VECTOR": ["EMBEDDING"],
+    "HASH": ["DIGEST", "CHECKSUM"],
+    "KEY": ["INDEX"],
+    "GROUP": ["CLUSTER"],
+    "WINDOW": ["FRAME", "PANE"],
+    "VALUE": ["AMOUNT"],
+    "PART": ["SEGMENT", "PIECE"],
+}
+
+
+def synonym_member_groups(
+    synonyms: dict[str, list[str]],
+) -> dict[str, list[str]]:
+    """Member -> full synonym group, covering BOTH directions of the
+    reference's lookup (text_localization.py:154-163): a KEY token adds
+    its synonyms (forward); a VALUE token adds the key and all its
+    synonyms (reverse). A token appearing in several groups gets their
+    union. Shared with the SQL oracle generator so both engines expand
+    identically."""
+    member_groups: dict[str, set[str]] = {}
+    for key, vals in synonyms.items():
+        group = set([key, *vals])
+        for m in group:
+            member_groups.setdefault(m, set()).update(group)
+    return {m: sorted(g) for m, g in sorted(member_groups.items())}
+
+
+def expand_variants(
+    tokens_col: Column, synonyms: dict[str, list[str]] | None = None
+) -> Column:
+    """F3: union tokens with their synonym groups, forward AND reverse
+    (text_localization.py:142-165). The dict ships in the plan as a
+    literal map (broadcast by value — it is tiny)."""
+    if synonyms is None:
+        synonyms = GENERIC_SYNONYMS
     if not synonyms:
         return tokens_col
-    entries = []
-    for key, vals in synonyms.items():
-        group = sorted(set([key, *vals]))
-        entries.append((key, group))
-    pairs = [x for key, group in entries for x in (F.lit(key), F.array(*[F.lit(g) for g in group]))]
+    groups = synonym_member_groups(synonyms)
+    pairs = [
+        x
+        for member, group in groups.items()
+        for x in (F.lit(member), F.array(*[F.lit(g) for g in group]))
+    ]
     syn_map = F.create_map(*pairs)
     expanded = F.flatten(
         F.transform(

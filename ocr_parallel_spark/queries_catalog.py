@@ -431,6 +431,173 @@ def q_full_process_capped(spark, sf_dir):
     )
 
 
+def _shingles(norm_col, k: int = 3):
+    """Distinct word k-shingles of a normalized text column — the exact
+    set the MinHash signature approximates (kernel/simhash.py)."""
+    toks = F.split(norm_col, " ")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_minhash_recall(spark, sf_dir):
+    """Driver-visible recall gate for the MinHash LSH scale path: plant
+    drifted near-copies (known ground truth), compute the EXACT
+    shingle-Jaccard truth set (>= 0.5) — which the oracle recomputes in
+    SQL — and assert LSH candidate recall >= 0.9 as an exact-checked row.
+    Only oracle-computable numbers are emitted; the recall itself is
+    pinned as a boolean threshold (the approximate side cannot run in
+    SQL, its pass/fail can)."""
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "norm")
+    )
+    drifted = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("norm"), F.lit(" drift tail token")).alias("norm"),
+    )
+    corpus = base.unionByName(drifted).select(
+        F.col("doc_id").cast("string").alias("url"), F.col("norm").alias("text")
+    )
+    sh = corpus.select("url", _shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("url").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("url").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter((union > 0) & (inter * 2 >= union))  # jaccard >= 0.5 exact
+        .select("id_a", "id_b")
+    )
+    cands = minhash_candidate_pairs(corpus, "text", "url")
+    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .select(
+            "n_docs",
+            "n_truth",
+            F.when(F.col("n_truth") == 0, F.lit(True))
+            .otherwise(F.col("_n_hit") * 10 >= F.col("n_truth") * 9)
+            .alias("recall_ok"),
+        )
+    )
+
+
+def q_ann_recall(spark, sf_dir):
+    """Driver-visible recall gate for both ANN scale paths: brute-force
+    top-5 for 10 queries is the truth (its size is recomputed by the SQL
+    oracle); sign-LSH and IVF recall against it are pinned as boolean
+    thresholds (>= 0.3, the guaranteed floor under 4 planes / nprobe 3 —
+    tests/test_multimodal.py pins the same)."""
+    from ocr_parallel_spark.functions.similarity import (
+        deterministic_centroids,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "vec_id")
+    lsh = lsh_topk(emb, queries_df, k=5, dim=64, n_planes=4).select(
+        "query_id", "vec_id"
+    )
+    ivf = ivf_topk(
+        emb, queries_df, deterministic_centroids(emb, n_cells=8), k=5, nprobe=3
+    ).select("query_id", "vec_id")
+    lsh_hits = exact.join(lsh, ["query_id", "vec_id"], "left_semi")
+    ivf_hits = exact.join(ivf, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(lsh_hits.agg(F.count(F.lit(1)).alias("_lsh")))
+        .crossJoin(ivf_hits.agg(F.count(F.lit(1)).alias("_ivf")))
+        .select(
+            "n_truth",
+            (F.col("_lsh") * 10 >= F.col("n_truth") * 3).alias("lsh_recall_ok"),
+            (F.col("_ivf") * 10 >= F.col("n_truth") * 3).alias("ivf_recall_ok"),
+        )
+    )
+
+
+def q_pipeline_counts(spark, sf_dir):
+    """Driver-visible companion for the Arrow extraction pipeline: its
+    row accounting (survivors after keep-first url dedup, error rows,
+    exact-dup marks) is exactly predictable from the synthesis rules
+    (pages.py: url dup doc_id%10==9, error %50==7, content dup %20==13),
+    which the DuckDB oracle re-derives independently from documents."""
+    from ocr_parallel_spark.pages import synthesize_pages
+    from ocr_parallel_spark.pipeline import run_extraction_pipeline
+
+    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+    out = run_extraction_pipeline(pages)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("status") == "error", 1)).alias("n_error"),
+        F.count(F.when(F.col("is_exact_dup"), 1)).alias("n_exact_dup"),
+    )
+
+
+# F3 variant-expansion targets: raw NAMES (tokenize exercises dashes and
+# digit runs). Chosen so synonym expansion visibly changes outcomes on the
+# corpus: "order arrange" flips UNMATCHED->MATCHED via REVERSE lookup
+# (ORDER/ARRANGE are values of key SORT; the corpus has order+sort);
+# "window frame" shows score dilution (FRAME/PANE absent from corpus).
+VARIANT_TARGETS = [
+    (1, "join zebra"),
+    (2, "order arrange"),
+    (3, "sort order"),
+    (4, "tuple record"),
+    (5, "merge join - 12"),
+    (6, "window frame"),
+]
+
+
+def q_localization_variants(spark, sf_dir):
+    """F3 end-to-end (text_localization.py:142-165 mechanism): tokenize
+    raw target names (F2), expand via the committed generic synonym map
+    with forward AND reverse lookup, score against documents with full F4
+    semantics — emitting raw and expanded scores side by side so the
+    expansion's effect on match outcomes is oracle-pinned."""
+    from ocr_parallel_spark.operators.localization import (
+        expand_variants,
+        match_score,
+        tokenize,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "norm")
+    targets = spark.createDataFrame(
+        VARIANT_TARGETS, "target_id int, name string"
+    ).select(
+        "target_id",
+        tokenize("name").alias("raw_tokens"),
+        expand_variants(tokenize("name")).alias("exp_tokens"),
+    )
+    j = docs.crossJoin(F.broadcast(targets))
+    raw_s = match_score(F.col("raw_tokens"), F.col("norm"))
+    exp_s = match_score(F.col("exp_tokens"), F.col("norm"))
+    return j.select(
+        "target_id",
+        "doc_id",
+        F.round(raw_s, 4).alias("score_raw"),
+        F.round(exp_s, 4).alias("score_expanded"),
+        (raw_s >= 0.6).alias("matched_raw"),
+        (exp_s >= 0.6).alias("matched_expanded"),
+    )
+
+
 # Corpus-derived boundary markers for the F5-F7 refinement composite.
 # The reference's markers are Spanish legal section headers
 # (text_localization.py:352-358,430-441); post-F1 normalization its
@@ -707,6 +874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_process": q_full_process,
         "full_process_capped": q_full_process_capped,
         "full_process_boundaries": q_full_process_boundaries,
+        "localization_variants": q_localization_variants,
+        "minhash_recall": q_minhash_recall,
+        "ann_recall": q_ann_recall,
+        "pipeline_counts": q_pipeline_counts,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
@@ -915,6 +1086,77 @@ def oracle_sql() -> dict[str, str]:
         "langid": _langid_sql(),
         "quality": _quality_sql(),
         "full_process_boundaries": _boundaries_sql(),
+        "localization_variants": _variants_sql(),
+        # Recall gates: the truth-set sizes are REAL cross-checks (exact
+        # shingle-Jaccard / brute-force top-k recomputed in SQL); the
+        # recall_ok booleans pin the approximate paths' pass/fail — the
+        # driver goes red if Spark's recall drops below the floor.
+        "minhash_recall": f"""
+            WITH {_DOCS_CTE},
+            base AS (SELECT doc_id, norm FROM docs WHERE doc_id < 250),
+            corpus AS (
+              SELECT CAST(doc_id AS VARCHAR) AS url, norm AS text FROM base
+              UNION ALL
+              SELECT CAST(doc_id + 100000 AS VARCHAR),
+                     norm || ' drift tail token'
+              FROM base WHERE doc_id % 5 = 0
+            ),
+            sh AS (
+              SELECT url,
+                CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                  list_distinct(list_transform(
+                    range(1, CAST(len(string_split(text, ' ')) - 1 AS BIGINT)),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2]))
+                ELSE [] END AS s
+              FROM corpus
+            ),
+            truth AS (
+              SELECT a.url AS id_a, b.url AS id_b
+              FROM sh a JOIN sh b ON a.url < b.url
+              WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                AND 2 * len(list_intersect(a.s, b.s)) >=
+                    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_truth,
+                   TRUE AS recall_ok
+            FROM truth
+        """,
+        "ann_recall": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id < 10
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS cs
+              FROM embeddings e CROSS JOIN q
+            ),
+            t AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rk
+                FROM s) WHERE rk <= 5
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_truth,
+                   TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+            FROM t
+        """,
+        # The pipeline's row accounting re-derived from the synthesis
+        # rules (pages.py): url dups doc_id%10==9 are dropped by
+        # keep-first, errors are %50==7 survivors, exact-dup marks are
+        # the %20==13 content copies (one mark per copy pair).
+        "pipeline_counts": """
+            SELECT CAST(count(*) FILTER (WHERE doc_id % 10 != 9)
+                     AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (WHERE doc_id % 10 != 9
+                     AND doc_id % 50 = 7) AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE doc_id % 20 = 13
+                     AND doc_id >= 1) AS BIGINT) AS n_exact_dup
+            FROM documents
+        """,
         "token_counts": f"""
             WITH {_DOCS_CTE}
             SELECT doc_id,
@@ -1180,6 +1422,71 @@ def oracle_sql() -> dict[str, str]:
             JOIN tot t ON t.media_id = m.media_id
         """,
     }
+
+
+def _variants_sql() -> str:
+    """DuckDB twin of q_localization_variants: F2 tokenization, F3
+    forward+reverse synonym expansion (the member->group mapping is
+    generated from the SAME dict as the Spark plan), F4 scoring."""
+    from ocr_parallel_spark.operators.localization import (
+        GENERIC_SYNONYMS,
+        synonym_member_groups,
+    )
+
+    targets_sql = "vt(target_id, name) AS (VALUES " + ", ".join(
+        f"({tid}, {name!r})" for tid, name in VARIANT_TARGETS
+    ) + ")"
+    case = "CASE t " + " ".join(
+        f"WHEN {m!r} THEN [{', '.join(repr(g) for g in grp)}]"
+        for m, grp in synonym_member_groups(GENERIC_SYNONYMS).items()
+    ) + " ELSE [t] END"
+
+    def score(tokens: str) -> str:
+        hits = f"""list_sum(list_transform({tokens}, tok ->
+            CASE WHEN regexp_matches(tok, '^\\d+$')
+                 THEN CASE WHEN regexp_matches(upper(d.norm),
+                        '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                 ELSE CASE WHEN contains(upper(d.norm), tok)
+                      THEN 1 ELSE 0 END
+            END))"""
+        return (
+            f"CASE WHEN len({tokens}) > 0 THEN "
+            f"CAST({hits} AS DOUBLE) / len({tokens}) ELSE 0.0 END"
+        )
+
+    return f"""
+        WITH {_DOCS_CTE},
+        {targets_sql},
+        tok AS (
+          SELECT target_id,
+                 list_distinct(list_concat(
+                   list_filter(
+                     string_split_regex(
+                       regexp_replace(
+                         regexp_replace(upper(trim(name)), '\\s+', ' ', 'g'),
+                         '\\s*-\\s*', ' ', 'g'),
+                       '[\\s\\-_,]+'),
+                     t -> length(t) >= 2),
+                   regexp_extract_all(name, '(\\d+)', 1))) AS raw_tokens
+          FROM vt
+        ),
+        exp AS (
+          SELECT target_id, raw_tokens,
+                 list_distinct(flatten(list_transform(raw_tokens,
+                   t -> {case}))) AS exp_tokens
+          FROM tok
+        ),
+        s AS (
+          SELECT e.target_id, d.doc_id,
+                 {score('e.raw_tokens')} AS sr,
+                 {score('e.exp_tokens')} AS se
+          FROM docs d CROSS JOIN exp e
+        )
+        SELECT target_id, doc_id,
+               round(sr, 4) AS score_raw, round(se, 4) AS score_expanded,
+               sr >= 0.6 AS matched_raw, se >= 0.6 AS matched_expanded
+        FROM s
+    """
 
 
 def _boundaries_sql() -> str:

@@ -97,6 +97,49 @@ def test_expand_variants_includes_synonyms(spark):
     assert "APARTAMENTO" in out and "APTO" in out and "5" in out
 
 
+def test_expand_variants_reverse_lookup_flips_match(spark):
+    """F3 reverse lookup (text_localization.py:159-163): a token that is
+    a synonym VALUE pulls in the key and the whole group — and that
+    changes a match outcome at threshold 0.6. 'ORDER ARRANGE' raw scores
+    1/2 = 0.5 (no match); expanded to {ORDER, ARRANGE, SORT} it scores
+    2/3 = 0.667 (match) against text containing 'order' and 'sort'."""
+    from ocr_parallel_spark.operators.localization import match_score
+
+    syn = {"SORT": ["ORDER", "ARRANGE"]}
+    df = spark.createDataFrame(
+        [("order arrange", "the sort and order of things")], "name string, text string"
+    )
+    row = df.select(
+        match_score(tokenize("name"), F.col("text")).alias("raw"),
+        match_score(expand_variants(tokenize("name"), syn), F.col("text")).alias(
+            "exp"
+        ),
+    ).collect()[0]
+    assert row.raw < 0.6 <= row.exp
+
+    # forward direction: key token pulls in its values
+    out = (
+        spark.createDataFrame([("sort",)], "name string")
+        .select(expand_variants(tokenize("name"), syn).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert set(out) == {"SORT", "ORDER", "ARRANGE"}
+
+
+def test_localization_variants_query_shows_flips(spark, sf_dir):
+    """The oracle-gated F3 query exposes expansion changing outcomes on
+    the corpus in BOTH directions: some (target, doc) pairs flip
+    unmatched->matched (reverse lookup) and the dilution direction
+    exists too (expanded score below raw score)."""
+    from ocr_parallel_spark.queries_catalog import q_localization_variants
+
+    rows = q_localization_variants(spark, sf_dir).collect()
+    up = [r for r in rows if not r.matched_raw and r.matched_expanded]
+    down = [r for r in rows if r.score_expanded < r.score_raw]
+    assert up, "expansion never flipped a match on the corpus"
+    assert down, "expansion never diluted a score"
+
+
 def test_match_threshold_word_and_digit(spark):
     """2 of 3 tokens (0.667 >= 0.6) matches; digit needs word boundary
     (text_localization.py:168-199)."""
