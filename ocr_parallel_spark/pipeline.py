@@ -17,7 +17,8 @@ table the payload shuffle would dominate the job; re-extracting the ~10%
 duplicate-url rows is far cheaper. Results are identical because the
 kernel is deterministic and keep-first picks the same (url, min warc_ts)
 winner either way. Set ``dedup_before_extract=True`` to restore the
-reference's order (useful when dup rates are extreme).
+reference's order (useful when dup rates are extreme), or ``"auto"`` to
+let the X8 chooser pick from a sampled dup-rate estimate.
 """
 
 from __future__ import annotations
@@ -33,13 +34,57 @@ from ocr_parallel_spark.operators.neardup import mark_simhash_near_dups
 
 _OBS_SEQ = 0
 
+# X8 chooser: above this estimated duplicate-url rate, dropping dups
+# BEFORE the kernel wins — re-extracting that many duplicate payloads
+# costs more than shuffling the (deduped) payload bytes once. The
+# reference's analog is its batch-size<200 model switch (config.py:36-43):
+# a cheap, observable statistic choosing between two execution paths.
+DEDUP_FIRST_THRESHOLD = 0.3
+
+
+def estimate_dup_rate(
+    pages: DataFrame,
+    id_col: str = "url",
+    key_mod: int = 20,
+) -> float:
+    """Cheap sampled duplicate-rate estimate over 1/key_mod of the KEY
+    SPACE: a deterministic hash-bucket filter keeps ALL copies of the
+    selected urls, so distinct/count is unbiased — a Bernoulli ROW sample
+    would rarely co-sample two copies of the same url and systematically
+    underestimate the rate. Column-pruned scan of the key only (payload
+    bytes never read), map-side HyperLogLog distinct, one small job —
+    the same shape as the 8-row centroid seed: a deliberate, bounded
+    driver step, not a hot-path collect."""
+    s = pages.select(id_col).filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(key_mod)) == 0
+    )
+    row = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(id_col).alias("d"),
+    ).first()
+    if not row or not row["n"]:
+        return 0.0
+    return max(0.0, 1.0 - row["d"] / row["n"])
+
+
+def choose_dedup_before_extract(
+    pages: DataFrame,
+    id_col: str = "url",
+    threshold: float = DEDUP_FIRST_THRESHOLD,
+) -> bool:
+    """X8 cost-based path selection (SURVEY §2.9): dedup-first when the
+    sampled dup rate crosses the threshold. Results are identical either
+    way (the kernel is deterministic and keep-first picks the same
+    winner); only the plan shape changes — pytest pins both facts."""
+    return estimate_dup_rate(pages, id_col) >= threshold
+
 
 def run_extraction_pipeline(
     pages: DataFrame,
     max_bytes: int = MAX_PAYLOAD_BYTES,
     near_dups: bool = True,
     repartition: bool = False,
-    dedup_before_extract: bool = False,
+    dedup_before_extract: bool | str = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) -> extraction results.
 
@@ -48,6 +93,8 @@ def run_extraction_pipeline(
     is_exact_dup, rep_url [, is_near_dup, near_rep].
     """
     capped = filter_oversized(pages, "html", max_bytes)
+    if dedup_before_extract == "auto":  # X8: stats-driven path choice
+        dedup_before_extract = choose_dedup_before_extract(capped)
     # Keep-first by url: earliest crawl wins, deterministic at any
     # parallelism (D2 — NOT dropDuplicates).
     if dedup_before_extract:

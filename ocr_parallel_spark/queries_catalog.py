@@ -532,6 +532,33 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_capped_details(spark, sf_dir):
+    """A2 detail lists (extractor_service.py:298-329; error-list cap
+    ocr_service.py:523-528): per-group aggregates PLUS a detail list
+    truncated to the first 20 entries — collect_list sorted for
+    determinism, sliced, serialized to one string (hashable for the
+    driver's canonical compare; a consumer wanting the array keeps the
+    slice output)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    details = F.array_join(
+        F.transform(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("doc_id", "n_chars"))),
+                1,
+                20,
+            ),
+            lambda s: F.concat_ws(
+                ":", s["doc_id"].cast("string"), s["n_chars"].cast("string")
+            ),
+        ),
+        ";",
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        details.alias("first20_details"),
+    )
+
+
 def q_pipeline_counts(spark, sf_dir):
     """Driver-visible companion for the Arrow extraction pipeline: its
     row accounting (survivors after keep-first url dedup, error rows,
@@ -878,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "ann_recall": q_ann_recall,
         "pipeline_counts": q_pipeline_counts,
+        "capped_details": q_capped_details,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
@@ -1148,6 +1176,21 @@ def oracle_sql() -> dict[str, str]:
         # rules (pages.py): url dups doc_id%10==9 are dropped by
         # keep-first, errors are %50==7 survivors, exact-dup marks are
         # the %20==13 content copies (one mark per copy pair).
+        "capped_details": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY doc_id, n_chars) AS rk
+              FROM documents
+            )
+            SELECT source,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents d
+                    WHERE d.source = r.source) AS n_rows,
+                   string_agg(CASE WHEN rk <= 20
+                     THEN doc_id || ':' || n_chars END, ';'
+                     ORDER BY doc_id, n_chars) AS first20_details
+            FROM r GROUP BY source
+        """,
         "pipeline_counts": """
             SELECT CAST(count(*) FILTER (WHERE doc_id % 10 != 9)
                      AS BIGINT) AS n_rows,

@@ -109,3 +109,31 @@ def test_determinism_across_parallelism(spark, sf_dir):
     a = sorted(map(tuple, r1.select(*cols).collect()))
     b = sorted(map(tuple, r2.select(*cols).collect()))
     assert a == b
+
+
+def test_x8_chooser_flips_on_dup_rate_and_results_identical(spark, sf_dir):
+    """X8 stats-driven path choice: a high-dup input flips the chooser to
+    dedup-first (the reference's cheap-statistic model switch,
+    config.py:36-43 analog); pipeline results are identical either way."""
+    from ocr_parallel_spark.pipeline import choose_dedup_before_extract
+
+    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+    # synthesized pages: ~10% url dups -> extract-first wins
+    assert choose_dedup_before_extract(pages, threshold=0.3) is False
+
+    # replicate every row 3x -> dup rate ~2/3 -> dedup-first wins
+    reps = spark.range(3).select(F.col("id").alias("_r"))
+    high_dup = pages.crossJoin(reps).drop("_r")
+    assert choose_dedup_before_extract(high_dup, threshold=0.3) is True
+
+    # results identical under either plan (deterministic kernel +
+    # keep-first): compare full output sets on a small slice
+    small = pages.limit(120)
+    cols = ["url", "status", "text", "content_sha256", "is_exact_dup"]
+    a = run_extraction_pipeline(small, near_dups=False,
+                                dedup_before_extract=True)
+    b = run_extraction_pipeline(small, near_dups=False,
+                                dedup_before_extract="auto")
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
