@@ -532,6 +532,69 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_simhash_recall(spark, sf_dir):
+    """Driver-visible recall gate for SimHash near-dup marking: plant a
+    drifted copy (3-word tail) of every per-source concatenated document
+    and pin that >= 90% get flagged. Doc SIZE matters: SimHash majority
+    margins grow ~sqrt(shingles), so Hamming<=3 reliably catches few-token
+    drift on page-scale (~1.5k-token) docs but NOT on ~300-token ones
+    (measured: 0.95+ vs ~0.3 recall) — the gate uses the realistic size.
+    n_docs/n_planted are recomputed by the SQL oracle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ocr_parallel_spark.kernel.simhash import simhash64
+    from ocr_parallel_spark.operators.neardup import mark_simhash_near_dups
+
+    base = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "norm"))),
+                    lambda s: s["norm"],
+                ),
+            ).alias("norm")
+        )
+        .select(F.col("source").alias("url"), "norm")
+    )
+    drifted = base.select(
+        F.concat(F.col("url"), F.lit("~drift")).alias("url"),
+        F.concat(F.col("norm"), F.lit(" drift tail token")).alias("norm"),
+    )
+    corpus = base.unionByName(drifted)
+
+    def hashes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vals = [
+                (v - (1 << 64) if (v := simhash64(t or "")) >= (1 << 63) else v)
+                for t in pdf["norm"]
+            ]
+            yield pd.DataFrame({"url": pdf["url"], "simhash": vals})
+
+    hashed = corpus.mapInPandas(hashes, schema="url string, simhash bigint")
+    marked = mark_simhash_near_dups(hashed, "simhash", "url")
+    caught = marked.filter(
+        F.col("url").endswith("~drift") & F.col("is_near_dup")
+    )
+    planted = corpus.filter(F.col("url").endswith("~drift"))
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(planted.agg(F.count(F.lit(1)).alias("n_planted")))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("_n_caught")))
+        .select(
+            "n_docs",
+            "n_planted",
+            F.when(F.col("n_planted") == 0, F.lit(True))
+            .otherwise(F.col("_n_caught") * 10 >= F.col("n_planted") * 9)
+            .alias("recall_ok"),
+        )
+    )
+
+
 def q_capped_details(spark, sf_dir):
     """A2 detail lists (extractor_service.py:298-329; error-list cap
     ocr_service.py:523-528): per-group aggregates PLUS a detail list
@@ -906,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "pipeline_counts": q_pipeline_counts,
         "capped_details": q_capped_details,
+        "simhash_recall": q_simhash_recall,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
@@ -1171,6 +1235,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_truth,
                    TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
             FROM t
+        """,
+        "simhash_recall": """
+            SELECT CAST(2 * count(DISTINCT source) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_planted,
+                   TRUE AS recall_ok
+            FROM documents
         """,
         # The pipeline's row accounting re-derived from the synthesis
         # rules (pages.py): url dups doc_id%10==9 are dropped by
