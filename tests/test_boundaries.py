@@ -327,3 +327,51 @@ def test_randomized_agreement(spark, seed):
             pages[p] = " ".join(words)
         cases.append((pages, toks, toks[0]))
     _check(spark, cases)
+
+
+def test_large_document_scan_is_not_quadratic(spark):
+    """Scale guard: a single 800-page (~120 KB text) group must refine in
+    seconds. Before the segmented window extraction this was minutes —
+    UTF8String resolves char offsets by walking from position 0, so
+    direct substring windows cost O(windows x position). The mirror
+    (linear Python) cross-checks the answer at the same size."""
+    import time
+
+    pages = {
+        p: _page(f"unique words here {p} {'filler body text ' * 5}", pad=150)
+        for p in range(800)
+    }
+    pages[400] = _page("XRAY YANKEE qqstart alpha XRAY YANKEE details")
+    pages[402] = _page("more body qqend beta closing")
+    cases = [(pages, ["XRAY", "YANKEE"], "XRAY")]
+    t0 = time.time()
+    got = _run_spark(spark, cases)
+    wall = time.time() - t0
+    method, pages_, start, end = _mirror_refine(*cases[0])
+    r = got[0]
+    assert (r.method, r.start_char, r.end_char) == (method, start, end)
+    assert r.pages_csv == ",".join(str(p) for p in pages_)
+    # generous bound: ~3 s typical with segments, minutes without
+    assert wall < 60, f"boundary scan took {wall:.0f}s — quadratic regression?"
+
+
+def test_refine_plan_shape(spark):
+    """Plan guard: one broadcast join for targets, no row-at-a-time
+    Python, no SortMergeJoin on the candidates path, and the window
+    scans are expression work above a single aggregate."""
+    cand = spark.createDataFrame(
+        [(1, "s", 0), (1, "s", 1)], "target_id int, source string, doc_id bigint"
+    )
+    pages = spark.createDataFrame(
+        [(0, "alpha text"), (1, "beta text")], "doc_id bigint, norm string"
+    )
+    targets = spark.createDataFrame(
+        [(1, ["ALPHA"], "ALPHA")], "target_id int, tokens array<string>, anchor string"
+    )
+    out = B.refine_pages_with_boundaries(
+        cand, pages, targets, START_MARKERS, AFTER_MARKERS, BEFORE_MARKERS
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p  # zero Python on this operator
