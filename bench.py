@@ -51,6 +51,7 @@ HEADLINE = [
     "salted_rollup",
     "media_meta",
     "simhash_near_dups",
+    "corpus_curation",
 ]
 
 

@@ -532,6 +532,45 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The canonical training-corpus curation flow as ONE plan: language
+    filter -> quality thresholds -> exact content dedup, each drop
+    tagged with its reason (first failing check wins: lang, too_short,
+    low_alpha, dup). Thresholds are integer cross-multiplications (2 *
+    alpha_chars >= n_chars for the 0.5 ratio) so the oracle compare has
+    zero float exposure. One stopword-expression projection + one keyed
+    window — curation of 10^12 docs is a scan plus a single shuffle."""
+    from ocr_parallel_spark.functions.text_quality import detect_lang
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("norm"))), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars_norm = F.length("norm")
+    alpha_chars = F.length(F.regexp_replace(F.lower(F.col("norm")), r"[^a-z]", ""))
+    w = Window.partitionBy(F.sha2(F.col("norm"), 256)).orderBy("doc_id")
+    d = d.select(
+        "doc_id",
+        detect_lang("norm").alias("pred_lang"),
+        n_tokens.alias("n_tokens"),
+        n_chars_norm.alias("_nc"),
+        alpha_chars.alias("_ac"),
+        (F.row_number().over(w) > 1).alias("_dup"),
+    )
+    reason = (
+        F.when(F.col("pred_lang") != "en", F.lit("lang"))
+        .when(F.col("n_tokens") < 30, F.lit("too_short"))
+        .when(F.col("_ac") * 2 < F.col("_nc"), F.lit("low_alpha"))
+        .when(F.col("_dup"), F.lit("dup"))
+    )
+    return d.select(
+        "doc_id",
+        "pred_lang",
+        "n_tokens",
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+    )
+
+
 def q_simhash_recall(spark, sf_dir):
     """Driver-visible recall gate for SimHash near-dup marking: plant a
     drifted copy (3-word tail) of every per-source concatenated document
@@ -970,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_counts": q_pipeline_counts,
         "capped_details": q_capped_details,
         "simhash_recall": q_simhash_recall,
+        "corpus_curation": q_corpus_curation,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
@@ -1236,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
             FROM t
         """,
+        "corpus_curation": _curation_sql(),
         "simhash_recall": """
             SELECT CAST(2 * count(DISTINCT source) AS BIGINT) AS n_docs,
                    CAST(count(DISTINCT source) AS BIGINT) AS n_planted,
@@ -1599,6 +1640,52 @@ def _variants_sql() -> str:
                round(sr, 4) AS score_raw, round(se, 4) AS score_expanded,
                sr >= 0.6 AS matched_raw, se >= 0.6 AS matched_expanded
         FROM s
+    """
+
+
+def _curation_sql() -> str:
+    """DuckDB twin of q_corpus_curation (langid + quality + dedup with
+    first-failing-reason semantics; integer-exact thresholds)."""
+    from ocr_parallel_spark.functions.text_quality import (
+        LANG_PRECEDENCE,
+        STOPWORDS,
+    )
+
+    hits_select = ", ".join(
+        "len(list_filter(string_split(lower(trim(norm)), ' '), "
+        f"t -> t IN ({', '.join(repr(w) for w in STOPWORDS[lang])}))) AS h_{lang}"
+        for lang in LANG_PRECEDENCE
+    )
+    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_PRECEDENCE) + ")"
+    case = "CASE "
+    for lang in LANG_PRECEDENCE:
+        case += f"WHEN best > 0 AND h_{lang} = best THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+        WITH {_DOCS_CTE},
+        h AS (SELECT doc_id, norm, {hits_select} FROM docs),
+        b AS (SELECT *, {greatest} AS best FROM h),
+        l AS (SELECT doc_id, norm, {case} AS pred_lang FROM b),
+        q AS (
+          SELECT doc_id, pred_lang,
+                 CAST(len(string_split(lower(trim(norm)), ' ')) AS INT)
+                   AS n_tokens,
+                 length(norm) AS nc,
+                 length(regexp_replace(lower(norm), '[^a-z]', '', 'g')) AS ac,
+                 row_number() OVER (PARTITION BY sha256(norm)
+                   ORDER BY doc_id) > 1 AS dup
+          FROM l
+        ),
+        r AS (
+          SELECT *, CASE WHEN pred_lang != 'en' THEN 'lang'
+                    WHEN n_tokens < 30 THEN 'too_short'
+                    WHEN ac * 2 < nc THEN 'low_alpha'
+                    WHEN dup THEN 'dup' END AS drop_reason
+          FROM q
+        )
+        SELECT doc_id, pred_lang, n_tokens,
+               drop_reason IS NULL AS kept, drop_reason
+        FROM r
     """
 
 
