@@ -303,6 +303,28 @@ def test_section_end_paragraph_branch(spark):
     _check(spark, cases)
 
 
+def test_multibyte_chars_keep_char_offsets(spark):
+    """Boundary positions are CHAR offsets, not byte offsets: multi-byte
+    text before the markers must not shift start/end. The mirror works in
+    Python chars; Spark substring/locate/length are char-based on UTF-8 —
+    this pins that no byte-based shortcut sneaks in."""
+    cases = [
+        (
+            {
+                0: _page("café résumé naïve Ünïcödé déjà vu " * 4),
+                1: _page("PÄPA QÜEBEC qqstart alpha PÄPA QÜEBEC détails"),
+                2: _page("more body qqend beta closing déjà"),
+            },
+            ["PÄPA", "QÜEBEC"],
+            "PÄPA",
+        ),
+    ]
+    _check(spark, cases)
+    # sanity: the text really is multi-byte (chars != bytes)
+    t = cases[0][0][0]
+    assert len(t.encode("utf-8")) > len(t)
+
+
 @pytest.mark.parametrize("seed", [7, 42])
 def test_randomized_agreement(spark, seed):
     rng = random.Random(seed)
