@@ -2,13 +2,15 @@
 """Package + spark-submit entrypoint (north_star packaging requirement).
 
 Builds the ``--py-files`` zip of ocr_parallel_spark and either prints the
-spark-submit command (default) or execs it (``--run``). The job script is
-``scripts/job_extract.py`` — the production batch: read pages parquet/
-Iceberg table -> extraction pipeline -> snapshot-committed output with
-lineage, resumable.
+spark-submit command (default) or execs it (``--run``). The default job
+script is ``scripts/job_extract.py`` — the production batch: read pages
+parquet/Iceberg table -> extraction pipeline -> snapshot-committed output
+with lineage, resumable. ``--job full-process --targets targets.csv``
+submits ``scripts/job_full_process.py`` instead (the SURVEY §3.3
+composite: chunk -> localize -> boundary refine -> commit).
 
     python scripts/submit.py --input /data/pages --output /data/results \
-        [--master spark://...] [--run]
+        [--job full-process --targets t.csv] [--master spark://...] [--run]
 """
 
 from __future__ import annotations
@@ -41,7 +43,16 @@ def main() -> None:
     ap.add_argument("--zip", default="/tmp/ocr_parallel_spark.zip")
     ap.add_argument("--executor-memory", default="4g")
     ap.add_argument("--run", action="store_true", help="exec spark-submit")
+    ap.add_argument(
+        "--job",
+        choices=["extract", "full-process"],
+        default="extract",
+        help="which batch job to submit",
+    )
+    ap.add_argument("--targets", help="targets CSV (full-process job only)")
     args = ap.parse_args()
+    if args.job == "full-process" and not args.targets:
+        ap.error("--job full-process requires --targets")
 
     zip_path = build_zip(pathlib.Path(args.zip))
     cmd = [
@@ -54,10 +65,16 @@ def main() -> None:
         "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
         "--conf", "spark.sql.files.maxPartitionBytes=16m",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=2048",
-        str(REPO / "scripts" / "job_extract.py"),
+        str(
+            REPO
+            / "scripts"
+            / ("job_extract.py" if args.job == "extract" else "job_full_process.py")
+        ),
         "--input", args.input,
         "--output", args.output,
     ]
+    if args.job == "full-process":
+        cmd += ["--targets", args.targets]
     print(" ".join(cmd))
     if args.run:
         env = dict(os.environ)
