@@ -219,9 +219,14 @@ def refine_pages_with_boundaries(
     )
 
     # Per-page re-match: FULL F4 semantics (digit tokens word-bounded),
-    # exact integer threshold comparison.
-    upper = F.upper(F.col("norm"))
-    wordified = wordify(upper)
+    # exact integer threshold comparison. The derived texts are
+    # materialized as columns first — referenced inside the aggregate
+    # lambda they would re-evaluate (upper + the wordify regex) per token.
+    j = j.withColumn("_pg_upper", F.upper(F.col("norm"))).withColumn(
+        "_pg_wordified", wordify(F.col("_pg_upper"))
+    )
+    upper = F.col("_pg_upper")
+    wordified = F.col("_pg_wordified")
     hits = F.aggregate(
         F.col("tokens"),
         F.lit(0),

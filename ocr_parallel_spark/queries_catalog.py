@@ -702,11 +702,20 @@ def q_localization_variants(spark, sf_dir):
     expansion's effect on match outcomes is oracle-pinned."""
     from ocr_parallel_spark.operators.localization import (
         expand_variants,
-        match_score,
         tokenize,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "norm")
+    from ocr_parallel_spark.operators.localization import wordify
+
+    # Materialize the derived texts ONCE per doc row BEFORE the cross
+    # join: referenced inside the scoring lambda they would re-evaluate
+    # (upper + the wordify regex) per token per (doc, target) pair.
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "norm")
+        .withColumn("_upper", F.upper(F.col("norm")))
+        .withColumn("_wordified", wordify(F.col("_upper")))
+    )
     targets = spark.createDataFrame(
         VARIANT_TARGETS, "target_id int, name string"
     ).select(
@@ -715,8 +724,28 @@ def q_localization_variants(spark, sf_dir):
         expand_variants(tokenize("name")).alias("exp_tokens"),
     )
     j = docs.crossJoin(F.broadcast(targets))
-    raw_s = match_score(F.col("raw_tokens"), F.col("norm"))
-    exp_s = match_score(F.col("exp_tokens"), F.col("norm"))
+
+    def score(tokens_col):
+        hits = F.aggregate(
+            tokens_col,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                t.rlike(r"^\d+$"),
+                F.when(
+                    F.col("_wordified").contains(
+                        F.concat(F.lit(" "), t, F.lit(" "))
+                    ),
+                    1,
+                ).otherwise(0),
+            ).otherwise(F.when(F.col("_upper").contains(t), 1).otherwise(0)),
+        )
+        return F.when(
+            F.size(tokens_col) > 0, hits / F.size(tokens_col)
+        ).otherwise(F.lit(0.0))
+
+    raw_s = score(F.col("raw_tokens"))
+    exp_s = score(F.col("exp_tokens"))
     return j.select(
         "target_id",
         "doc_id",
