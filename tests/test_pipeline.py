@@ -137,3 +137,35 @@ def test_x8_chooser_flips_on_dup_rate_and_results_identical(spark, sf_dir):
     assert sorted(map(tuple, a.select(cols).collect())) == sorted(
         map(tuple, b.select(cols).collect())
     )
+
+
+def test_hostile_charset_roundtrip(spark, tmp_path):
+    """Escaping guard: text containing PDF-literal and JSON metachars
+    (backslash, parens, quotes) must survive synthesis -> kernel ->
+    normalize byte-identically. doc_ids are chosen to hit the %FAKEPDF
+    (11 mod 40), real-%PDF (31 mod 40), and HTML flavors."""
+    import pandas as pd
+
+    hostile = 'weird (parens) and \\backslash\\ and "quotes" and \\n literal'
+    rows = [
+        (11, "srcH", hostile + " fakepdf flavor", "en", 40),
+        (31, "srcH", hostile + " realpdf flavor", "en", 40),
+        (12, "srcH", hostile + " html flavor", "en", 40),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "source", "text", "lang", "n_chars"]
+    )
+    d = str(tmp_path / "hostile")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+
+    pages = synthesize_pages(spark, d, with_expected=True)
+    result = run_extraction_pipeline(
+        pages.drop("expected_text", "doc_id"), near_dups=False
+    )
+    expected = {r.url: r.expected_text for r in pages.collect()}
+    got = {r.url: (r.status, r.text) for r in result.collect()}
+    assert len(got) == 3
+    for url, (status, text) in got.items():
+        assert status == "found", (url, status)
+        assert text == expected[url], url
+        assert "(parens)" in text and '"quotes"' in text and "\\backslash\\" in text
