@@ -24,10 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline subset: the flagship plus the operators that dominate a real
 # extraction run (dedup windows, chunking shuffle, theta join, LSH, ANN).
-# The capped O(n^2) baselines (embedding_neardup, and ngram_jaccard's
-# all-pairs core) are deliberately NOT headliners beyond their ~10% share:
-# they ground the approximate paths' correctness, not the scale story —
-# the similarity headline is the LSH/MinHash flow at a widened query load.
+# The capped O(n^2) baselines (embedding_neardup, ngram_jaccard) are NOT
+# headliners: they ground the approximate paths' correctness (still
+# oracle-gated every round), not the scale story — the similarity
+# headline is the LSH/MinHash flow at a widened query load. Under
+# neighbor noise ngram_jaccard alone swung to 22% of total wall.
 HEADLINE = [
     "extraction_pipeline",
     "extraction_pipeline_heavy",
@@ -40,7 +41,6 @@ HEADLINE = [
     "topk_per_group",
     "quality",
     "token_counts",
-    "ngram_jaccard",
     "minhash_lsh_pairs",
     "minhash_verified_pairs",
     "cosine_topk",
