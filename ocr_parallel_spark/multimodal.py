@@ -122,12 +122,14 @@ def byte_histogram_features(
             bin_idx = np.tile(np.arange(bins, dtype="int32"), len(pdf))
             counts = np.empty(len(pdf) * bins, dtype="int64")
             for i, b in enumerate(pdf[payload_col]):
-                arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
+                # empty/NULL payload -> all-zero histogram (no fabricated
+                # byte; the SQL oracle emits the same zero rows)
+                arr = np.frombuffer(b or b"", dtype=np.uint8)
                 counts[i * bins : (i + 1) * bins] = np.bincount(
                     arr >> 4, minlength=bins
                 )
             totals = counts.reshape(-1, bins).sum(axis=1)
-            weight = counts / np.repeat(totals, bins)
+            weight = counts / np.maximum(np.repeat(totals, bins), 1)
             yield pd.DataFrame(
                 {id_col: ids, "bin": bin_idx, "n": counts, "weight": weight}
             )

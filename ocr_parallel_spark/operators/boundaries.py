@@ -90,13 +90,19 @@ PAGE_SEP_LEN = 2  # the "\n\n" joiner
 def _first_marker_pos(window: Column, markers: list[str]) -> Column:
     """0-based position of the first occurrence of the highest-priority
     marker present in the window; NULL if none (F5 pattern loop with
-    break, :372-377)."""
-    expr = F.lit(None).cast("long")
-    for m in reversed(markers):
-        expr = F.when(F.locate(m, window) > 0, F.locate(m, window) - 1).otherwise(
-            expr
+    break, :372-377). ``nullif(locate, 0)`` evaluates each locate ONCE —
+    a when(locate>0, locate-1) form would scan the window twice per
+    marker, and HOF lambda bodies get no common-subexpression
+    elimination."""
+    return (
+        F.coalesce(
+            *[
+                F.nullif(F.locate(m, window).cast("long"), F.lit(0).cast("long"))
+                for m in markers
+            ]
         )
-    return expr
+        - 1
+    )
 
 
 # Segment size for the two-level window extraction. Spark's
@@ -212,31 +218,21 @@ def refine_pages_with_boundaries(
     Returns one row per (target_id, source): method, pages_csv, n_pages,
     start_char, end_char. One broadcast join + one keyed shuffle.
     """
-    from ocr_parallel_spark.operators.localization import wordify
+    from ocr_parallel_spark.operators.localization import match_hits, wordify
 
     j = candidates.join(pages, page_join_cols or ["doc_id"]).join(
         F.broadcast(targets), "target_id"
     )
 
-    # Per-page re-match: FULL F4 semantics (digit tokens word-bounded),
-    # exact integer threshold comparison. The derived texts are
-    # materialized as columns first — referenced inside the aggregate
-    # lambda they would re-evaluate (upper + the wordify regex) per token.
+    # Per-page re-match: FULL F4 semantics via the single shared
+    # match_hits definition, exact integer threshold comparison. The
+    # derived texts are materialized as columns first — referenced inside
+    # the aggregate lambda they would re-evaluate per token.
     j = j.withColumn("_pg_upper", F.upper(F.col("norm"))).withColumn(
         "_pg_wordified", wordify(F.col("_pg_upper"))
     )
-    upper = F.col("_pg_upper")
-    wordified = F.col("_pg_wordified")
-    hits = F.aggregate(
-        F.col("tokens"),
-        F.lit(0),
-        lambda acc, t: acc
-        + F.when(
-            t.rlike(r"^\d+$"),
-            F.when(
-                wordified.contains(F.concat(F.lit(" "), t, F.lit(" "))), 1
-            ).otherwise(0),
-        ).otherwise(F.when(upper.contains(t), 1).otherwise(0)),
+    hits = match_hits(
+        F.col("tokens"), F.col("_pg_upper"), F.col("_pg_wordified")
     )
     tnum, tden = threshold_ratio
     j = j.withColumn(

@@ -117,6 +117,29 @@ def wordify(upper_text: Column) -> Column:
     )
 
 
+def match_hits(
+    tokens_col: Column, upper_col: Column, wordified_col: Column
+) -> Column:
+    """F4's hit count: digit tokens match word-bounded (padded containment
+    in the wordified text), word tokens by plain substring. THE single
+    definition of the matching semantics — localize, match_score, the
+    boundary per-page re-match, and the variants query all call this so
+    they cannot drift apart. Callers should pass MATERIALIZED columns for
+    ``upper_col``/``wordified_col``: expressions referenced inside the
+    aggregate lambda re-evaluate per token."""
+    return F.aggregate(
+        tokens_col,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(
+            t.rlike(r"^\d+$"),
+            F.when(
+                wordified_col.contains(F.concat(F.lit(" "), t, F.lit(" "))), 1
+            ).otherwise(0),
+        ).otherwise(F.when(upper_col.contains(t), 1).otherwise(0)),
+    )
+
+
 def match_score(tokens_col: Column, text_col: Column) -> Column:
     """F4: fraction of tokens present in the uppercased text. Digit tokens
     need word boundaries; word tokens match by substring. Pure expression
@@ -127,21 +150,14 @@ def match_score(tokens_col: Column, text_col: Column) -> Column:
     ASCII word class in both Java and RE2), so ``\\b123\\b`` becomes a
     plain ``contains(' 123 ')`` over the padded wordified text — the
     per-(row, token) work is substring search, never regex compilation.
+
+    NOTE: this convenience form builds upper/wordified inline, which the
+    aggregate lambda re-evaluates per token. On hot paths materialize
+    them as columns first and call ``match_hits`` directly (see localize).
     """
     upper_text = F.upper(text_col)
     wordified = wordify(upper_text)
-    hits = F.aggregate(
-        tokens_col,
-        F.lit(0),
-        lambda acc, t: acc
-        + F.when(
-            t.rlike(r"^\d+$"),
-            F.when(
-                wordified.contains(F.concat(F.lit(" "), t, F.lit(" "))), 1
-            ).otherwise(0),
-        )
-        .otherwise(F.when(upper_text.contains(t), 1).otherwise(0)),
-    )
+    hits = match_hits(tokens_col, upper_text, wordified)
     return F.when(F.size(tokens_col) > 0, hits / F.size(tokens_col)).otherwise(
         F.lit(0.0)
     )
@@ -167,21 +183,7 @@ def localize(
         "_wordified", wordify(F.col("_upper"))
     )
     joined = prepped.crossJoin(F.broadcast(targets))
-    hits = F.aggregate(
-        F.col(tokens_col),
-        F.lit(0),
-        lambda acc, t: acc
-        + F.when(
-            t.rlike(r"^\d+$"),
-            F.when(
-                F.col("_wordified").contains(
-                    F.concat(F.lit(" "), t, F.lit(" "))
-                ),
-                1,
-            ).otherwise(0),
-        )
-        .otherwise(F.when(F.col("_upper").contains(t), 1).otherwise(0)),
-    )
+    hits = match_hits(F.col(tokens_col), F.col("_upper"), F.col("_wordified"))
     scored = joined.withColumn(
         "score",
         F.when(

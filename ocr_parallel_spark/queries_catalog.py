@@ -705,7 +705,7 @@ def q_localization_variants(spark, sf_dir):
         tokenize,
     )
 
-    from ocr_parallel_spark.operators.localization import wordify
+    from ocr_parallel_spark.operators.localization import match_hits, wordify
 
     # Materialize the derived texts ONCE per doc row BEFORE the cross
     # join: referenced inside the scoring lambda they would re-evaluate
@@ -726,20 +726,7 @@ def q_localization_variants(spark, sf_dir):
     j = docs.crossJoin(F.broadcast(targets))
 
     def score(tokens_col):
-        hits = F.aggregate(
-            tokens_col,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                t.rlike(r"^\d+$"),
-                F.when(
-                    F.col("_wordified").contains(
-                        F.concat(F.lit(" "), t, F.lit(" "))
-                    ),
-                    1,
-                ).otherwise(0),
-            ).otherwise(F.when(F.col("_upper").contains(t), 1).otherwise(0)),
-        )
+        hits = match_hits(tokens_col, F.col("_upper"), F.col("_wordified"))
         return F.when(
             F.size(tokens_col) > 0, hits / F.size(tokens_col)
         ).otherwise(F.lit(0.0))
@@ -1598,11 +1585,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.media_id,
                    CAST(bins.bin AS INT) AS bin,
                    CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n,
-                   CAST(COALESCE(c.cnt, 0) AS DOUBLE) / t.total AS weight
+                   CAST(COALESCE(c.cnt, 0) AS DOUBLE)
+                     / greatest(COALESCE(t.total, 0), 1) AS weight
             FROM (SELECT DISTINCT media_id FROM m) m
             CROSS JOIN bins
             LEFT JOIN counts c ON c.media_id = m.media_id AND c.bin = bins.bin
-            JOIN tot t ON t.media_id = m.media_id
+            LEFT JOIN tot t ON t.media_id = m.media_id
         """,
     }
 

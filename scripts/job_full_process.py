@@ -31,7 +31,8 @@ DEFAULT_CHUNK, DEFAULT_OVERLAP = 40, 5  # reference config.py:138-139
 
 
 def build_output(spark, pages_df, targets_csv: str, chunk_size: int,
-                 overlap: int, start_markers, end_after, end_before):
+                 overlap: int, start_markers, end_after, end_before,
+                 name_col: str = "inmueble", id_col: str = "folio"):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -53,7 +54,9 @@ def build_output(spark, pages_df, targets_csv: str, chunk_size: int,
     # Document framing: a "document" is a site (url domain); its page
     # order is crawl order. row_number is PARTITIONED by domain — W5's
     # single-reducer global sort never appears.
-    domain = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    # no trailing slash in the pattern: path-less urls ("https://host")
+    # must still yield their host, not merge into one '' pseudo-document
+    domain = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
     w = Window.partitionBy(domain).orderBy("warc_ts", "url")
     docs = extracted.select(
         domain.alias("source"),
@@ -61,7 +64,9 @@ def build_output(spark, pages_df, targets_csv: str, chunk_size: int,
         F.col("text").alias("norm"),
     )
 
-    targets = read_targets_csv(spark, targets_csv).select(
+    targets = read_targets_csv(
+        spark, targets_csv, name_col=name_col, id_col=id_col
+    ).select(
         "target_id",
         expand_variants(tokenize("name")).alias("tokens"),
         F.upper(F.trim(F.col("ref"))).alias("anchor"),
@@ -93,7 +98,14 @@ def build_output(spark, pages_df, targets_csv: str, chunk_size: int,
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="pages parquet dir")
-    ap.add_argument("--targets", required=True, help="targets CSV (name,ref)")
+    ap.add_argument(
+        "--targets",
+        required=True,
+        help="targets CSV; header columns per --name-col/--id-col "
+        "(defaults: inmueble, folio)",
+    )
+    ap.add_argument("--name-col", default="inmueble")
+    ap.add_argument("--id-col", default="folio")
     ap.add_argument("--output", required=True, help="snapshot table dir")
     ap.add_argument("--chunk-size", type=int, default=DEFAULT_CHUNK)
     ap.add_argument("--overlap", type=int, default=DEFAULT_OVERLAP)
@@ -124,6 +136,8 @@ def main(argv=None) -> dict:
         args.start_marker or BOUNDARY_START_MARKERS,
         args.end_after_marker or BOUNDARY_END_AFTER,
         args.end_before_marker or BOUNDARY_END_BEFORE,
+        name_col=args.name_col,
+        id_col=args.id_col,
     )
 
     table = SnapshotTable(args.output)

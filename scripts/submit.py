@@ -50,6 +50,15 @@ def main() -> None:
         help="which batch job to submit",
     )
     ap.add_argument("--targets", help="targets CSV (full-process job only)")
+    ap.add_argument(
+        "--start-marker",
+        action="append",
+        help="boundary start marker (repeatable; full-process only). "
+        "REQUIRED in production: the defaults are synthetic-corpus "
+        "literals that will never fire on real pages.",
+    )
+    ap.add_argument("--end-after-marker", action="append")
+    ap.add_argument("--end-before-marker", action="append")
     args = ap.parse_args()
     if args.job == "full-process" and not args.targets:
         ap.error("--job full-process requires --targets")
@@ -75,6 +84,12 @@ def main() -> None:
     ]
     if args.job == "full-process":
         cmd += ["--targets", args.targets]
+        for m in args.start_marker or []:
+            cmd += ["--start-marker", m]
+        for m in args.end_after_marker or []:
+            cmd += ["--end-after-marker", m]
+        for m in args.end_before_marker or []:
+            cmd += ["--end-before-marker", m]
     print(" ".join(cmd))
     if args.run:
         env = dict(os.environ)

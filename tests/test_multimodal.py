@@ -185,3 +185,14 @@ def test_resize_plan_and_execution(spark, sf_dir):
     assert {r.media_id for r in done} == {r.media_id for r in rows}
     for r in done:
         assert r.n_bytes_resized >= 1
+
+
+def test_byte_histogram_empty_payload_is_all_zero(spark):
+    """An empty payload must yield 16 honest zero rows (no fabricated
+    byte) with weight 0.0 — matching the SQL oracle's LEFT JOIN shape."""
+    df = spark.createDataFrame([(1, b""), (2, b"\x12\x34")], "media_id long, payload binary")
+    rows = {(r.media_id, r.bin): (r.n, r.weight) for r in byte_histogram_features(df).collect()}
+    assert len(rows) == 32
+    assert all(rows[(1, b)] == (0, 0.0) for b in range(16))
+    assert rows[(2, 1)][0] == 1 and rows[(2, 3)][0] == 1  # high nibbles 1 and 3
+    assert abs(rows[(2, 1)][1] - 0.5) < 1e-15
