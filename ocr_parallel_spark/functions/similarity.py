@@ -33,8 +33,26 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Convenience form. NOTE: evaluates norm(a)/norm(b) inline — inside
+    a pair join that recomputes per-side norms PER PAIR (and twice each:
+    when-condition plus value). The top-k paths below precompute each
+    side's norm once per ROW and combine with ``cosine_from_norms``."""
     d = norm(a) * norm(b)
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Same arithmetic as ``cosine`` (bit-identical IEEE results) with
+    the per-side norms supplied as precomputed columns."""
+    d = na * nb
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def _prep_vec(df: DataFrame, vec_col: str, prefix: str) -> DataFrame:
+    """Materialize the double-cast vector and its norm ONCE per row
+    (referenced inside pair expressions they would re-evaluate per pair)."""
+    out = df.withColumn(f"{prefix}vec", F.col(vec_col).cast("array<double>"))
+    return out.withColumn(f"{prefix}norm", norm(F.col(f"{prefix}vec")))
 
 
 def brute_force_topk(
@@ -50,15 +68,17 @@ def brute_force_topk(
     cos_sim, rank."""
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
-    pairs = vectors.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    q = _prep_vec(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_q")),
+        "_q",
+        "_q",
+    ).drop("_q")
+    v = _prep_vec(vectors.select(id_col, vec_col), vec_col, "_v")
+    pairs = v.crossJoin(F.broadcast(q))
     scored = pairs.withColumn(
         "cos_sim",
-        cosine(
-            F.col(vec_col).cast("array<double>"),
-            F.col("_qvec").cast("array<double>"),
+        cosine_from_norms(
+            F.col("_vvec"), F.col("_qvec"), F.col("_vnorm"), F.col("_qnorm")
         ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -88,13 +108,16 @@ def with_lsh_bucket(
     is a pure expression over literal plane arrays — no Python, and the
     same literal planes reproduce identical buckets everywhere."""
     planes = hyperplane_planes(dim, n_planes, seed)
+    # cast the vector ONCE per row; per-plane expressions reference the
+    # materialized column instead of re-casting n_planes times
+    out = df.withColumn("_lshv", F.col(vec_col).cast("array<double>"))
     bucket = F.lit(0).cast("bigint")
-    v = F.col(vec_col).cast("array<double>")
+    v = F.col("_lshv")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
         bit = F.when(dot(v, p) > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
         bucket = bucket + F.shiftleft(bit, i)
-    return df.withColumn("lsh_bucket", bucket)
+    return out.withColumn("lsh_bucket", bucket).drop("_lshv")
 
 
 def ivf_assign(
@@ -107,7 +130,8 @@ def ivf_assign(
     cosine, as pure column expressions over literal centroid arrays.
     Centroids ship in the plan (tiny; at scale they come from a sampled
     k-means run and are broadcast the same way)."""
-    v = F.col(vec_col).cast("array<double>")
+    out = df.withColumn("_ivfv", F.col(vec_col).cast("array<double>"))
+    v = F.col("_ivfv")
     scored = F.array(
         *[
             F.struct(
@@ -118,7 +142,9 @@ def ivf_assign(
         ]
     )
     top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
-    return df.withColumn("ivf_cells", F.transform(top, lambda s: s["cell"]))
+    return out.withColumn(
+        "ivf_cells", F.transform(top, lambda s: s["cell"])
+    ).drop("_ivfv")
 
 
 def deterministic_centroids(
@@ -152,20 +178,28 @@ def ivf_topk(
     cell occupancy, the standard IVF trade."""
     from pyspark.sql import Window
 
-    vc = ivf_assign(vectors.select(id_col, vec_col), centroids, vec_col, 1).select(
-        id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell")
+    vc = _prep_vec(
+        ivf_assign(vectors.select(id_col, vec_col), centroids, vec_col, 1).select(
+            id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell")
+        ),
+        vec_col,
+        "_v",
     )
-    qc = ivf_assign(
-        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
-        centroids,
-        "_qvec",
-        nprobe,
-    ).select(query_id_col, "_qvec", F.explode("ivf_cells").alias("cell"))
+    qc = _prep_vec(
+        ivf_assign(
+            queries.select(query_id_col, F.col(vec_col).alias("_q")),
+            centroids,
+            "_q",
+            nprobe,
+        ).select(query_id_col, "_q", F.explode("ivf_cells").alias("cell")),
+        "_q",
+        "_q",
+    )
     cands = vc.join(F.broadcast(qc), "cell")
     scored = cands.withColumn(
         "cos_sim",
-        cosine(
-            F.col(vec_col).cast("array<double>"), F.col("_qvec").cast("array<double>")
+        cosine_from_norms(
+            F.col("_vvec"), F.col("_qvec"), F.col("_vnorm"), F.col("_qnorm")
         ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -193,19 +227,26 @@ def lsh_topk(
     higher recall, more work (standard LSH dial)."""
     from pyspark.sql import Window
 
-    vb = with_lsh_bucket(vectors.select(id_col, vec_col), vec_col, dim, n_planes)
-    qb = with_lsh_bucket(
-        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
-        "_qvec",
-        dim,
-        n_planes,
+    vb = _prep_vec(
+        with_lsh_bucket(vectors.select(id_col, vec_col), vec_col, dim, n_planes),
+        vec_col,
+        "_v",
+    )
+    qb = _prep_vec(
+        with_lsh_bucket(
+            queries.select(query_id_col, F.col(vec_col).alias("_q")),
+            "_q",
+            dim,
+            n_planes,
+        ),
+        "_q",
+        "_q",
     )
     cands = vb.join(F.broadcast(qb), "lsh_bucket")
     scored = cands.withColumn(
         "cos_sim",
-        cosine(
-            F.col(vec_col).cast("array<double>"),
-            F.col("_qvec").cast("array<double>"),
+        cosine_from_norms(
+            F.col("_vvec"), F.col("_qvec"), F.col("_vnorm"), F.col("_qnorm")
         ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
