@@ -29,22 +29,37 @@ def tokens_col(text_col: Column | str) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
-def stopword_hits(text_col: Column | str, lang: str) -> Column:
-    toks = tokens_col(text_col)
-    words = STOPWORDS[lang]
-    arr = F.array(*[F.lit(w) for w in words])
+def stopword_hits_from_tokens(toks: Column, lang: str) -> Column:
+    """Stopword-hit count over a pre-tokenized column. Prefer this on hot
+    paths: passing raw text re-splits it inside every hit expression."""
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def detect_lang(text_col: Column | str) -> Column:
-    """Highest stopword-hit language; ties resolve by fixed precedence
-    (en > es > fr > de); all-zero => 'und' (undetermined)."""
-    hits = {lang: stopword_hits(text_col, lang) for lang in LANG_PRECEDENCE}
-    best = F.greatest(*hits.values())
+def stopword_hits(text_col: Column | str, lang: str) -> Column:
+    return stopword_hits_from_tokens(tokens_col(text_col), lang)
+
+
+def detect_lang_from_hits(hits: dict[str, Column]) -> Column:
+    """Language case-expression over precomputed per-language hit counts
+    (materialize them as columns — referenced here each count appears
+    several times). Ties resolve by fixed precedence (en > es > fr > de);
+    all-zero => 'und'."""
+    best = F.greatest(*[hits[lang] for lang in LANG_PRECEDENCE])
     expr = F.lit("und")
     for lang in reversed(LANG_PRECEDENCE):
         expr = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def detect_lang(text_col: Column | str) -> Column:
+    """Convenience form: highest stopword-hit language from raw text.
+    NOTE: builds the token split inline inside every hit expression (the
+    case references each count ~3x -> up to a dozen splits per row). Hot
+    paths should materialize a tokens column + per-language hit columns
+    and call ``detect_lang_from_hits`` (see q_langid)."""
+    hits = {lang: stopword_hits(text_col, lang) for lang in LANG_PRECEDENCE}
+    return detect_lang_from_hits(hits)
 
 
 def token_count_ws(text_col: Column | str) -> Column:
@@ -59,15 +74,21 @@ def token_count_re(text_col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"(\w+)"), 1))
 
 
-def quality_features(text_col: Column | str) -> dict[str, Column]:
+def quality_features(
+    text_col: Column | str, toks: Column | None = None
+) -> dict[str, Column]:
     """Quality-scoring features: length, token count, mean token length,
-    stopword ratio, alpha ratio, punctuation ratio. Round at call sites."""
+    stopword ratio, alpha ratio, punctuation ratio. Round at call sites.
+    Pass a pre-materialized ``toks`` column on hot paths (otherwise the
+    token split is built inline in two of the features)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if toks is None:
+        toks = tokens_col(c)
     n_chars = F.length(c)
-    n_tokens = token_count_ws(c)
+    n_tokens = F.size(toks)
     alpha_chars = F.length(F.regexp_replace(F.lower(c), r"[^a-z]", ""))
     punct_chars = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
-    en_hits = stopword_hits(c, "en")
+    en_hits = stopword_hits_from_tokens(toks, "en")
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,

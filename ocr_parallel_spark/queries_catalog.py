@@ -221,16 +221,39 @@ def q_set_union(spark, sf_dir):
     return a.union(b).distinct()
 
 
+def _with_lang_hits(d):
+    """Materialize the token split once and the per-language hit counts
+    as columns (the lang case-expression references each count several
+    times; built inline the split would re-evaluate per reference)."""
+    from ocr_parallel_spark.functions.text_quality import (
+        LANG_PRECEDENCE,
+        stopword_hits_from_tokens,
+        tokens_col,
+    )
+
+    d = d.withColumn("_toks", tokens_col(F.col("norm")))
+    for lang in LANG_PRECEDENCE:
+        d = d.withColumn(
+            f"_h_{lang}", stopword_hits_from_tokens(F.col("_toks"), lang)
+        )
+    return d, {lang: F.col(f"_h_{lang}") for lang in LANG_PRECEDENCE}
+
+
 def q_langid(spark, sf_dir):
-    """Language ID by stopword hits (training-data toolkit)."""
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", detect_lang("norm").alias("pred_lang"))
+    """Language ID by stopword hits (training-data toolkit): ONE token
+    split per row, hit counts as columns, case over attributes."""
+    from ocr_parallel_spark.functions.text_quality import detect_lang_from_hits
+
+    d, hits = _with_lang_hits(_docs(spark, sf_dir))
+    return d.select("doc_id", detect_lang_from_hits(hits).alias("pred_lang"))
 
 
 def q_quality(spark, sf_dir):
     """Quality-scoring features (training-data toolkit)."""
-    d = _docs(spark, sf_dir)
-    feats = quality_features("norm")
+    from ocr_parallel_spark.functions.text_quality import tokens_col
+
+    d = _docs(spark, sf_dir).withColumn("_toks", tokens_col(F.col("norm")))
+    feats = quality_features("norm", toks=F.col("_toks"))
     return d.select(
         "doc_id",
         feats["n_chars"].cast("long").alias("n_chars_norm"),
@@ -540,17 +563,16 @@ def q_corpus_curation(spark, sf_dir):
     alpha_chars >= n_chars for the 0.5 ratio) so the oracle compare has
     zero float exposure. One stopword-expression projection + one keyed
     window — curation of 10^12 docs is a scan plus a single shuffle."""
-    from ocr_parallel_spark.functions.text_quality import detect_lang
+    from ocr_parallel_spark.functions.text_quality import detect_lang_from_hits
 
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.col("norm"))), r"\s+")
-    n_tokens = F.size(toks)
+    d, hits = _with_lang_hits(_docs(spark, sf_dir))
+    n_tokens = F.size(F.col("_toks"))
     n_chars_norm = F.length("norm")
     alpha_chars = F.length(F.regexp_replace(F.lower(F.col("norm")), r"[^a-z]", ""))
     w = Window.partitionBy(F.sha2(F.col("norm"), 256)).orderBy("doc_id")
     d = d.select(
         "doc_id",
-        detect_lang("norm").alias("pred_lang"),
+        detect_lang_from_hits(hits).alias("pred_lang"),
         n_tokens.alias("n_tokens"),
         n_chars_norm.alias("_nc"),
         alpha_chars.alias("_ac"),
