@@ -1,0 +1,45 @@
+"""URL canonicalization for crawl dedup (training-data toolkit).
+
+Before any content hashing, web-scale pipelines collapse URL aliases:
+tracking parameters, case-variant hosts, fragments, and trailing slashes
+multiply crawl rows for identical resources. The reference dedups on its
+(bucket, file, page) request key (/root/reference/app/utils/
+deduplication.py:11-21); at CC scale the analogous KEY canonicalization
+is this module. Pure column expressions — regex + array ops, zero Python,
+SQL-oracle-able.
+
+Rules (documented order, deterministic):
+1. strip the fragment (``#...``),
+2. lowercase the scheme+host prefix (path stays case-sensitive),
+3. drop tracking query params (utm_*, gclid, fbclid, ref) and SORT the
+   survivors (param order never distinguishes resources),
+4. strip trailing slashes from the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|ref)="
+
+
+def canonical_url(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    base = F.regexp_extract(no_frag, r"^([^?]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    prefix = F.regexp_extract(base, r"(?i)^(https?://[^/]+)", 1)
+    rest = F.substring(base, F.length(prefix) + 1, F.lit(1 << 30))
+    base_lc = F.concat(F.lower(prefix), rest)
+    base_clean = F.regexp_replace(base_lc, r"/+$", "")
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.when(
+        F.size(kept) > 0,
+        F.concat(base_clean, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base_clean)

@@ -555,6 +555,39 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """Canonical-URL dedup (crawl key canonicalization, the CC-scale
+    analog of the reference's request-key dedup D1): deterministic noisy
+    url variants (case-variant host, tracking params, unsorted query,
+    fragment, trailing slash) -> canonical form -> keep-first alias
+    marking. Pure expressions; the oracle re-derives every rule."""
+    from ocr_parallel_spark.functions.urls import canonical_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = F.concat(
+        F.lit("HTTPS://Site-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM/Path/"),
+        (F.col("doc_id") % 50).cast("string"),
+    )
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(variant == 1, F.concat(base, F.lit("/")))
+        .when(variant == 2, F.concat(base, F.lit("?utm_source=x&b=2&a=1")))
+        .when(variant == 3, F.concat(base, F.lit("?a=1&b=2#frag")))
+        .otherwise(base)
+    )
+    d = docs.select("doc_id", url.alias("url")).withColumn(
+        "canon_url", canonical_url("url")
+    )
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        "canon_url",
+        (F.row_number().over(w) > 1).alias("is_url_alias"),
+    )
+
+
 def q_corpus_curation(spark, sf_dir):
     """The canonical training-corpus curation flow as ONE plan: language
     filter -> quality thresholds -> exact content dedup, each drop
@@ -1048,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_details": q_capped_details,
         "simhash_recall": q_simhash_recall,
         "corpus_curation": q_corpus_curation,
+        "url_canonicalize": q_url_canonicalize,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
@@ -1315,6 +1349,52 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "corpus_curation": _curation_sql(),
+        "url_canonicalize": """
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTPS://Site-' || (doc_id % 7)
+                     || '.Example.COM/Path/' || (doc_id % 50)
+                     || CASE doc_id % 4
+                          WHEN 1 THEN '/'
+                          WHEN 2 THEN '?utm_source=x&b=2&a=1'
+                          WHEN 3 THEN '?a=1&b=2#frag'
+                          ELSE '' END AS url
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, url,
+                     regexp_extract(regexp_replace(url, '#.*$', ''),
+                                    '^([^?]*)', 1) AS base,
+                     regexp_extract(regexp_replace(url, '#.*$', ''),
+                                    '\\?(.*)$', 1) AS query
+              FROM u
+            ),
+            b AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       lower(regexp_extract(base,
+                         '(?i)^(https?://[^/]+)', 1))
+                       || substr(base,
+                            length(regexp_extract(base,
+                              '(?i)^(https?://[^/]+)', 1)) + 1),
+                       '/+$', '') AS base_clean,
+                     list_sort(list_filter(string_split(query, '&'),
+                       x -> length(x) > 0 AND NOT regexp_matches(x,
+                         '^(utm_[^=&]*|gclid|fbclid|ref)='))) AS kept
+              FROM p
+            ),
+            c AS (
+              SELECT doc_id,
+                     CASE WHEN len(kept) > 0
+                       THEN base_clean || '?' || array_to_string(kept, '&')
+                       ELSE base_clean END AS canon_url
+              FROM b
+            )
+            SELECT doc_id, canon_url,
+                   row_number() OVER (PARTITION BY canon_url
+                     ORDER BY doc_id) > 1 AS is_url_alias
+            FROM c
+        """,
         "simhash_recall": """
             SELECT CAST(2 * count(DISTINCT source) AS BIGINT) AS n_docs,
                    CAST(count(DISTINCT source) AS BIGINT) AS n_planted,

@@ -201,3 +201,26 @@ def test_normalize_col_matches_kernel(spark):
     df = spark.createDataFrame([(s,) for s in samples], "t string")
     got = [r["n"] for r in df.select(normalize_col("t").alias("n")).collect()]
     assert got == [clean_text(s) for s in samples]
+
+
+def test_canonical_url_rules(spark):
+    from ocr_parallel_spark.functions.urls import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM/Page/1", "https://www.ex.com/Page/1"),
+        ("https://ex.com/a/", "https://ex.com/a"),
+        ("https://ex.com///", "https://ex.com"),
+        ("https://ex.com/a#frag", "https://ex.com/a"),
+        ("https://ex.com/a?utm_source=x", "https://ex.com/a"),
+        ("https://ex.com/a?b=2&a=1", "https://ex.com/a?a=1&b=2"),
+        (
+            "HTTP://Ex.com/a?utm_campaign=c&z=9&gclid=g&a=1#x",
+            "http://ex.com/a?a=1&z=9",
+        ),
+        ("https://ex.com/CaseSensitivePath", "https://ex.com/CaseSensitivePath"),
+        ("https://ex.com/a?ref=tw", "https://ex.com/a"),
+        ("https://ex.com/a?refresh=1", "https://ex.com/a?refresh=1"),  # not 'ref'
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
