@@ -73,7 +73,7 @@ def brute_force_topk(
         "_q",
         "_q",
     ).drop("_q")
-    v = _prep_vec(vectors.select(id_col, vec_col), vec_col, "_v")
+    v = _prep_vec(vectors.select(id_col, vec_col), vec_col, "_v").drop(vec_col)
     pairs = v.crossJoin(F.broadcast(q))
     scored = pairs.withColumn(
         "cos_sim",
@@ -178,13 +178,15 @@ def ivf_topk(
     cell occupancy, the standard IVF trade."""
     from pyspark.sql import Window
 
+    # drop the raw vectors after prep: only the double-cast copy + norm
+    # cross the broadcast/join (no dead array bytes per candidate row)
     vc = _prep_vec(
         ivf_assign(vectors.select(id_col, vec_col), centroids, vec_col, 1).select(
             id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell")
         ),
         vec_col,
         "_v",
-    )
+    ).drop(vec_col)
     qc = _prep_vec(
         ivf_assign(
             queries.select(query_id_col, F.col(vec_col).alias("_q")),
@@ -194,7 +196,7 @@ def ivf_topk(
         ).select(query_id_col, "_q", F.explode("ivf_cells").alias("cell")),
         "_q",
         "_q",
-    )
+    ).drop("_q")
     cands = vc.join(F.broadcast(qc), "cell")
     scored = cands.withColumn(
         "cos_sim",
@@ -231,7 +233,7 @@ def lsh_topk(
         with_lsh_bucket(vectors.select(id_col, vec_col), vec_col, dim, n_planes),
         vec_col,
         "_v",
-    )
+    ).drop(vec_col)
     qb = _prep_vec(
         with_lsh_bucket(
             queries.select(query_id_col, F.col(vec_col).alias("_q")),
@@ -241,7 +243,7 @@ def lsh_topk(
         ),
         "_q",
         "_q",
-    )
+    ).drop("_q")
     cands = vb.join(F.broadcast(qb), "lsh_bucket")
     scored = cands.withColumn(
         "cos_sim",

@@ -21,18 +21,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|ref)="
+# '=' optional: redirectors append valueless trackers ("?gclid")
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|ref)(=|$)"
 
 
 def canonical_url(url: Column | str) -> Column:
+    # \z anchors (end of TEXT) + (?s) dotall, not '$': Java's default '$'
+    # matches before a final newline while RE2's does not — a trailing
+    # line terminator in a noisy crawl key would silently diverge the two
+    # engines. \z and (?s) mean the same thing in both.
     c = F.col(url) if isinstance(url, str) else url
-    no_frag = F.regexp_replace(c, r"#.*$", "")
+    no_frag = F.regexp_replace(c, r"(?s)#.*\z", "")
     base = F.regexp_extract(no_frag, r"^([^?]*)", 1)
-    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
-    prefix = F.regexp_extract(base, r"(?i)^(https?://[^/]+)", 1)
+    query = F.regexp_extract(no_frag, r"(?s)\?(.*)\z", 1)
+    prefix = F.regexp_extract(base, r"(?i)^(https?://[^/?#]+)", 1)
     rest = F.substring(base, F.length(prefix) + 1, F.lit(1 << 30))
     base_lc = F.concat(F.lower(prefix), rest)
-    base_clean = F.regexp_replace(base_lc, r"/+$", "")
+    base_clean = F.regexp_replace(base_lc, r"/+\z", "")
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),

@@ -94,6 +94,8 @@ def _first_marker_pos(window: Column, markers: list[str]) -> Column:
     a when(locate>0, locate-1) form would scan the window twice per
     marker, and HOF lambda bodies get no common-subexpression
     elimination."""
+    if not markers:
+        return F.lit(None).cast("long")
     return (
         F.coalesce(
             *[

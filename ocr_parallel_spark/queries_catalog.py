@@ -1363,24 +1363,24 @@ def oracle_sql() -> dict[str, str]:
             ),
             p AS (
               SELECT doc_id, url,
-                     regexp_extract(regexp_replace(url, '#.*$', ''),
+                     regexp_extract(regexp_replace(url, '(?s)#.*\\z', ''),
                                     '^([^?]*)', 1) AS base,
-                     regexp_extract(regexp_replace(url, '#.*$', ''),
-                                    '\\?(.*)$', 1) AS query
+                     regexp_extract(regexp_replace(url, '(?s)#.*\\z', ''),
+                                    '(?s)\\?(.*)\\z', 1) AS query
               FROM u
             ),
             b AS (
               SELECT doc_id,
                      regexp_replace(
                        lower(regexp_extract(base,
-                         '(?i)^(https?://[^/]+)', 1))
+                         '(?i)^(https?://[^/?#]+)', 1))
                        || substr(base,
                             length(regexp_extract(base,
-                              '(?i)^(https?://[^/]+)', 1)) + 1),
-                       '/+$', '') AS base_clean,
+                              '(?i)^(https?://[^/?#]+)', 1)) + 1),
+                       '/+\\z', '') AS base_clean,
                      list_sort(list_filter(string_split(query, '&'),
                        x -> length(x) > 0 AND NOT regexp_matches(x,
-                         '^(utm_[^=&]*|gclid|fbclid|ref)='))) AS kept
+                         '^(utm_[^=&]*|gclid|fbclid|ref)(=|$)'))) AS kept
               FROM p
             ),
             c AS (

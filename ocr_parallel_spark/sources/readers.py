@@ -83,13 +83,15 @@ def read_targets_csv(
     )
     lower = {c.lower().strip(): c for c in raw.columns}
     for want in (name_col, id_col):
-        if want not in lower:
+        # requested names are normalized the same way as the headers —
+        # the match is case-insensitive on BOTH sides
+        if want.lower().strip() not in lower:
             raise ValueError(
                 f"required column '{want}' not found (have {raw.columns})"
             )
     out = raw.select(
-        F.trim(F.col(lower[name_col])).alias("name"),
-        F.trim(F.col(lower[id_col])).alias("ref"),
+        F.trim(F.col(lower[name_col.lower().strip()])).alias("name"),
+        F.trim(F.col(lower[id_col.lower().strip()])).alias("ref"),
     ).filter((F.col("name") != "") & (F.col("ref") != ""))
     return out.select(
         F.abs(F.hash("name", "ref")).alias("target_id"), "name", "ref"

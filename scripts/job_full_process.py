@@ -54,9 +54,10 @@ def build_output(spark, pages_df, targets_csv: str, chunk_size: int,
     # Document framing: a "document" is a site (url domain); its page
     # order is crawl order. row_number is PARTITIONED by domain — W5's
     # single-reducer global sort never appears.
-    # no trailing slash in the pattern: path-less urls ("https://host")
-    # must still yield their host, not merge into one '' pseudo-document
-    domain = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    # host stops at '/', '?' or '#' and the pattern needs no trailing
+    # slash: path-less urls ("https://host", "https://host?p=1") must
+    # yield their bare host, not '' or a host+query pseudo-domain
+    domain = F.regexp_extract(F.col("url"), r"^https?://([^/?#]+)", 1)
     w = Window.partitionBy(domain).orderBy("warc_ts", "url")
     docs = extracted.select(
         domain.alias("source"),

@@ -220,6 +220,9 @@ def test_canonical_url_rules(spark):
         ("https://ex.com/CaseSensitivePath", "https://ex.com/CaseSensitivePath"),
         ("https://ex.com/a?ref=tw", "https://ex.com/a"),
         ("https://ex.com/a?refresh=1", "https://ex.com/a?refresh=1"),  # not 'ref'
+        ("https://ex.com/a?gclid", "https://ex.com/a"),  # valueless tracker
+        ("HTTPS://Ex.com?p=1", "https://ex.com?p=1"),  # query right after host
+        ("https://ex.com/a/\n", "https://ex.com/a/\n"),  # \z: no pre-newline strip
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
