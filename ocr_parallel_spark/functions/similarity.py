@@ -130,12 +130,22 @@ def ivf_assign(
     cosine, as pure column expressions over literal centroid arrays.
     Centroids ship in the plan (tiny; at scale they come from a sampled
     k-means run and are broadcast the same way)."""
-    out = df.withColumn("_ivfv", F.col(vec_col).cast("array<double>"))
-    v = F.col("_ivfv")
+    out = df.withColumn(
+        "_ivfv", F.col(vec_col).cast("array<double>")
+    ).withColumn("_ivfn", norm(F.col("_ivfv")))
+    v, vn = F.col("_ivfv"), F.col("_ivfn")
     scored = F.array(
         *[
             F.struct(
-                cosine(v, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                # centroid norms are expressions over literal arrays —
+                # Catalyst constant-folds them; the row norm is the
+                # materialized column, computed once per row not per cell
+                cosine_from_norms(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    vn,
+                    norm(F.array(*[F.lit(float(x)) for x in c])),
+                ).alias("sim"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)
@@ -144,7 +154,7 @@ def ivf_assign(
     top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
     return out.withColumn(
         "ivf_cells", F.transform(top, lambda s: s["cell"])
-    ).drop("_ivfv")
+    ).drop("_ivfv", "_ivfn")
 
 
 def deterministic_centroids(
