@@ -38,10 +38,21 @@ Reference semantics (/root/reference/app/utils/text_localization.py):
   MAX_PAGES_WITHOUT_BOUNDARIES=20 via the numeric window
   [min_match - 2, max_match + 12] (:685-706).
 
-Deliberate divergence: the reference's ``if start_page and end_page``
-(:629) treats page number 0 as "not found" (Python truthiness); its page
-numbers start at 1 so the bug is latent. Our page ids start at 0, so the
-check is IS NOT NULL.
+Deliberate divergences:
+- the reference's ``if start_page and end_page`` (:629) treats page
+  number 0 as "not found" (Python truthiness); its page numbers start at
+  1 so the bug is latent. Our page ids start at 0, so the check is
+  IS NOT NULL.
+- ``clean_text_between_pages`` (:715-796) applies the boundary positions
+  (computed over the CANDIDATE-pages concat) to offsets recomputed over
+  the FINAL pages after header-regex cleaning — a latent frame
+  misalignment whenever final != candidate or cleaning removes chars.
+  Our ``refined_text`` re-maps the positions into the final-pages frame
+  (subtract the start page's candidate offset) so the slice lands where
+  detection found it; the header regexes are a no-op post-F1 (the kernel
+  strips boilerplate earlier) and the separator stays "\\n\\n" (the
+  reference switches to "\\n" in boundaries mode — a formatting nicety
+  we normalize away).
 
 Spark-first shape: everything below is column expressions — higher-order
 functions over arrays (transform/filter/aggregate), substring arithmetic,
@@ -472,6 +483,39 @@ def refine_pages_with_boundaries(
     )
     g = g.withColumn("_final_pages", final_pages)
 
+    # Refined text (W3-with-boundaries, :715-796 sane-frame form): concat
+    # the FINAL pages, and when boundaries were detected slice at the
+    # positions re-mapped into the final-pages frame (start_page opens
+    # that frame, so subtract its candidate offset).
+    g = g.withColumn(
+        "_final_concat",
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.filter(
+                    c("pages"),
+                    lambda s: F.array_contains(c("_final_pages"), s["doc_id"]),
+                ),
+                lambda s: s["norm"],
+            ),
+        ),
+    )
+    start_page_off = F.element_at(
+        c("_offsets"),
+        F.array_position(c("_page_ids"), c("_start_page")).cast("int"),
+    )
+    g = g.withColumn(
+        "refined_text",
+        F.when(
+            has_bounds,
+            F.substring(
+                c("_final_concat"),
+                (c("start_char") - start_page_off + 1).cast("int"),
+                (c("end_char") - c("start_char")).cast("int"),
+            ),
+        ).otherwise(c("_final_concat")),
+    )
+
     return g.select(
         "target_id",
         "source",
@@ -483,4 +527,5 @@ def refine_pages_with_boundaries(
         # fallback_first5 returns before boundary detection (:578-586)
         F.when(~no_match, c("start_char")).alias("start_char"),
         F.when(~no_match, c("end_char")).alias("end_char"),
+        "refined_text",
     )

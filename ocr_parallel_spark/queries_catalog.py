@@ -2031,6 +2031,18 @@ def _boundaries_sql() -> str:
                    THEN numeric_limited ELSE expanded END
             END AS final_pages
           FROM fy
+        ),
+        ft AS (
+          SELECT f.*,
+                 (SELECT string_agg(p.norm, e'\\n\\n' ORDER BY p.doc_id)
+                  FROM pj p WHERE p.target_id = f.target_id
+                    AND p.source = f.source
+                    AND list_contains(f.final_pages, p.doc_id))
+                   AS final_concat,
+                 (SELECT o.off0 FROM pgo o WHERE o.target_id = f.target_id
+                    AND o.source = f.source AND o.doc_id = f.start_page)
+                   AS off_sp
+          FROM fz f
         )
         SELECT target_id, source, method,
                array_to_string(list_transform(final_pages,
@@ -2039,8 +2051,13 @@ def _boundaries_sql() -> str:
                CASE WHEN len(matching) > 0 THEN CAST(start0 AS BIGINT) END
                  AS start_char,
                CASE WHEN len(matching) > 0 THEN CAST(end0 AS BIGINT) END
-                 AS end_char
-        FROM fz
+                 AS end_char,
+               CASE WHEN method = 'boundaries'
+                 THEN substr(final_concat,
+                        CAST(start0 - off_sp + 1 AS BIGINT),
+                        CAST(end0 - start0 AS BIGINT))
+                 ELSE final_concat END AS refined_text
+        FROM ft
     """
 
 

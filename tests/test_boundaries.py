@@ -102,18 +102,25 @@ def _densest(matching: list[int]) -> list[int]:
     return [p for p in matching if bs <= p <= be]
 
 
+def _concat(page_texts: dict[int, str], pages: list[int]) -> str:
+    return "\n\n".join(page_texts[p] for p in pages)
+
+
 def _mirror_refine(page_texts: dict[int, str], tokens: list[str], anchor: str):
     page_ids = sorted(page_texts)
     matching = [p for p in page_ids if _match_page(tokens, page_texts[p])]
     if not matching:
-        return ("fallback_first5", page_ids[: B.MAX_FALLBACK_PAGES], None, None)
+        final = page_ids[: B.MAX_FALLBACK_PAGES]
+        return ("fallback_first5", final, None, None, _concat(page_texts, final))
     full = "\n\n".join(page_texts[p] for p in page_ids)
     U = full.upper()
     start = _detect_start(U, tokens, anchor)
     end = _detect_end(U, start) if start is not None else None
     start_page = end_page = None
     off = 0
+    offsets = {}
     for p in page_ids:
+        offsets[p] = off
         lo, hi = off, off + len(page_texts[p]) + 2
         if start is not None and start_page is None and lo <= start < hi:
             start_page = p
@@ -127,7 +134,10 @@ def _mirror_refine(page_texts: dict[int, str], tokens: list[str], anchor: str):
         and end_page is not None
     ):
         final = [p for p in page_ids if start_page <= p <= end_page]
-        return ("boundaries", final[: B.MAX_PAGES_WITH_BOUNDARIES], start, end)
+        final = final[: B.MAX_PAGES_WITH_BOUNDARIES]
+        rel = start - offsets[start_page]
+        text = _concat(page_texts, final)[rel : rel + (end - start)]
+        return ("boundaries", final, start, end, text)
     meff = _densest(matching)
     mn, mx = min(meff), max(meff)
     i_min, i_max = page_ids.index(mn), page_ids.index(mx)
@@ -142,13 +152,9 @@ def _mirror_refine(page_texts: dict[int, str], tokens: list[str], anchor: str):
             for p in page_ids
             if mn - B.NUMERIC_BEFORE <= p <= mx + B.NUMERIC_AFTER
         ]
-        return (
-            "expanded",
-            limited[: B.MAX_PAGES_WITHOUT_BOUNDARIES],
-            start,
-            end,
-        )
-    return ("expanded", expanded, start, end)
+        limited = limited[: B.MAX_PAGES_WITHOUT_BOUNDARIES]
+        return ("expanded", limited, start, end, _concat(page_texts, limited))
+    return ("expanded", expanded, start, end, _concat(page_texts, expanded))
 
 
 # ------------------------------------------------------------------ driver --
@@ -178,7 +184,9 @@ def _run_spark(spark, cases):
 def _check(spark, cases):
     got = _run_spark(spark, cases)
     for cid, (page_texts, tokens, anchor) in enumerate(cases):
-        method, pages_, start, end = _mirror_refine(page_texts, tokens, anchor)
+        method, pages_, start, end, text = _mirror_refine(
+            page_texts, tokens, anchor
+        )
         exp_csv = ",".join(str(cid * 1000 + p) for p in pages_)
         r = got[cid]
         assert r.method == method, (cid, r.method, method)
@@ -186,6 +194,7 @@ def _check(spark, cases):
         assert r.n_pages == len(pages_), cid
         assert r.start_char == start, (cid, r.start_char, start)
         assert r.end_char == end, (cid, r.end_char, end)
+        assert r.refined_text == text, (cid, r.refined_text[:80], text[:80])
 
 
 FILLER = "lorem word text page content filler body line item value "
@@ -262,7 +271,7 @@ def test_hard_cap_2000_and_page_caps(spark):
         pages[p] = _page(f"INDIA JULIET continues {p}", pad=150)
     cases = [(pages, ["INDIA", "JULIET"], "INDIA")]
     got = _run_spark(spark, cases)
-    method, pages_, start, end = _mirror_refine(*cases[0])
+    method, pages_, start, end, _text = _mirror_refine(*cases[0])
     r = got[0]
     assert method == "boundaries" and end == start + B.HARD_END_CAP
     assert len(pages_) <= B.MAX_PAGES_WITH_BOUNDARIES
@@ -283,7 +292,7 @@ def test_densest_run_and_numeric_cap(spark):
             pages[p] = _page(f"plain {p}")
     cases = [(pages, ["KILO", "LIMA"], "ZZANCHOR")]
     got = _run_spark(spark, cases)
-    method, pages_, start, end = _mirror_refine(*cases[0])
+    method, pages_, start, end, _text = _mirror_refine(*cases[0])
     assert method == "expanded" and len(pages_) <= B.MAX_PAGES_WITHOUT_BOUNDARIES
     r = got[0]
     assert r.method == method
@@ -369,7 +378,7 @@ def test_large_document_scan_is_not_quadratic(spark):
     t0 = time.time()
     got = _run_spark(spark, cases)
     wall = time.time() - t0
-    method, pages_, start, end = _mirror_refine(*cases[0])
+    method, pages_, start, end, _text = _mirror_refine(*cases[0])
     r = got[0]
     assert (r.method, r.start_char, r.end_char) == (method, start, end)
     assert r.pages_csv == ",".join(str(p) for p in pages_)
