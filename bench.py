@@ -135,7 +135,18 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
             # Many files so the scan parallelizes (same shape as the
             # scaling harness; a real CC table has thousands of splits).
             sf_tag = os.path.basename(sf_dir.rstrip("/"))
-            inp = f"/tmp/bench_pages_{sf_tag}_{copies}_{body_repeat}.parquet"
+            # cache key includes the synthesis source hash: a stale /tmp
+            # cache surviving a pages.py change must never feed the bench
+            import hashlib
+
+            import ocr_parallel_spark.pages as _pages_mod
+
+            with open(_pages_mod.__file__, "rb") as fh:
+                synth_ver = hashlib.md5(fh.read()).hexdigest()[:8]
+            inp = (
+                f"/tmp/bench_pages_{sf_tag}_{copies}_{body_repeat}"
+                f"_{synth_ver}.parquet"
+            )
             if not os.path.exists(inp):
                 synthesize_pages(
                     spark, sf_dir, copies=copies, body_repeat=body_repeat

@@ -342,8 +342,11 @@ def test_randomized_agreement(spark, seed):
     for _ in range(12):
         n_pages = rng.randint(1, 18)
         toks = rng.sample(["PAPA", "QUEBEC", "ROMEO", "SIERRA", "99"], k=3)
+        # page ids with gaps: candidate sets at real scale are unions of
+        # chunk ranges minus other-source ids, never contiguous
+        ids = sorted(rng.sample(range(60), k=n_pages))
         pages = {}
-        for p in range(n_pages):
+        for p in ids:
             words = rng.choices(vocab, k=rng.randint(10, 60))
             if rng.random() < 0.5:  # seed token hits
                 words += [t.lower() for t in rng.sample(toks, k=rng.randint(1, 3))]
