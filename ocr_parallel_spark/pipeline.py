@@ -85,6 +85,7 @@ def run_extraction_pipeline(
     near_dups: bool = True,
     repartition: bool = False,
     dedup_before_extract: bool | str = False,
+    observe_name: str | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) -> extraction results.
 
@@ -134,13 +135,17 @@ def run_extraction_pipeline(
             deduped.join(marked, "url", "left")
             .withColumn("is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False)))
         )
-    # Unique-but-deterministic metric name: Spark rejects two CollectMetrics
-    # nodes with the same name and different results in one query (e.g. a
-    # diff of two pipeline variants).
-    global _OBS_SEQ
-    _OBS_SEQ += 1
+    # Metric-name rules: Spark rejects two CollectMetrics nodes with the
+    # same name and different results in one query (e.g. a diff of two
+    # pipeline variants), so the default is a session counter — which
+    # makes names invocation-order dependent. Callers that need a stable,
+    # reproducible metric name (dashboards, lineage) pass observe_name.
+    if observe_name is None:
+        global _OBS_SEQ
+        _OBS_SEQ += 1
+        observe_name = f"pipeline_{_OBS_SEQ}"
     return deduped.observe(
-        f"pipeline_{_OBS_SEQ}",
+        observe_name,
         F.count(F.lit(1)).alias("rows_out"),
         F.count(F.when(F.col("status") == "found", 1)).alias("pages_extracted"),
         F.count(F.when(F.col("status") == "error", 1)).alias("error_rows"),
