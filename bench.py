@@ -102,9 +102,37 @@ def materialize(df) -> int:
     return -1
 
 
+def materialize_pages_input(
+    spark, sf_dir: str, copies: int, body_repeat: int, n_files: int = 256
+) -> str:
+    """Write the synthesized pages to parquet once and return the path —
+    the timed benchmark reads a STORED table (the north_star metric), not
+    synthesis expressions. Shared by bench.py and the scaling harness so
+    their cache semantics cannot diverge. The key hashes the synthesis
+    source and the sf dir (a stale cache must never survive a pages.py
+    or data change), the file count is FIXED (a layout written at one
+    cpu count must not starve a later run at another), and a cache hit
+    requires the _SUCCESS marker (a partial dir from an interrupted
+    write must not pass for a corpus)."""
+    import hashlib
+
+    import ocr_parallel_spark.pages as _pages_mod
+    from ocr_parallel_spark.pages import synthesize_pages
+
+    with open(_pages_mod.__file__, "rb") as fh:
+        key = hashlib.md5(fh.read() + sf_dir.encode()).hexdigest()[:10]
+    inp = f"/tmp/bench_pages_{copies}_{body_repeat}_{n_files}_{key}.parquet"
+    if not os.path.exists(os.path.join(inp, "_SUCCESS")):
+        synthesize_pages(
+            spark, sf_dir, copies=copies, body_repeat=body_repeat
+        ).drop("doc_id").repartition(n_files).write.mode("overwrite").parquet(
+            inp
+        )
+    return inp
+
+
 def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
     from ocr_parallel_spark import queries_catalog
-    from ocr_parallel_spark.pages import synthesize_pages
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
     spark = build_spark(cpus)
@@ -129,30 +157,7 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
             # the throughput figure comparable to BASELINE.md.
             heavy = name.endswith("_heavy")
             copies, body_repeat = (2, 24) if heavy else (1, 1)
-            # Materialize the synthesized pages to parquet ONCE (untimed)
-            # and read them back: the north_star metric is pages/sec over
-            # a TABLE SCAN + extraction, not over synthesis expressions.
-            # Many files so the scan parallelizes (same shape as the
-            # scaling harness; a real CC table has thousands of splits).
-            sf_tag = os.path.basename(sf_dir.rstrip("/"))
-            # cache key includes the synthesis source hash: a stale /tmp
-            # cache surviving a pages.py change must never feed the bench
-            import hashlib
-
-            import ocr_parallel_spark.pages as _pages_mod
-
-            with open(_pages_mod.__file__, "rb") as fh:
-                synth_ver = hashlib.md5(fh.read()).hexdigest()[:8]
-            inp = (
-                f"/tmp/bench_pages_{sf_tag}_{copies}_{body_repeat}"
-                f"_{synth_ver}.parquet"
-            )
-            if not os.path.exists(inp):
-                synthesize_pages(
-                    spark, sf_dir, copies=copies, body_repeat=body_repeat
-                ).drop("doc_id").repartition(cpus * 4).write.mode(
-                    "overwrite"
-                ).parquet(inp)
+            inp = materialize_pages_input(spark, sf_dir, copies, body_repeat)
             pages = spark.read.parquet(inp)
             n_pages = pages.count()  # input size, not timed
             # best-of-2: the flagship throughput number is the headline

@@ -130,6 +130,8 @@ def ivf_assign(
     cosine, as pure column expressions over literal centroid arrays.
     Centroids ship in the plan (tiny; at scale they come from a sampled
     k-means run and are broadcast the same way)."""
+    import math
+
     out = df.withColumn(
         "_ivfv", F.col(vec_col).cast("array<double>")
     ).withColumn("_ivfn", norm(F.col("_ivfv")))
@@ -137,14 +139,18 @@ def ivf_assign(
     scored = F.array(
         *[
             F.struct(
-                # centroid norms are expressions over literal arrays —
-                # Catalyst constant-folds them; the row norm is the
-                # materialized column, computed once per row not per cell
+                # the centroid norm is a DRIVER-side constant — Catalyst
+                # does NOT fold aggregate() over literal arrays (verified
+                # on the optimized plan), so compute it here: Python's
+                # left-to-right float sum performs the exact IEEE double
+                # additions the aggregate would, then one sqrt — the
+                # result is bit-identical. The row norm is the
+                # materialized column, once per row not per cell.
                 cosine_from_norms(
                     v,
                     F.array(*[F.lit(float(x)) for x in c]),
                     vn,
-                    norm(F.array(*[F.lit(float(x)) for x in c])),
+                    F.lit(math.sqrt(sum((float(x) * float(x) for x in c), 0.0))),
                 ).alias("sim"),
                 F.lit(i).alias("cell"),
             )

@@ -34,25 +34,15 @@ sys.path.insert(0, str(REPO))
 
 
 def worker(cpus: int, sf_dir: str, copies: int, body_repeat: int) -> None:
-    from bench import build_spark
-    from ocr_parallel_spark.pages import synthesize_pages
+    from bench import build_spark, materialize_pages_input
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
     spark = build_spark(cpus, app=f"scaling-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
-    pages = synthesize_pages(
-        spark, sf_dir, copies=copies, body_repeat=body_repeat
-    ).drop("doc_id")
-    # Materialize the input once so synthesis cost (broadcast self-join)
-    # is excluded and both levels read identical bytes.
-    inp = (
-        f"/tmp/scaling_pages_{os.path.basename(sf_dir)}_{copies}_{body_repeat}"
-        ".parquet"
-    )
-    if not os.path.exists(inp):
-        # Many files: a real CC-scale table has thousands of splits; a
-        # single-row-group file would cap scan parallelism at any level.
-        pages.repartition(256).write.mode("overwrite").parquet(inp)
+    # Shared with bench.py: synthesis-hashed cache key, fixed 256 files
+    # (a real CC-scale table has thousands of splits), _SUCCESS-gated —
+    # both levels read identical bytes and synthesis cost is excluded.
+    inp = materialize_pages_input(spark, sf_dir, copies, body_repeat)
     pages = spark.read.parquet(inp)
     n = pages.count()
     # Steady-state measurement: one untimed warm-up pass of the same job
