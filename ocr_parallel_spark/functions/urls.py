@@ -21,8 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# '=' optional: redirectors append valueless trackers ("?gclid")
-TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|ref)(=|$)"
+# '=' optional: redirectors append valueless trackers ("?gclid").
+# (=|\z) not (=|$): Java's '$' matches before a trailing newline while
+# RE2's does not, so a noisy key like "?gclid\n" would be dropped by
+# Spark but kept by the DuckDB oracle. \z is end-of-text in both.
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|ref)(=|\z)"
 
 
 def canonical_url(url: Column | str) -> Column:

@@ -220,7 +220,13 @@ def refine_pages_with_boundaries(
     """F9 end-to-end over (target_id, source, doc_id) candidate pages.
 
     ``candidates``: (target_id, source, doc_id) — the W2 chunk->pages
-    expansion. ``pages``: (doc_id[, source], norm). ``targets``:
+    expansion. PRECONDITION: (target_id, source, doc_id) rows must be
+    UNIQUE — the reference dedups via sorted(set(candidate_pages))
+    (full_extractor_service.py:253); a duplicate pair here would repeat
+    that page in the concatenated scan text and corrupt every offset.
+    Callers ``.distinct()`` first (a distinct is NOT applied internally:
+    both in-repo callers already pay that shuffle and doubling it would
+    be pure cost at scale). ``pages``: (doc_id[, source], norm). ``targets``:
     (target_id, tokens array<string>, anchor string) — anchor is the
     folio analog. Pass ``page_join_cols=["doc_id", "source"]`` when page
     ids are only unique within a source (the reference's candidate pages
@@ -378,7 +384,14 @@ def refine_pages_with_boundaries(
     for m in end_before_markers:
         fm = F.locate(m, c("_stext"))
         cands.append(F.when(fm > 0, (fm - 1).cast("long")))
-    earliest = F.least(*cands) if len(cands) > 1 else cands[0]
+    # Empty-marker guard (mirrors _first_marker_pos): with no end markers
+    # at all the scan finds nothing and only the 2000-char hard cap below
+    # can set end_char — without this, cands[0] raised IndexError at
+    # plan-build time with an opaque traceback.
+    if not cands:
+        earliest = F.lit(None).cast("long")
+    else:
+        earliest = F.least(*cands) if len(cands) > 1 else cands[0]
     g = g.withColumn("_earliest", earliest)
     g = g.withColumn(
         "end_char",

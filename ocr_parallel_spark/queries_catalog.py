@@ -1380,7 +1380,7 @@ def oracle_sql() -> dict[str, str]:
                        '/+\\z', '') AS base_clean,
                      list_sort(list_filter(string_split(query, '&'),
                        x -> length(x) > 0 AND NOT regexp_matches(x,
-                         '^(utm_[^=&]*|gclid|fbclid|ref)(=|$)'))) AS kept
+                         '^(utm_[^=&]*|gclid|fbclid|ref)(=|\\z)'))) AS kept
               FROM p
             ),
             c AS (

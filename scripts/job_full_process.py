@@ -32,7 +32,8 @@ DEFAULT_CHUNK, DEFAULT_OVERLAP = 40, 5  # reference config.py:138-139
 
 def build_output(spark, pages_df, targets_csv: str, chunk_size: int,
                  overlap: int, start_markers, end_after, end_before,
-                 name_col: str = "inmueble", id_col: str = "folio"):
+                 name_col: str = "inmueble", id_col: str = "folio",
+                 committed=None):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -76,6 +77,13 @@ def build_output(spark, pages_df, targets_csv: str, chunk_size: int,
     loc = localize(
         targets.select("target_id", "tokens"), chunks, "tokens", "chunk_text", 0.6
     )
+    # Resume happens HERE, before the expensive boundary refinement: a
+    # (target, source) pair already in the committed snapshot is dropped
+    # from the localization hits, so chunk->pages expansion and the F5-F9
+    # char scans never run for it (not merely discarded at write time).
+    if committed is not None:
+        done = committed.select("target_id", "source").distinct()
+        loc = loc.join(done, ["target_id", "source"], "left_anti")
     cand = loc.select(
         "target_id",
         "source",
@@ -128,6 +136,12 @@ def main(argv=None) -> dict:
     )
 
     pages = spark.read.parquet(args.input)
+    table = SnapshotTable(args.output)
+    # Resume at result granularity: (target, source) pairs already in the
+    # committed snapshot are anti-joined out INSIDE build_output, before
+    # chunk->pages expansion and boundary refinement, so committed pairs
+    # are genuinely not recomputed (X9 without the file-existence poll
+    # race).
     out = build_output(
         spark,
         pages,
@@ -139,17 +153,8 @@ def main(argv=None) -> dict:
         args.end_before_marker or BOUNDARY_END_BEFORE,
         name_col=args.name_col,
         id_col=args.id_col,
+        committed=table.read(spark),
     )
-
-    table = SnapshotTable(args.output)
-    # Resume at result granularity: (target, document) pairs already in
-    # the committed snapshot are not recomputed (X9 without the
-    # file-existence poll race).
-    committed = table.read(spark)
-    if committed is not None:
-        out = out.join(
-            committed.select("job_key").distinct(), "job_key", "left_anti"
-        )
     from pyspark import StorageLevel
 
     out = out.persist(StorageLevel.MEMORY_AND_DISK)

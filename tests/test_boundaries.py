@@ -279,6 +279,49 @@ def test_hard_cap_2000_and_page_caps(spark):
     assert r.n_pages == len(pages_)
 
 
+def test_empty_end_marker_lists(spark):
+    # No end markers configured at all: the plan must still build (the
+    # empty-cands guard mirrors _first_marker_pos) and only the 2000-char
+    # hard cap can set end_char.
+    pages = {0: _page("OSCAR PAPA qqstart alpha OSCAR PAPA", pad=150)}
+    for p in range(1, 24):
+        pages[p] = _page(f"OSCAR PAPA continues {p}", pad=150)
+    cand = spark.createDataFrame(
+        [(0, "case0", p) for p in pages], "target_id int, source string, doc_id bigint"
+    )
+    pdf = spark.createDataFrame(
+        list(pages.items()), "doc_id bigint, norm string"
+    )
+    targets = spark.createDataFrame(
+        [(0, ["OSCAR", "PAPA"], "OSCAR")],
+        "target_id int, tokens array<string>, anchor string",
+    )
+    out = B.refine_pages_with_boundaries(
+        cand, pdf, targets, START_MARKERS, [], []
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.method == "boundaries"
+    assert r.end_char == r.start_char + B.HARD_END_CAP
+
+    # short text + no markers -> no end boundary at all (expanded path)
+    short = spark.createDataFrame(
+        [(1, "case1", 0)], "target_id int, source string, doc_id bigint"
+    )
+    spdf = spark.createDataFrame(
+        [(0, _page("QUEBEC ROMEO qqstart alpha QUEBEC ROMEO"))],
+        "doc_id bigint, norm string",
+    )
+    st = spark.createDataFrame(
+        [(1, ["QUEBEC", "ROMEO"], "QUEBEC")],
+        "target_id int, tokens array<string>, anchor string",
+    )
+    out2 = B.refine_pages_with_boundaries(
+        short, spdf, st, START_MARKERS, [], []
+    ).collect()
+    assert len(out2) == 1 and out2[0].end_char is None
+
+
 def test_densest_run_and_numeric_cap(spark):
     # >10 matched pages in two clusters (gap > 3) -> densest run wins;
     # expansion overflows 20 -> numeric window [mn-2, mx+12] capped at 20.

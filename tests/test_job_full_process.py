@@ -52,9 +52,18 @@ def test_full_process_job_end_to_end(spark, sf_dir, tmp_path):
     snap1 = table.append(out, lineage={"targets": str(targets_csv)})
     assert snap1["ordinal"] == 0
 
-    # resume: all (target, document) pairs committed -> nothing left
-    committed = table.read(spark)
-    remaining = out.join(
-        committed.select("job_key").distinct(), "job_key", "left_anti"
+    # resume: all (target, source) pairs committed -> the committed=
+    # anti-join inside build_output drops them BEFORE refinement, so a
+    # second build produces nothing
+    remaining = job.build_output(
+        spark,
+        pages,
+        str(targets_csv),
+        chunk_size=8,
+        overlap=2,
+        start_markers=["STREAM WINDOW", "LINE SORT"],
+        end_after=["AGG QUERY", "BATCH TABLE"],
+        end_before=["SLOW FILTER"],
+        committed=table.read(spark),
     )
     assert remaining.count() == 0

@@ -223,6 +223,10 @@ def test_canonical_url_rules(spark):
         ("https://ex.com/a?gclid", "https://ex.com/a"),  # valueless tracker
         ("HTTPS://Ex.com?p=1", "https://ex.com?p=1"),  # query right after host
         ("https://ex.com/a/\n", "https://ex.com/a/\n"),  # \z: no pre-newline strip
+        # \z in TRACKING_PARAM_RE: "gclid\n" is NOT the valueless tracker
+        # "gclid" (Java's '$' would have matched before the newline and
+        # dropped it, silently diverging from the RE2/DuckDB oracle)
+        ("https://ex.com/a?gclid\n", "https://ex.com/a?gclid\n"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
