@@ -131,7 +131,56 @@ def materialize_pages_input(
     return inp
 
 
-def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
+def wait_for_quiet(threshold: float, max_wait: float) -> dict:
+    """Optionally delay the run until the box quiets down. This VM has
+    documented neighbor-noise spikes (3-7x per-entry swings with zero
+    local JVMs); timings captured under such load are not comparable
+    across rounds. Records what it saw either way — the JSON carries the
+    load the run actually started under."""
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > threshold and waited < max_wait:
+        time.sleep(5)
+        waited += 5
+        load = os.getloadavg()[0]
+    return {
+        "threshold": threshold,
+        "waited_sec": waited,
+        "load_at_start": round(load, 2),
+        "quiet": load <= threshold,
+    }
+
+
+def run_scaling_block() -> dict:
+    """Two-parallelism scaling evidence as a machine-readable BENCH block
+    (north_rule: >=0.8 efficiency N -> 4N). Delegates to
+    scripts/bench_scaling.py (fresh taskset-pinned JVM per level); a
+    shorter corpus/rep count than the standalone harness keeps the
+    per-round bench under control — BASELINE.md carries the full runs."""
+    import pathlib
+    import subprocess
+
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_SCALE_COPIES", "4")
+    env.setdefault("SPARK_GRAFT_SCALE_REPS", "2")
+    script = pathlib.Path(__file__).resolve().parent / "scripts" / "bench_scaling.py"
+    try:
+        out = subprocess.run(
+            [sys.executable, str(script)],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+            timeout=1800,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.strip()][-1]
+        return json.loads(line)
+    except Exception as exc:  # noqa: BLE001 — a broken scaling probe
+        # must not sink the whole bench; the JSON records the failure.
+        return {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
+
+def run_bench(sf_dir: str, cpus: int, names: list[str], passes: int = 2) -> dict:
     from ocr_parallel_spark import queries_catalog
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
@@ -140,6 +189,7 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
     catalog = queries_catalog.queries()
 
     timings: dict[str, float] = {}
+    pass_walls: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
     # warm the JVM and the Python/Arrow worker pool so the first timed
     # query is not paying session + worker-fork startup
@@ -160,31 +210,38 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
             inp = materialize_pages_input(spark, sf_dir, copies, body_repeat)
             pages = spark.read.parquet(inp)
             n_pages = pages.count()  # input size, not timed
-            # best-of-2: the flagship throughput number is the headline
-            # metric and this VM has neighbor-noise swings well beyond
-            # the documented +/-30%; the min of two passes is the less
-            # noise-contaminated estimate of the engine's cost.
-            dt = float("inf")
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                result = run_extraction_pipeline(pages)
-                materialize(result)
-                dt = min(dt, time.perf_counter() - t0)
-            timings[name] = round(dt, 3)
+
+            def job(spark=spark, pages=pages):
+                materialize(run_extraction_pipeline(pages))
+
             suffix = "_heavy" if heavy else ""
-            extras["pages_in" + suffix] = n_pages
-            extras["pages_per_sec" + suffix] = round(n_pages / dt, 1)
         else:
             fn = catalog.get(name) or BENCH_ONLY.get(name)
             if fn is None:
                 continue
+
+            def job(spark=spark, fn=fn):
+                materialize(fn(spark, sf_dir))
+
+            n_pages = suffix = None
+        # Best-of-N for EVERY entry (not just the flagship): this VM has
+        # neighbor-noise swings well beyond +/-30%, and the min of N
+        # passes is the least noise-contaminated estimate of the engine's
+        # cost. clearCache BEFORE each pass: Spark's cache manager matches
+        # identical logical plans, so pass 2 would silently reuse pass 1's
+        # persisted extraction output and time a different (cached) job.
+        walls = []
+        for _ in range(passes):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        # pipelines persist() their extraction output; drop it so later
-        # queries aren't squeezed by stale cached blocks
+            job()
+            walls.append(round(time.perf_counter() - t0, 3))
         spark.catalog.clearCache()
+        timings[name] = min(walls)
+        pass_walls[name] = walls
+        if n_pages is not None:
+            extras["pages_in" + suffix] = n_pages
+            extras["pages_per_sec" + suffix] = round(n_pages / min(walls), 1)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -195,6 +252,8 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        "n_passes": passes,
+        "pass_walls": pass_walls,
         **extras,
     }
     spark.stop()
@@ -204,11 +263,26 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     names = HEADLINE
     env_subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if env_subset:
         names = [n.strip() for n in env_subset.split(",") if n.strip()]
-    print(json.dumps(run_bench(sf_dir, cpus, names)))
+    # Quiet-window gate (recorded, never fatal): wait up to 90 s for the
+    # 1-min load average to drop below 2 so per-round BENCH numbers are
+    # captured on comparable ground. Tune/disable via env.
+    gate = wait_for_quiet(
+        float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0")),
+        float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "90")),
+    )
+    out = run_bench(sf_dir, cpus, names, passes=passes)
+    out["quiet_gate"] = gate
+    out["load_avg_end"] = round(os.getloadavg()[0], 2)
+    # Machine-readable scaling block (north_rule evidence) on full
+    # headline runs only — subset runs are iteration loops, keep them fast.
+    if not env_subset and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        out["scaling"] = run_scaling_block()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
