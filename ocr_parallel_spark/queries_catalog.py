@@ -521,12 +521,15 @@ def q_minhash_recall(spark, sf_dir):
 def q_ann_recall(spark, sf_dir):
     """Driver-visible recall gate for both ANN scale paths: brute-force
     top-5 for 10 queries is the truth (its size is recomputed by the SQL
-    oracle); sign-LSH and IVF recall against it are pinned as boolean
-    thresholds (>= 0.3, the guaranteed floor under 4 planes / nprobe 3 —
-    tests/test_multimodal.py pins the same)."""
+    oracle); sign-LSH (8 tables x 4 planes) and IVF (k-means cells,
+    nprobe 4) recall against it are pinned at >= 0.7. Measured recall on
+    this corpus: LSH 0.76 at both sf0.01/sf0.1, IVF 0.86-0.88 — both
+    deterministic (literal planes/centroids), so the gate goes red on
+    genuine degradation, not noise. tests/test_multimodal.py pins the
+    same floors."""
     from ocr_parallel_spark.functions.similarity import (
-        deterministic_centroids,
         ivf_topk,
+        kmeans_centroids,
         lsh_topk,
     )
 
@@ -535,11 +538,11 @@ def q_ann_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "vec_id")
-    lsh = lsh_topk(emb, queries_df, k=5, dim=64, n_planes=4).select(
+    lsh = lsh_topk(emb, queries_df, k=5, dim=64, n_planes=4, n_tables=8).select(
         "query_id", "vec_id"
     )
     ivf = ivf_topk(
-        emb, queries_df, deterministic_centroids(emb, n_cells=8), k=5, nprobe=3
+        emb, queries_df, kmeans_centroids(emb, n_cells=8), k=5, nprobe=4
     ).select("query_id", "vec_id")
     lsh_hits = exact.join(lsh, ["query_id", "vec_id"], "left_semi")
     ivf_hits = exact.join(ivf, ["query_id", "vec_id"], "left_semi")
@@ -549,8 +552,8 @@ def q_ann_recall(spark, sf_dir):
         .crossJoin(ivf_hits.agg(F.count(F.lit(1)).alias("_ivf")))
         .select(
             "n_truth",
-            (F.col("_lsh") * 10 >= F.col("n_truth") * 3).alias("lsh_recall_ok"),
-            (F.col("_ivf") * 10 >= F.col("n_truth") * 3).alias("ivf_recall_ok"),
+            (F.col("_lsh") * 10 >= F.col("n_truth") * 7).alias("lsh_recall_ok"),
+            (F.col("_ivf") * 10 >= F.col("n_truth") * 7).alias("ivf_recall_ok"),
         )
     )
 
@@ -904,16 +907,18 @@ def q_media_features(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate NN via sign-LSH bucketing (scale path of cosine_topk).
-    Approximate by construction -> rows-only check; recall vs brute force
-    is pinned in tests/test_operators.py."""
+    """Approximate NN via multi-table sign-LSH (scale path of
+    cosine_topk): candidates = union of 8 independent 4-plane hash
+    tables, exact cosine rank within candidates. Approximate by
+    construction -> rows-only check; recall >= 0.7 vs brute force is
+    pinned by the ann_recall oracle gate and in tests."""
     from ocr_parallel_spark.functions.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries_df, k=5, dim=64, n_planes=4)
+    return lsh_topk(emb, queries_df, k=5, dim=64, n_planes=4, n_tables=8)
 
 
 def q_two_pass_localization(spark, sf_dir):
@@ -980,20 +985,22 @@ def q_json_extract(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate NN (second ANN scale path beside sign-LSH): cell
-    assignment via literal centroids, candidates by cell-equi-join, exact
-    cosine rank within probed cells. Approximate -> rows-only; recall vs
-    brute force pinned in tests."""
+    assignment via literal centroids from a seeded sampled k-means
+    (balanced cells — first-N-by-id seeding inherits whatever skew the
+    id order carries), candidates by cell-equi-join, exact cosine rank
+    within probed cells. Approximate -> rows-only; recall >= 0.7 vs
+    brute force pinned by the ann_recall oracle gate and in tests."""
     from ocr_parallel_spark.functions.similarity import (
-        deterministic_centroids,
         ivf_topk,
+        kmeans_centroids,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = deterministic_centroids(emb, n_cells=8)
+    cents = kmeans_centroids(emb, n_cells=8)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries_df, cents, k=5, nprobe=3)
+    return ivf_topk(emb, queries_df, cents, k=5, nprobe=4)
 
 
 def q_minhash_verified_pairs(spark, sf_dir):

@@ -104,14 +104,72 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_topk(emb, queries, k=5)
-    approx = lsh_topk(emb, queries, k=5, dim=64, n_planes=4)
+    approx = lsh_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     # rank-1 self-match always survives (query is in its own bucket)
     self_hits = {(r.query_id, r.vec_id) for r in approx.filter("rank = 1").collect()}
     assert all(q == v for q, v in self_hits)
+    # multi-table dedup: no (query, vec) pair may appear twice even
+    # though pairs collide in several tables
+    assert len(a) == approx.count()
     recall = len(e & a) / len(e)
-    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+    # measured 0.78 on this corpus; deterministic (literal planes)
+    assert recall >= 0.7, f"LSH recall collapsed: {recall}"
+
+
+def test_lsh_sublinear_on_clustered_data(spark):
+    """The production LSH claim: where the data HAS structure (clusters,
+    near-neighbors at cos >= 0.9), a wide-and-many config (12 planes x 8
+    tables) finds the true neighbors with high recall while touching only
+    a small fraction of the corpus — the candidate set is sublinear.
+    The synthetic benchmark embeddings are near-random (5th-neighbor cos
+    ~0.35), where NO bucketing scheme can be simultaneously high-recall
+    and sublinear; this planted corpus pins the regime the operator is
+    actually built for."""
+    import numpy as np
+
+    from ocr_parallel_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        with_lsh_buckets,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, n_clusters, per = 64, 40, 25  # 1000 vectors in 40 tight clusters
+    bases = rng.standard_normal((n_clusters, dim))
+    bases /= np.linalg.norm(bases, axis=1)[:, None]
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            # per-dim noise 0.02 -> noise-vector norm ~0.16 vs unit base
+            # -> member-member cos ~0.95
+            v = bases[c] + 0.02 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % per == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, dim=dim, n_planes=12, n_tables=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"clustered recall collapsed: {recall}"
+    # sublinearity: distinct candidates per query << corpus size
+    v_idx = with_lsh_buckets(
+        emb, "embedding", dim, n_planes=12, n_tables=8
+    ).select("vec_id", F.explode("lsh_buckets").alias("b"))
+    q_idx = with_lsh_buckets(
+        queries.withColumnRenamed("embedding", "_q"), "_q", dim, 12, 8
+    ).select("query_id", F.explode("lsh_buckets").alias("b"))
+    n_cand = (
+        v_idx.join(q_idx, "b").select("query_id", "vec_id").distinct().count()
+    )
+    frac = n_cand / (queries.count() * emb.count())
+    assert frac < 0.15, f"candidate set not sublinear on clustered data: {frac}"
 
 
 def test_simhash_near_dups_marks_drifted_copy(spark, sf_dir):
@@ -132,24 +190,53 @@ def test_simhash_near_dups_marks_drifted_copy(spark, sf_dir):
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     from ocr_parallel_spark.functions.similarity import (
         brute_force_topk,
-        deterministic_centroids,
         ivf_topk,
+        kmeans_centroids,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = deterministic_centroids(emb, n_cells=8)
+    cents = kmeans_centroids(emb, n_cells=8)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_topk(emb, queries, k=5)
-    approx = ivf_topk(emb, queries, cents, k=5, nprobe=3)
+    approx = ivf_topk(emb, queries, cents, k=5, nprobe=4)
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     # every query finds itself (its cell is always probed at nprobe>=1)
     self_hits = {(r.query_id, r.vec_id) for r in approx.filter("rank = 1").collect()}
     assert all(q == v for q, v in self_hits)
     recall = len(e & a) / len(e)
-    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # measured 0.80 on this corpus; deterministic (seeded k-means)
+    assert recall >= 0.7, f"IVF recall collapsed: {recall}"
+
+
+def test_kmeans_centroids_deterministic_and_balanced(spark, sf_dir):
+    import numpy as np
+
+    from ocr_parallel_spark.functions.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = kmeans_centroids(emb, n_cells=8)
+    c2 = kmeans_centroids(emb, n_cells=8)
+    assert c1 == c2, "sampled k-means must be run-to-run deterministic"
+    assert len(c1) == 8 and all(len(c) == 64 for c in c1)
+    # balanced cells: no cell above 2x the mean occupancy (the skew the
+    # first-N-by-id seeding could not rule out)
+    assigned = ivf_assign(emb, c1, "embedding", nprobe=1).select(
+        F.element_at("ivf_cells", 1).alias("cell")
+    )
+    sizes = [r.n for r in assigned.groupBy("cell").count().withColumnRenamed("count", "n").collect()]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 2 * mean, f"skewed cells: {sorted(sizes)}"
+    # k > sample: degrades to k=n without error
+    tiny = emb.limit(3)
+    assert len(kmeans_centroids(tiny, n_cells=8)) == 3
+    two_np = np.array(c1)
+    assert np.isfinite(two_np).all()
 
 
 def test_minhash_verified_pairs_only_high_jaccard(spark, sf_dir):
