@@ -737,6 +737,29 @@ def q_pipeline_counts(spark, sf_dir):
     )
 
 
+def q_extract_text_pin(spark, sf_dir):
+    """Exact driver gate on the flagship's extracted TEXT (not just row
+    accounting): one row per pipeline survivor with sha256(text). The
+    DuckDB oracle re-derives the expected text independently from the
+    synthesis rules (pages.py: heading 'Document number {content_id}',
+    body borrowing for content/near dups, F1 normalization, html blocks
+    joined with blank lines vs pdf layout lines flattened to one line) —
+    a single byte of kernel-output drift flips the row's hash and the
+    driver's value-hash check goes red. Until this query, the
+    byte-identical invariant lived only in pytest goldens."""
+    from ocr_parallel_spark.pages import synthesize_pages
+    from ocr_parallel_spark.pipeline import run_extraction_pipeline
+
+    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+    out = run_extraction_pipeline(pages, near_dups=False)
+    return out.select(
+        "url",
+        "status",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.length("text").alias("n_chars"),
+    )
+
+
 # F3 variant-expansion targets: raw NAMES (tokenize exercises dashes and
 # digit runs). Chosen so synonym expansion visibly changes outcomes on the
 # corpus: "order arrange" flips UNMATCHED->MATCHED via REVERSE lookup
@@ -1085,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "ann_recall": q_ann_recall,
         "pipeline_counts": q_pipeline_counts,
+        "extract_text_pin": q_extract_text_pin,
         "capped_details": q_capped_details,
         "simhash_recall": q_simhash_recall,
         "corpus_curation": q_corpus_curation,
@@ -1426,6 +1450,63 @@ def oracle_sql() -> dict[str, str]:
                      THEN doc_id || ':' || n_chars END, ';'
                      ORDER BY doc_id, n_chars) AS first20_details
             FROM r GROUP BY source
+        """,
+        "extract_text_pin": """
+            -- Independent re-derivation of the kernel's expected output
+            -- text from the synthesis rules (pages.py), entirely in SQL:
+            -- survivors of keep-first url dedup are exactly the
+            -- doc_id%10!=9 rows (the url-dup row always carries the
+            -- LATER warc_ts); content/near dups borrow the previous
+            -- doc's body; pdf payload rows flatten to one line, html
+            -- rows join heading+body with a blank line; error rows
+            -- (invalid utf-8 payload) have NULL text.
+            WITH d AS (SELECT doc_id, text FROM documents),
+            j AS (
+              SELECT d.doc_id, d.text, p.text AS prev_text
+              FROM d LEFT JOIN d p ON p.doc_id = d.doc_id - 1
+              WHERE d.doc_id % 10 != 9
+            ),
+            flags AS (
+              SELECT doc_id, text, prev_text,
+                     doc_id % 50 = 7 AS is_error,
+                     (doc_id % 20 = 13 AND prev_text IS NOT NULL) AS is_cdup,
+                     (doc_id % 25 = 21 AND prev_text IS NOT NULL) AS is_ndup,
+                     (doc_id % 40 = 11 AND doc_id % 50 != 7)
+                       OR (doc_id % 40 = 31 AND doc_id % 50 != 7) AS is_pdf
+              FROM j
+            ),
+            body AS (
+              SELECT doc_id, is_error, is_pdf,
+                     CASE WHEN is_cdup OR is_ndup
+                          THEN doc_id - 1 ELSE doc_id END AS content_id,
+                     CASE WHEN is_cdup THEN prev_text
+                          WHEN is_ndup THEN prev_text || ' drift tail token'
+                          ELSE text END AS raw_body
+              FROM flags
+            ),
+            built AS (
+              SELECT doc_id, is_error,
+                     'https://' || CASE WHEN doc_id % 5 < 2
+                         THEN 'hot.example.com'
+                         ELSE 'site-' || (doc_id % 97) || '.example.com'
+                       END || '/page/' || doc_id AS url,
+                     CASE WHEN is_error THEN NULL
+                       ELSE concat_ws(CASE WHEN is_pdf THEN ' '
+                                           ELSE chr(10) || chr(10) END,
+                         'Document number ' || content_id,
+                         trim(regexp_replace(regexp_replace(regexp_replace(
+                           raw_body, '\\\\n', ' ', 'g'), '\\n', ' ', 'g'),
+                           '\\s+', ' ', 'g')))
+                     END AS etext
+              FROM body
+            )
+            SELECT url,
+                   CASE WHEN is_error THEN 'error'
+                        WHEN trim(etext) = '' THEN 'not_found'
+                        ELSE 'found' END AS status,
+                   sha256(etext) AS text_sha,
+                   CAST(length(etext) AS INT) AS n_chars
+            FROM built
         """,
         "pipeline_counts": """
             SELECT CAST(count(*) FILTER (WHERE doc_id % 10 != 9)
