@@ -55,13 +55,34 @@ class SnapshotTable:
             out.append(json.loads(p.read_text()))
         return out
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """Read the committed table state (union of live data dirs)."""
-        snap = self.current_snapshot()
+    def snapshot_at(self, ordinal: int) -> dict | None:
+        """Time travel (Iceberg ``VERSION AS OF`` analog): the manifest of
+        a PAST commit. Snapshots are immutable and append-only data dirs
+        are never rewritten, so any committed ordinal stays readable."""
+        p = self.manifest_dir / f"snapshot-{ordinal:06d}.json"
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def read(
+        self, spark: SparkSession, ordinal: int | None = None
+    ) -> DataFrame | None:
+        """Read the committed table state (union of live data dirs) —
+        current by default, or as of a past ``ordinal`` (time travel).
+
+        ``mergeSchema``: runs may carry evolved schemas (an added column
+        — Iceberg's most-used schema evolution); the union reconciles by
+        NAME and earlier runs read the new column as NULL, exactly
+        Iceberg's add-column semantics. (Column RENAMES need id-based
+        mapping — real Iceberg territory; documented out of scope for the
+        parquet+manifest fallback.)"""
+        snap = (
+            self.current_snapshot() if ordinal is None else self.snapshot_at(ordinal)
+        )
         if snap is None or not snap["data_dirs"]:
             return None
         paths = [str(self.root / d) for d in snap["data_dirs"]]
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def committed_keys(self, spark: SparkSession, key_col: str) -> DataFrame | None:
         df = self.read(spark)
@@ -88,6 +109,10 @@ class SnapshotTable:
         snap = {
             "ordinal": ordinal,
             "data_dirs": data_dirs,
+            # schema as committed THIS run (Iceberg records schema per
+            # snapshot; an added column shows up here and time-travel
+            # readers of older ordinals never see it)
+            "columns": df.columns,
             "lineage": lineage or {},
         }
         self._commit(snap)
@@ -99,7 +124,12 @@ class SnapshotTable:
         run_dir = f"data/run-{ordinal:06d}"
         (self.root / "data").mkdir(parents=True, exist_ok=True)
         df.write.mode("errorifexists").parquet(str(self.root / run_dir))
-        snap = {"ordinal": ordinal, "data_dirs": [run_dir], "lineage": lineage or {}}
+        snap = {
+            "ordinal": ordinal,
+            "data_dirs": [run_dir],
+            "columns": df.columns,
+            "lineage": lineage or {},
+        }
         self._commit(snap)
         return snap
 

@@ -54,6 +54,7 @@ def mark_simhash_near_dups(
     id_col: str = "url",
     hamming_threshold: int = HAMMING_THRESHOLD,
     max_bucket: int = MAX_BAND_BUCKET,
+    closure_rounds: int = 0,
 ) -> DataFrame:
     """Add ``is_near_dup`` + ``near_rep`` columns.
 
@@ -62,6 +63,17 @@ def mark_simhash_near_dups(
     ``bit_count(a^b) <= threshold``; each verified doc maps to the minimum
     id in its candidate neighborhood, and ``is_near_dup`` is true when that
     representative is a different, earlier doc.
+
+    ``closure_rounds=0`` (default) is one-iteration min-representative
+    labeling — the standard LSH approximation of connected components: a
+    chain A~B~C labels C with B while A keeps itself. Pass
+    ``closure_rounds=r`` to run ``r`` bounded label-propagation rounds
+    over the verified-pair graph (each round: every doc takes the min of
+    its own and its neighbors' labels — one keyed shuffle per round);
+    each round extends the collapsed radius one hop (round r labels
+    reach r+1 hops), so 2-3 rounds close any realistic near-dup cluster
+    — drift chains longer than that are vanishingly rare — while staying
+    a FIXED number of stages (no driver-side convergence loop at 100 TB).
     """
     ids = df.select(id_col, simhash_col).filter(F.col(simhash_col) != 0)
     # One pass over the input: posexplode the band array (a 4-way union
@@ -107,11 +119,36 @@ def mark_simhash_near_dups(
             F.col(f"r.{id_col}").alias("_nd_other"),
         )
     )
+    if closure_rounds > 0:
+        # pairs is re-consumed every propagation round; without this the
+        # band self-join lineage re-executes per round.
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     reps = pairs.groupBy("_nd_id").agg(F.min("_nd_other").alias("_nd_min_other"))
     reps = reps.select(
         F.col("_nd_id"),
         F.least(F.col("_nd_id"), F.col("_nd_min_other")).alias("near_rep"),
     )
+    for _ in range(closure_rounds):
+        nbr = (
+            pairs.join(
+                reps.select(
+                    F.col("_nd_id").alias("_nd_other"),
+                    F.col("near_rep").alias("_nbr_rep"),
+                ),
+                "_nd_other",
+            )
+            .groupBy("_nd_id")
+            .agg(F.min("_nbr_rep").alias("_min_nbr_rep"))
+        )
+        reps = reps.join(nbr, "_nd_id", "left").select(
+            "_nd_id",
+            F.least(
+                F.col("near_rep"),
+                F.coalesce(F.col("_min_nbr_rep"), F.col("near_rep")),
+            ).alias("near_rep"),
+        )
     out = df.join(reps, df[id_col] == reps["_nd_id"], "left").drop("_nd_id")
     return out.withColumn(
         "is_near_dup",

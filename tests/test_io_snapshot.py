@@ -88,3 +88,48 @@ def test_partition_lineage_counters(spark, tmp_path):
     assert sum(p["pages_extracted"] for p in parts) > 0
     for p in parts:
         assert set(p) >= {"partition_id", "rows", "pages_extracted", "errors"}
+
+
+def test_time_travel_read_at_ordinal(spark, tmp_path):
+    """Iceberg 'VERSION AS OF' analog: every committed ordinal stays
+    readable after later appends and even after an overwrite (old data
+    dirs are never rewritten)."""
+    t = SnapshotTable(str(tmp_path / "t6"))
+    t.append(_mkdf(spark, range(3)))
+    t.append(_mkdf(spark, range(10, 15)))
+    assert t.read(spark).count() == 8
+    assert t.read(spark, ordinal=0).count() == 3
+    assert t.read(spark, ordinal=1).count() == 8
+    assert t.snapshot_at(99) is None and t.read(spark, ordinal=99) is None
+    t.overwrite(_mkdf(spark, range(100, 102)))
+    assert t.read(spark).count() == 2
+    # history still intact post-overwrite
+    assert t.read(spark, ordinal=0).count() == 3
+    assert t.read(spark, ordinal=1).count() == 8
+    assert [s["ordinal"] for s in t.snapshots()] == [0, 1, 2]
+
+
+def test_schema_evolution_added_column(spark, tmp_path):
+    """Add-column evolution: a later run commits an extra column; the
+    current read reconciles by name (old rows read NULL), a time-travel
+    read of the pre-evolution ordinal never sees the column, and each
+    manifest records the schema as committed."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "t7"))
+    t.append(_mkdf(spark, range(3)))
+    evolved = _mkdf(spark, range(10, 12)).withColumn("score", F.col("v") * 2.0)
+    t.append(evolved)
+
+    cur = t.read(spark)
+    assert set(cur.columns) == {"url", "v", "score"}
+    assert cur.count() == 5
+    # old rows surface the added column as NULL; new rows carry values
+    assert cur.filter("score IS NULL").count() == 3
+    assert cur.filter("score = v * 2.0").count() == 2
+    # time travel predates the evolution
+    old = t.read(spark, ordinal=0)
+    assert set(old.columns) == {"url", "v"}
+    # per-snapshot schema recorded in the manifest
+    assert t.snapshot_at(0)["columns"] == ["url", "v"]
+    assert t.snapshot_at(1)["columns"] == ["url", "v", "score"]

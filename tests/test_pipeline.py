@@ -169,3 +169,50 @@ def test_hostile_charset_roundtrip(spark, tmp_path):
         assert status == "found", (url, status)
         assert text == expected[url], url
         assert "(parens)" in text and '"quotes"' in text and "\\backslash\\" in text
+
+
+def test_simhash_closure_collapses_chains(spark):
+    """closure_rounds: a drift chain A~B~C (each link Hamming 2, ends
+    Hamming 4 — NOT a verified pair) collapses to one representative
+    under bounded label propagation; the one-iteration default labels C
+    with B (the documented approximation)."""
+    from ocr_parallel_spark.operators.neardup import mark_simhash_near_dups
+
+    base = 0x0123456789ABCDEF
+    a = base
+    b = base ^ 0b11              # bits 0,1 -> band 0 differs only
+    c = b ^ (0b11 << 16)         # bits 16,17 -> band 1 differs vs b
+    d = 0x7654321087654321       # unrelated
+    df = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c), ("d", d)], "url string, simhash long"
+    )
+    one_iter = {
+        r.url: (r.near_rep, r.is_near_dup)
+        for r in mark_simhash_near_dups(df).collect()
+    }
+    assert one_iter["a"] == ("a", False)
+    assert one_iter["b"] == ("a", True)
+    assert one_iter["c"] == ("b", True)  # the documented 1-hop label
+    assert one_iter["d"] == (None, False)
+
+    closed = {
+        r.url: (r.near_rep, r.is_near_dup)
+        for r in mark_simhash_near_dups(df, closure_rounds=2).collect()
+    }
+    assert closed["a"] == ("a", False)
+    assert closed["b"] == ("a", True)
+    assert closed["c"] == ("a", True)  # chain collapsed to one rep
+    assert closed["d"] == (None, False)
+
+    # longer chain a~b~c~e~f: 2 rounds reach 3 hops (r+1)
+    e = c ^ (0b11 << 32)
+    f = e ^ (0b11 << 48)
+    df2 = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c), ("e", e), ("f", f)],
+        "url string, simhash long",
+    )
+    closed2 = {
+        r.url: r.near_rep
+        for r in mark_simhash_near_dups(df2, closure_rounds=3).collect()
+    }
+    assert set(closed2.values()) == {"a"}, closed2
