@@ -120,3 +120,27 @@ def test_salted_rollup_two_stage(spark, sf_dir):
     # two-stage: partial agg on the salted key, final agg on the bare key
     # -> at least two HashAggregate pairs in the plan
     assert p.count("HashAggregate") >= 4
+
+
+def test_multitable_lsh_plan_shape(spark, sf_dir):
+    """ANN multi-table LSH 100 TB guarantees: zero Python anywhere, the
+    query side of BOTH joins broadcasts (index probe + vector fetch), and
+    the L-fold explode multiplies only (id, bucket) index rows — the
+    64-double vector column must not appear below a Generate (explode)
+    node."""
+    from ocr_parallel_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
+    p = plan_of(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInArrow" not in p  # pure expressions, no kernel needed
+    assert "BroadcastHashJoin" in p
+    # every Generate (posexplode/explode) operates on the bucket array
+    # only; 'embedding' never rides through an explode
+    for seg in p.split("Generate")[1:]:
+        first_line = seg.split("\n", 1)[0]
+        assert "embedding" not in first_line, first_line
