@@ -29,29 +29,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # oracle-gated every round), not the scale story — the similarity
 # headline is the LSH/MinHash flow at a widened query load. Under
 # neighbor noise ngram_jaccard alone swung to 22% of total wall.
+# Ordered heaviest-first: the quiet-window gate holds at run START, and
+# neighbor load can return mid-run — the entries whose numbers matter
+# most (flagship, boundaries, the wide ANN/MinHash loads) measure
+# closest to the verified-quiet moment; sub-second entries absorb any
+# later spike with the least damage.
 HEADLINE = [
     "extraction_pipeline",
     "extraction_pipeline_heavy",
-    "keep_first",
-    "content_hash_dedup",
-    "overlap_chunks",
-    "ordered_concat",
-    "theta_join_localization",
-    "sessionize",
-    "topk_per_group",
-    "quality",
-    "token_counts",
-    "minhash_lsh_pairs",
-    "minhash_verified_pairs",
-    "cosine_topk",
-    "full_process",
     "full_process_boundaries",
-    "localization_variants",
     "ann_lsh_topk_wide",
-    "salted_rollup",
-    "media_meta",
+    "minhash_verified_pairs",
+    "minhash_lsh_pairs",
+    "localization_variants",
+    "full_process",
     "simhash_near_dups",
     "corpus_curation",
+    "theta_join_localization",
+    "keep_first",
+    "quality",
+    "cosine_topk",
+    "overlap_chunks",
+    "token_counts",
+    "content_hash_dedup",
+    "ordered_concat",
+    "sessionize",
+    "topk_per_group",
+    "salted_rollup",
+    "media_meta",
 ]
 
 
@@ -160,8 +165,20 @@ def run_scaling_block() -> dict:
     import pathlib
     import subprocess
 
+    # The main bench JVM just shut down; its page-cache/thread teardown
+    # plus any neighbor spike would land squarely on the 2-core level's
+    # wall. Wait for quiet first — a contaminated scaling number is worse
+    # than a delayed one.
+    wait_for_quiet(
+        float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0")),
+        float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "90")),
+    )
     env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_SCALE_COPIES", "4")
+    # Standalone-proven corpus (copies=8 -> 40k heavy pages): a smaller
+    # corpus leaves the 8-core wall dominated by fixed stage overhead,
+    # which biases efficiency DOWN (the fast level pays proportionally
+    # more of it) — measured 0.64 at copies=4 vs 0.8-1.0 at copies=8.
+    env.setdefault("SPARK_GRAFT_SCALE_COPIES", "8")
     env.setdefault("SPARK_GRAFT_SCALE_REPS", "2")
     script = pathlib.Path(__file__).resolve().parent / "scripts" / "bench_scaling.py"
     try:
@@ -232,6 +249,15 @@ def run_bench(sf_dir: str, cpus: int, names: list[str], passes: int = 2) -> dict
         # persisted extraction output and time a different (cached) job.
         walls = []
         for _ in range(passes):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            job()
+            walls.append(round(time.perf_counter() - t0, 3))
+        # Adaptive retry: when the passes disagree badly (>1.5x), one of
+        # them was noise-contaminated — one extra pass recovers a usable
+        # minimum instead of publishing a coin-flip. Bounded at +1 so a
+        # persistently loaded box cannot stall the bench.
+        if max(walls) > 1.5 * min(walls):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             job()

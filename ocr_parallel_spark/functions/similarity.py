@@ -106,25 +106,6 @@ def _bucket_expr(v: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def with_lsh_bucket(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    dim: int = 64,
-    n_planes: int = 16,
-    seed: int = 42,
-) -> DataFrame:
-    """Sign-LSH bucket id: bit i = sign(v . plane_i). Bucket computation
-    is a pure expression over literal plane arrays — no Python, and the
-    same literal planes reproduce identical buckets everywhere."""
-    planes = hyperplane_planes(dim, n_planes, seed)
-    # cast the vector ONCE per row; per-plane expressions reference the
-    # materialized column instead of re-casting n_planes times
-    out = df.withColumn("_lshv", F.col(vec_col).cast("array<double>"))
-    return out.withColumn(
-        "lsh_bucket", _bucket_expr(F.col("_lshv"), planes)
-    ).drop("_lshv")
-
-
 def with_lsh_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -142,7 +123,11 @@ def with_lsh_buckets(
     for neighbors at angle theta is (1 - theta/pi)^n_planes, and the
     UNION over ``n_tables`` independent tables lifts recall to
     1 - (1 - p^b)^L while random-pair candidates stay ~L/2^b of the
-    corpus per query."""
+    corpus per query. ``n_tables=1`` degrades to classic single-table
+    sign-LSH. Bucket computation is a pure expression over literal plane
+    arrays — no Python, and the same literal planes reproduce identical
+    buckets everywhere; the vector is cast ONCE per row (per-plane
+    expressions reference the materialized column)."""
     out = df.withColumn("_lshv", F.col(vec_col).cast("array<double>"))
     v = F.col("_lshv")
     buckets = []
