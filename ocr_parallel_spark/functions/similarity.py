@@ -234,17 +234,21 @@ def kmeans_centroids(
         raise ValueError("kmeans_centroids: no vectors to sample")
     k = min(n_cells, n)
     rng = np.random.RandomState(seed)
-    # k-means++ init: D^2-weighted seeding
-    cents = [X[rng.randint(n)]]
+    # Lloyd assigns by COSINE, so seed on the normalized rows too:
+    # D^2 on raw vectors would favor high-NORM outliers (Euclidean
+    # distance is large even at cosine ~1), seeding duplicate-direction
+    # centroids that cosine assignment then leaves empty forever.
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+    # k-means++ init: D^2-weighted seeding on the unit sphere
+    cents = [Xn[rng.randint(n)]]
     for _ in range(k - 1):
-        d2 = np.min([((X - c) ** 2).sum(axis=1) for c in cents], axis=0)
+        d2 = np.min([((Xn - c) ** 2).sum(axis=1) for c in cents], axis=0)
         total = d2.sum()
         if total <= 0:  # all points identical to a centroid
-            cents.append(X[rng.randint(n)])
+            cents.append(Xn[rng.randint(n)])
             continue
-        cents.append(X[rng.choice(n, p=d2 / total)])
+        cents.append(Xn[rng.choice(n, p=d2 / total)])
     C = np.array(cents)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
     for _ in range(iters):
         Cn = C / np.maximum(np.linalg.norm(C, axis=1), 1e-12)[:, None]
         assign = np.argmax(Xn @ Cn.T, axis=1)

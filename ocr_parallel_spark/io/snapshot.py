@@ -75,14 +75,41 @@ class SnapshotTable:
         NAME and earlier runs read the new column as NULL, exactly
         Iceberg's add-column semantics. (Column RENAMES need id-based
         mapping — real Iceberg territory; documented out of scope for the
-        parquet+manifest fallback.)"""
+        parquet+manifest fallback.) mergeSchema launches a distributed
+        all-file footer-merge job before the scan, so it is requested
+        only when the per-run manifests record DIFFERENT column lists —
+        the common case (hundreds of same-schema runs, e.g. the resume
+        path's read-at-every-job-start) plans from one footer. Each run
+        dir is named by its committing ordinal, whose manifest carries
+        that run's columns; a dir whose manifest is missing falls back
+        to merging (safe, just slower). Same-name type changes are out
+        of scope for this fallback, like renames."""
         snap = (
             self.current_snapshot() if ordinal is None else self.snapshot_at(ordinal)
         )
         if snap is None or not snap["data_dirs"]:
             return None
         paths = [str(self.root / d) for d in snap["data_dirs"]]
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        reader = spark.read
+        if len(paths) > 1 and self._schemas_differ(snap["data_dirs"]):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
+    def _schemas_differ(self, data_dirs: list[str]) -> bool:
+        """True when the live runs committed different column lists (or
+        any run's manifest is unreadable — merge is the safe default)."""
+        seen: set[tuple[str, ...]] = set()
+        for d in data_dirs:
+            try:
+                committed = self.snapshot_at(int(d.rsplit("-", 1)[1]))
+            except (ValueError, json.JSONDecodeError):
+                return True
+            if committed is None or "columns" not in committed:
+                return True
+            seen.add(tuple(committed["columns"]))
+            if len(seen) > 1:
+                return True
+        return False
 
     def committed_keys(self, spark: SparkSession, key_col: str) -> DataFrame | None:
         df = self.read(spark)

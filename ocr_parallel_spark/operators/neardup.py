@@ -121,10 +121,12 @@ def mark_simhash_near_dups(
     )
     if closure_rounds > 0:
         # pairs is re-consumed every propagation round; without this the
-        # band self-join lineage re-executes per round.
-        from pyspark import StorageLevel
-
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        # band self-join lineage re-executes per round. localCheckpoint
+        # (not persist): persist pins blocks in the cache manager for the
+        # SESSION lifetime with no handle for the caller to unpersist;
+        # checkpoint blocks are freed by the ContextCleaner as soon as
+        # the returned DataFrame is dropped.
+        pairs = pairs.localCheckpoint(eager=False)
     reps = pairs.groupBy("_nd_id").agg(F.min("_nd_other").alias("_nd_min_other"))
     reps = reps.select(
         F.col("_nd_id"),
