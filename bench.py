@@ -45,7 +45,9 @@ HEADLINE = [
     "full_process",
     "simhash_near_dups",
     "corpus_curation",
+    "line_dedup",
     "theta_join_localization",
+    "pii_scrub",
     "keep_first",
     "quality",
     "cosine_topk",

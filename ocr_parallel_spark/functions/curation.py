@@ -1,0 +1,104 @@
+"""Web-corpus curation expressions: line synthesis, repetition signals,
+deterministic stratified sampling, and PII scrubbing.
+
+These extend the training-data toolkit (SURVEY §2.8 beyond-reference
+scope) with the CCNet/Gopher-style curation steps a 100 TB text pipeline
+runs between crawl and training: inter-document line dedup needs a
+per-line frequency table (operators/linededup.py builds it on top of
+``word_lines``); everything else here is pure column expressions —
+whole-stage-codegen JVM work, zero Python, zero shuffle — so sampling or
+scrubbing 10^12 docs is a single scan.
+
+All expressions have exact DuckDB twins (see queries_catalog oracles):
+line slicing matches DuckDB list slices, sha2 hex matches sha256(), and
+every regex is written in the Java-regex/RE2 common subset (no
+lookaround, no '$' — see functions/urls.py for the '$'-vs-'\\z' trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKENS_PER_LINE = 8
+
+# PII patterns in the Java-regex/RE2 common subset. Counted and replaced
+# independently on the ORIGINAL text (replacement order can't create or
+# destroy matches: emails require '@', phones '-' runs, IPs dotted digit
+# quads — mutually exclusive shapes).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+PII_TOKENS = {"email": "[EMAIL]", "phone": "[PHONE]", "ip": "[IP]"}
+
+
+def word_lines(toks: Column, tokens_per_line: int = TOKENS_PER_LINE) -> Column:
+    """Split a token array into an array of fixed-width "lines"
+    (``tokens_per_line`` tokens each, last line ragged). Web text arrives
+    with real newlines; the synthetic corpus is single-line, so the
+    curation operators re-linearize deterministically — the downstream
+    algebra (frequency tables, dup-line fractions) is line-source
+    agnostic. Pure HOF expression: transform over a sequence of line
+    indices, each slicing the shared token array."""
+    n_lines = F.ceil(F.size(toks) / F.lit(float(tokens_per_line))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n_lines, F.lit(1))),
+        lambda i: F.array_join(
+            F.slice(toks, (i - F.lit(1)) * tokens_per_line + F.lit(1), tokens_per_line),
+            " ",
+        ),
+    )
+
+
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent word-bigram array. Guarded: F.sequence(1, n-1) DESCENDS
+    when n < 2 (sequence(1,0) == [1,0]), so short docs get an explicit
+    empty array instead of a garbage slice."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stratified_keep(
+    stratum: Column, id_col: Column, rates: dict[str, int], default_rate: int, seed: str
+) -> tuple[Column, Column]:
+    """Deterministic hash-rate stratified sampling: keep a row iff the
+    first two hex chars of sha2(seed|stratum:id) fall below the stratum's
+    threshold (rate is in 256ths: 64 -> 25%). Returns (bucket, kept).
+    Pure map-side — sampling 100 TB is one scan, no shuffle, and the
+    decision is reproducible from (seed, stratum, id) alone, so re-runs
+    and the DuckDB oracle agree bit-for-bit. Thresholds compare
+    lexicographically on the hex prefix (identical semantics in Spark,
+    DuckDB, and any engine that prints lowercase hex)."""
+    key = F.concat(F.lit(seed + "|"), stratum, F.lit(":"), id_col.cast("string"))
+    bucket = F.substring(F.sha2(key, 256), 1, 2)
+    expr = bucket < F.lit(f"{default_rate:02x}")
+    for name, rate in rates.items():
+        expr = F.when(stratum == name, bucket < F.lit(f"{rate:02x}")).otherwise(expr)
+    return bucket, expr
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts on the original text (bigint)."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every PII match with its redaction token. Email first:
+    its character class includes '.-' runs, so scrubbing digits first
+    could split an address; the reverse cannot happen (neither phone nor
+    IP patterns match anything an email replacement emits)."""
+    out = text
+    for kind in ("email", "phone", "ip"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], PII_TOKENS[kind])
+    return out

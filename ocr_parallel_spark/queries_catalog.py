@@ -1,7 +1,7 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit (40 queries; 33 with exact DuckDB value-hash oracles).
+toolkit (54 queries; 48 with exact DuckDB value-hash oracles).
 Every SQL-expressible ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
@@ -591,6 +591,171 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+# Boilerplate banners planted by the line-granular curation queries:
+# each repeats across ~half the corpus, so line-frequency dedup must
+# drop them while keeping every (rare) content line.
+BOILER_A = "accept cookies to continue reading this site"
+BOILER_B = "subscribe to our newsletter for weekly updates"
+LINE_DEDUP_MIN_COUNT = 5
+
+
+def _doc_lines(spark, sf_dir):
+    """Shared line synthesis for the line-granular curation queries:
+    re-linearize each single-line synthetic doc into 8-token lines
+    (functions/curation.py word_lines) and prepend a deterministic
+    boilerplate banner at line_no 0."""
+    from ocr_parallel_spark.functions.curation import word_lines
+
+    d = _docs(spark, sf_dir)
+    boiler = F.when(F.col("doc_id") % 2 == 0, F.lit(BOILER_A)).otherwise(
+        F.lit(BOILER_B)
+    )
+    lines_arr = F.concat(F.array(boiler), word_lines(F.split(F.col("norm"), " ")))
+    return d.select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style inter-document line dedup: drop every line occurring
+    >= 5 times corpus-wide (the planted cookie/newsletter banners), keep
+    the rare content lines, reassemble each doc in order. Generalizes the
+    reference's request-key dedup D1/D2 to line granularity; one
+    frequency shuffle on sha2(line) + one join-back (operators/
+    linededup.py). The oracle re-derives line synthesis, frequencies, and
+    the reassembled text byte-for-byte."""
+    from ocr_parallel_spark.operators.linededup import dedup_lines
+
+    return dedup_lines(_doc_lines(spark, sf_dir), min_count=LINE_DEDUP_MIN_COUNT)
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style intra-document repetition signals: duplicate-line
+    count (docs % 5 == 0 get their first line replanted at the tail) and
+    the most frequent word bigram with its count (ties break to the
+    lexicographically smallest bigram). Numerator/denominator are emitted
+    as exact bigints — no float division anywhere near the hash compare.
+    Line/bigram arrays are pure HOF expressions; only the per-doc bigram
+    mode needs an explode + keyed aggregation (keys are (doc_id, bigram)
+    — perfectly parallel, no hot key at any corpus size)."""
+    from ocr_parallel_spark.functions.curation import word_bigrams, word_lines
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("norm"), " ")
+    lines = word_lines(toks)
+    lines = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(lines, F.slice(lines, 1, 1))
+    ).otherwise(lines)
+    base = d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        .cast("long")
+        .alias("n_dup_lines"),
+        word_bigrams(toks).alias("_bg"),
+    )
+    cnt = (
+        base.select("doc_id", F.explode("_bg").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bn").desc(), F.col("bigram").asc())
+    top = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("bn").cast("long").alias("top_bigram_n"),
+        )
+    )
+    return (
+        base.select(
+            "doc_id", "n_lines", "n_dup_lines", F.size("_bg").cast("long").alias("n_bigrams")
+        )
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dup_lines",
+            "n_bigrams",
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            F.coalesce(F.col("top_bigram_n"), F.lit(0).cast("long")).alias(
+                "top_bigram_n"
+            ),
+        )
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-rate stratified sampling: keep 25% of 'en'
+    docs and 50% of every other language stratum by comparing the first
+    two hex chars of sha2('seed42|lang:doc_id') against the stratum's
+    threshold. Pure map-side (sampling 100 TB is one scan, zero shuffle)
+    and reproducible from the seed alone — re-runs, retries, and the
+    DuckDB oracle agree bit-for-bit."""
+    from ocr_parallel_spark.functions.curation import stratified_keep
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket, kept = stratified_keep(
+        F.col("lang"), F.col("doc_id"), {"en": 0x40}, 0x80, "seed42"
+    )
+    return d.select("doc_id", "lang", bucket.alias("bucket"), kept.alias("kept"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing: plant a deterministic email / phone / IPv4 per doc
+    (by doc_id arithmetic), count matches per kind on the original text,
+    and emit the redacted text. All patterns live in the Java-regex/RE2
+    common subset (functions/curation.py) so Spark and the DuckDB oracle
+    tokenize identically; email is replaced first because its character
+    class could otherwise swallow an adjacent redaction token's
+    neighbors. Pure expressions — scrubbing is scan-speed at any scale."""
+    from ocr_parallel_spark.functions.curation import pii_counts, scrub_pii
+
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    pii = (
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        )
+        .when(
+            doc_id % 3 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" server 10."),
+                (doc_id % 256).cast("string"),
+                F.lit("."),
+                (doc_id % 100).cast("string"),
+                F.lit("."),
+                (doc_id % 250).cast("string"),
+                F.lit(" logged"),
+            )
+        )
+    )
+    extra = F.when(doc_id % 7 == 0, F.lit(" or admin@site.org")).otherwise(F.lit(""))
+    t = d.select("doc_id", F.concat(F.col("norm"), pii, extra).alias("_t"))
+    counts = pii_counts(F.col("_t"))
+    return t.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+        scrub_pii(F.col("_t")).alias("scrubbed"),
+    )
+
+
 def q_corpus_curation(spark, sf_dir):
     """The canonical training-corpus curation flow as ONE plan: language
     filter -> quality thresholds -> exact content dedup, each drop
@@ -1113,6 +1278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall": q_simhash_recall,
         "corpus_curation": q_corpus_curation,
         "url_canonicalize": q_url_canonicalize,
+        "line_dedup": q_line_dedup,
+        "repetition_signals": q_repetition_signals,
+        "stratified_sample": q_stratified_sample,
+        "pii_scrub": q_pii_scrub,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
         "audio_chunks": q_audio_chunks,
@@ -1380,6 +1549,136 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "corpus_curation": _curation_sql(),
+        "line_dedup": f"""
+            WITH {_DOCS_CTE},
+            t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs),
+            idx AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(
+                       CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS line_no
+              FROM t
+            ),
+            content AS (
+              SELECT doc_id, CAST(line_no AS INT) AS line_no,
+                     array_to_string(
+                       toks[(line_no-1)*8+1 : (line_no-1)*8+8], ' ') AS line
+              FROM idx
+            ),
+            alllines AS (
+              SELECT doc_id, 0 AS line_no,
+                     CASE WHEN doc_id % 2 = 0 THEN '{BOILER_A}'
+                          ELSE '{BOILER_B}' END AS line
+              FROM docs
+              UNION ALL SELECT doc_id, line_no, line FROM content
+            ),
+            freq AS (SELECT line, count(*) AS c FROM alllines GROUP BY line)
+            SELECT a.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN f.c < {LINE_DEDUP_MIN_COUNT}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(
+                     CASE WHEN f.c < {LINE_DEDUP_MIN_COUNT} THEN a.line END,
+                     chr(10) ORDER BY a.line_no), '') AS kept_text
+            FROM alllines a JOIN freq f USING (line)
+            GROUP BY a.doc_id
+        """,
+        "repetition_signals": f"""
+            WITH {_DOCS_CTE},
+            t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs),
+            l AS (
+              SELECT doc_id, toks,
+                     list_transform(
+                       generate_series(1, greatest(
+                         CAST(ceil(len(toks) / 8.0) AS BIGINT), 1)),
+                       i -> array_to_string(
+                         toks[(i-1)*8+1 : (i-1)*8+8], ' ')) AS lines0
+              FROM t
+            ),
+            l2 AS (
+              SELECT doc_id, toks,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN list_concat(lines0, [lines0[1]])
+                          ELSE lines0 END AS lines
+              FROM l
+            ),
+            base AS (
+              SELECT doc_id,
+                     CAST(len(lines) AS BIGINT) AS n_lines,
+                     CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+                       AS n_dup_lines,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(generate_series(1, len(toks)-1),
+                                 i -> toks[i] || ' ' || toks[i+1])
+                          ELSE CAST([] AS VARCHAR[]) END AS bg
+              FROM l2
+            ),
+            cnt AS (
+              SELECT doc_id, bigram, count(*) AS bn
+              FROM (SELECT doc_id, unnest(bg) AS bigram FROM base)
+              GROUP BY doc_id, bigram
+            ),
+            top AS (
+              SELECT doc_id, bigram AS top_bigram,
+                     CAST(bn AS BIGINT) AS top_bigram_n
+              FROM (SELECT doc_id, bigram, bn, row_number() OVER
+                      (PARTITION BY doc_id ORDER BY bn DESC, bigram ASC) AS rk
+                    FROM cnt)
+              WHERE rk = 1
+            )
+            SELECT b.doc_id, b.n_lines, b.n_dup_lines,
+                   CAST(len(b.bg) AS BIGINT) AS n_bigrams,
+                   coalesce(t.top_bigram, '') AS top_bigram,
+                   coalesce(t.top_bigram_n, 0) AS top_bigram_n
+            FROM base b LEFT JOIN top t USING (doc_id)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang,
+                   substr(sha256('seed42|' || lang || ':'
+                     || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+                   CASE WHEN lang = 'en'
+                     THEN substr(sha256('seed42|' || lang || ':'
+                       || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+                     ELSE substr(sha256('seed42|' || lang || ':'
+                       || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                   END AS kept
+            FROM documents
+        """,
+        "pii_scrub": f"""
+            WITH {_DOCS_CTE},
+            t AS (
+              SELECT doc_id,
+                norm ||
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com for details'
+                  WHEN 1 THEN ' call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+                  ELSE ' server 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 100 AS VARCHAR)
+                    || '.' || CAST(doc_id % 250 AS VARCHAR) || ' logged'
+                END ||
+                CASE WHEN doc_id % 7 = 0 THEN ' or admin@site.org'
+                     ELSE '' END AS t
+              FROM docs
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(t,
+                '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all(t,
+                '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+                AS BIGINT) AS n_ips,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                '[EMAIL]', 'g'),
+                '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '[PHONE]', 'g'),
+                '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                '[IP]', 'g') AS scrubbed
+            FROM t
+        """,
         "url_canonicalize": """
             WITH u AS (
               SELECT doc_id,

@@ -1,0 +1,169 @@
+"""Web-corpus curation operator tests: line dedup, repetition signals,
+stratified sampling, PII scrubbing (functions/curation.py,
+operators/linededup.py).
+
+These are the CCNet/Gopher-style steps beyond the reference's scope
+(SURVEY §2.8 toolkit); semantics are pinned here and cross-checked
+against DuckDB by the line_dedup / repetition_signals /
+stratified_sample / pii_scrub catalog oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.functions.curation import (
+    pii_counts,
+    scrub_pii,
+    stratified_keep,
+    word_bigrams,
+    word_lines,
+)
+from ocr_parallel_spark.operators.linededup import dedup_lines
+
+
+def _one_text(spark, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(F.split("t", " ").alias("toks"))
+
+
+def test_word_lines_ragged_tail(spark):
+    row = (
+        _one_text(spark, " ".join(f"w{i}" for i in range(19)))
+        .select(word_lines(F.col("toks"), 8).alias("lines"))
+        .first()
+    )
+    assert row["lines"] == [
+        " ".join(f"w{i}" for i in range(8)),
+        " ".join(f"w{i}" for i in range(8, 16)),
+        "w16 w17 w18",
+    ]
+
+
+def test_word_lines_short_doc_single_line(spark):
+    row = _one_text(spark, "a b").select(word_lines(F.col("toks")).alias("l")).first()
+    assert row["l"] == ["a b"]
+
+
+def test_word_bigrams_and_short_guard(spark):
+    df = spark.createDataFrame([("a b c a b",), ("solo",)], "t string")
+    rows = df.select(
+        "t", word_bigrams(F.split("t", " ")).alias("bg")
+    ).collect()
+    by_t = {r["t"]: r["bg"] for r in rows}
+    assert by_t["a b c a b"] == ["a b", "b c", "c a", "a b"]
+    # sequence(1, n-1) would DESCEND for n=1; the guard returns [].
+    assert by_t["solo"] == []
+
+
+def test_dedup_lines_drops_frequent_keeps_rare(spark):
+    # 'banner' appears in 6 docs (>= min_count 5) -> dropped everywhere;
+    # each doc's unique line survives; doc order is by line_no.
+    rows = [(d, 0, "banner") for d in range(6)]
+    rows += [(d, 1, f"unique {d}") for d in range(6)]
+    rows += [(0, 2, "second unique 0")]
+    lines = spark.createDataFrame(rows, "doc_id long, line_no int, line string")
+    out = {r["doc_id"]: r for r in dedup_lines(lines, min_count=5).collect()}
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 2
+    assert out[0]["kept_text"] == "unique 0\nsecond unique 0"
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["kept_text"] == "unique 1"
+
+
+def test_dedup_lines_all_boilerplate_doc_survives_empty(spark):
+    rows = [(d, 0, "banner") for d in range(5)]
+    lines = spark.createDataFrame(rows, "doc_id long, line_no int, line string")
+    out = dedup_lines(lines, min_count=5).filter(F.col("doc_id") == 0).first()
+    assert out["n_kept"] == 0 and out["kept_text"] == ""
+
+
+def test_stratified_keep_deterministic_and_rate(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    bucket, kept = stratified_keep(
+        F.col("lang"), F.col("doc_id"), {"en": 0x40}, 0x80, "seed42"
+    )
+    out = df.select("lang", kept.alias("kept"))
+    agg = {
+        r["lang"]: (r["n"], r["k"])
+        for r in out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("kept").cast("int")).alias("k"))
+        .collect()
+    }
+    # sha2 is uniform: en ~25%, zh ~50%, loose +-8pp band on 1000 rows.
+    assert abs(agg["en"][1] / agg["en"][0] - 0.25) < 0.08
+    assert abs(agg["zh"][1] / agg["zh"][0] - 0.50) < 0.08
+    # Deterministic: a second evaluation is bit-identical.
+    assert out.collect() == df.select("lang", kept.alias("kept")).collect()
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    text = (
+        "reach me at First.Last+tag@sub.Example.COM or 555-867-5309 "
+        "from host 192.168.0.1 version 1.2 build 3"
+    )
+    df = spark.createDataFrame([(text,)], "t string")
+    c = pii_counts(F.col("t"))
+    row = df.select(
+        c["email"].alias("e"),
+        c["phone"].alias("p"),
+        c["ip"].alias("i"),
+        scrub_pii(F.col("t")).alias("s"),
+    ).first()
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+    assert row["s"] == (
+        "reach me at [EMAIL] or [PHONE] from host [IP] version 1.2 build 3"
+    )
+    # 'version 1.2 build 3' shows the IP pattern needs four dotted quads
+    # and the phone pattern a full 3-3-4 shape — no partial matches.
+
+
+def test_pii_scrub_no_pii_is_identity(spark):
+    df = spark.createDataFrame([("plain words only",)], "t string")
+    row = df.select(scrub_pii(F.col("t")).alias("s")).first()
+    assert row["s"] == "plain words only"
+
+
+def test_line_dedup_query_drops_planted_banners(spark, sf_dir):
+    """E2E on the synthetic corpus: both banners cross the frequency
+    threshold and vanish; every content line is rarer and survives."""
+    from ocr_parallel_spark.queries_catalog import BOILER_A, BOILER_B, q_line_dedup
+
+    out = q_line_dedup(spark, sf_dir)
+    assert out.filter(
+        F.col("kept_text").contains(BOILER_A) | F.col("kept_text").contains(BOILER_B)
+    ).count() == 0
+    # The banner is always dropped; a handful of docs also lose a short
+    # ragged tail-line that happens to repeat corpus-wide (correct CCNet
+    # behavior — common short lines ARE boilerplate-like). Most docs
+    # drop exactly the one banner line.
+    n = out.count()
+    assert out.filter(F.col("n_kept") > F.col("n_lines") - 1).count() == 0
+    exact = out.filter(F.col("n_kept") == F.col("n_lines") - 1).count()
+    assert exact >= n * 0.9
+
+
+def test_curation_plans_stay_jvm_side(spark, sf_dir):
+    """All four curation queries must plan without a Python boundary
+    (pure expressions / built-in aggregates — whole-stage codegen), and
+    the line-frequency count must shuffle on the 32-byte sha2 key, not
+    on raw line text."""
+    from ocr_parallel_spark.plans import plan_string
+    from ocr_parallel_spark.queries_catalog import queries
+
+    q = queries()
+    for name in ("line_dedup", "repetition_signals", "stratified_sample", "pii_scrub"):
+        p = plan_string(q[name](spark, sf_dir))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+    p = plan_string(q["line_dedup"](spark, sf_dir))
+    assert "hashpartitioning(_line_key" in p
+
+
+def test_repetition_signals_planted_dup_line(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_repetition_signals
+
+    out = q_repetition_signals(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    # the replanted first line makes every %5 doc report >= 1 dup line
+    assert out.filter(F.col("n_dup_lines") < 1).count() == 0
