@@ -44,10 +44,12 @@ HEADLINE = [
     "localization_variants",
     "full_process",
     "simhash_near_dups",
+    "decontaminate",
     "corpus_curation",
     "line_dedup",
     "theta_join_localization",
     "pii_scrub",
+    "token_budget_mix",
     "keep_first",
     "quality",
     "cosine_topk",

@@ -1,7 +1,7 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit (54 queries; 48 with exact DuckDB value-hash oracles).
+toolkit (56 queries; 50 with exact DuckDB value-hash oracles).
 Every SQL-expressible ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
@@ -756,6 +756,78 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3/Gopher eval-overlap step):
+    flag every doc sharing at least one word 8-gram with the benchmark
+    set (here: docs with doc_id % 50 == 7 stand in for an external eval
+    suite). The benchmark side is tiny BY NATURE (eval suites are
+    thousands of docs, the corpus is billions), so its distinct-gram set
+    is explicitly broadcast — corpus grams never shuffle; the only
+    exchange is the per-doc hit count keyed on doc_id. Per-doc grams are
+    array_distinct'ed BEFORE the explode so n_hits counts distinct
+    shared grams on both sides."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("norm"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 8,
+        F.transform(
+            F.sequence(F.lit(1), n - 7),
+            lambda i: F.array_join(F.slice(toks, i, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    bench = F.broadcast(
+        g.filter(F.col("doc_id") % 50 == 7).select("gram").distinct()
+    )
+    hits = g.join(bench, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 50 == 7).alias("is_bench"),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Corpus mixing under a per-source token budget: within each source
+    (domain), order docs by a seeded hash (a deterministic shuffle — no
+    'first N by id' crawl-order bias), accumulate token counts, and take
+    docs while the running total stays inside the 500-token budget.
+    One shuffle keyed on source; windows parallelize across sources (at
+    100 TB a skewed mega-domain would get the salted two-stage variant —
+    see q_salted_rollup — but budget-take is order-dependent, so the
+    default is the honest single window per domain)."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.col("norm"), " "))
+    order_key = F.substring(
+        F.sha2(F.concat(F.lit("mix1|"), F.col("doc_id").cast("string")), 256), 1, 16
+    )
+    d = d.select(
+        "doc_id", "source", n_tokens.cast("long").alias("n_tokens"),
+        order_key.alias("_ok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_ok", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum.cast("long").alias("cum_tokens"),
+        (cum <= 500).alias("taken"),
+    )
+
+
 def q_corpus_curation(spark, sf_dir):
     """The canonical training-corpus curation flow as ONE plan: language
     filter -> quality thresholds -> exact content dedup, each drop
@@ -1279,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "url_canonicalize": q_url_canonicalize,
         "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
+        "token_budget_mix": q_token_budget_mix,
         "repetition_signals": q_repetition_signals,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
@@ -1549,6 +1623,43 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "corpus_curation": _curation_sql(),
+        "decontaminate": f"""
+            WITH {_DOCS_CTE},
+            t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= 8
+                  THEN list_transform(generate_series(1, len(toks)-7),
+                         i -> array_to_string(toks[i:i+7], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END)) AS gram
+              FROM t
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7),
+            hits AS (
+              SELECT g.doc_id, count(*) AS n_hits
+              FROM g JOIN bench USING (gram) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   d.doc_id % 50 = 7 AS is_bench,
+                   h.n_hits IS NOT NULL AS contaminated,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+            FROM docs d LEFT JOIN hits h USING (doc_id)
+        """,
+        "token_budget_mix": f"""
+            WITH {_DOCS_CTE}
+            SELECT doc_id, source,
+                   CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(sum(len(string_split(norm, ' '))) OVER w AS BIGINT)
+                     AS cum_tokens,
+                   sum(len(string_split(norm, ' '))) OVER w <= 500 AS taken
+            FROM docs
+            WINDOW w AS (
+              PARTITION BY source
+              ORDER BY substr(sha256('mix1|' || CAST(doc_id AS VARCHAR)), 1, 16),
+                       doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
+        """,
         "line_dedup": f"""
             WITH {_DOCS_CTE},
             t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs),

@@ -167,3 +167,44 @@ def test_repetition_signals_planted_dup_line(spark, sf_dir):
     out = q_repetition_signals(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
     # the replanted first line makes every %5 doc report >= 1 dup line
     assert out.filter(F.col("n_dup_lines") < 1).count() == 0
+
+
+def test_decontaminate_flags_bench_docs_and_broadcasts(spark, sf_dir):
+    from ocr_parallel_spark.plans import plan_string
+    from ocr_parallel_spark.queries_catalog import q_decontaminate
+
+    out = q_decontaminate(spark, sf_dir)
+    # every benchmark doc shares its own grams -> contaminated, with
+    # n_hits = its distinct 8-gram count (> 0 for any >= 8-token doc)
+    bench = out.filter(F.col("is_bench"))
+    assert bench.count() > 0
+    assert bench.filter(~F.col("contaminated")).count() == 0
+    assert bench.filter(F.col("n_hits") < 1).count() == 0
+    # most non-bench docs are clean (word-salad 8-grams rarely collide)
+    nb = out.filter(~F.col("is_bench"))
+    assert nb.filter(~F.col("contaminated")).count() > nb.count() * 0.9
+    # the 100 TB plan guarantee: the eval-gram side broadcasts; corpus
+    # grams never hash-shuffle for the join
+    assert "BroadcastHashJoin" in plan_string(out)
+
+
+def test_token_budget_mix_budget_and_determinism(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_token_budget_mix
+
+    out = q_token_budget_mix(spark, sf_dir)
+    # taken docs respect the hard 500-token budget per source
+    assert out.filter(F.col("taken") & (F.col("cum_tokens") > 500)).count() == 0
+    # every source takes at least one doc (first doc in hash order is
+    # small enough on this corpus) and drops at least one
+    per_src = out.groupBy("source").agg(
+        F.sum(F.col("taken").cast("int")).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert per_src.filter(F.col("k") == 0).count() == 0
+    assert per_src.filter(F.col("k") == F.col("n")).count() == 0
+    # deterministic: re-running yields the identical taken set
+    a = sorted(r["doc_id"] for r in out.filter("taken").collect())
+    b = sorted(
+        r["doc_id"] for r in q_token_budget_mix(spark, sf_dir).filter("taken").collect()
+    )
+    assert a == b
