@@ -22,10 +22,12 @@ from pyspark.sql import functions as F
 
 TOKENS_PER_LINE = 8
 
-# PII patterns in the Java-regex/RE2 common subset. Counted and replaced
-# independently on the ORIGINAL text (replacement order can't create or
-# destroy matches: emails require '@', phones '-' runs, IPs dotted digit
-# quads — mutually exclusive shapes).
+# PII patterns in the Java-regex/RE2 common subset. Counts are taken
+# per-kind on the ORIGINAL text, independently of replacement; note the
+# email local part admits digits/dots/dashes, so a phone or IP embedded
+# in an address ('555-867-5309@mail.com') counts under BOTH kinds while
+# the email-first replacement absorbs it into one [EMAIL] token — counts
+# are per-pattern detections, not a partition of the redacted spans.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\b\d{3}-\d{3}-\d{4}\b",
@@ -52,18 +54,23 @@ def word_lines(toks: Column, tokens_per_line: int = TOKENS_PER_LINE) -> Column:
     )
 
 
-def word_bigrams(toks: Column) -> Column:
-    """Adjacent word-bigram array. Guarded: F.sequence(1, n-1) DESCENDS
-    when n < 2 (sequence(1,0) == [1,0]), so short docs get an explicit
-    empty array instead of a garbage slice."""
+def word_ngrams(toks: Column, k: int) -> Column:
+    """Sliding word k-gram array (space-joined). Guarded: F.sequence(1,
+    n-k+1) DESCENDS when n < k (sequence(1,0) == [1,0]), so short docs
+    get an explicit empty array instead of a garbage slide."""
     n = F.size(toks)
     return F.when(
-        n >= 2,
+        n >= k,
         F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent word-bigram array (word_ngrams at k=2)."""
+    return word_ngrams(toks, 2)
 
 
 def stratified_keep(
@@ -71,17 +78,31 @@ def stratified_keep(
 ) -> tuple[Column, Column]:
     """Deterministic hash-rate stratified sampling: keep a row iff the
     first two hex chars of sha2(seed|stratum:id) fall below the stratum's
-    threshold (rate is in 256ths: 64 -> 25%). Returns (bucket, kept).
-    Pure map-side — sampling 100 TB is one scan, no shuffle, and the
-    decision is reproducible from (seed, stratum, id) alone, so re-runs
-    and the DuckDB oracle agree bit-for-bit. Thresholds compare
-    lexicographically on the hex prefix (identical semantics in Spark,
-    DuckDB, and any engine that prints lowercase hex)."""
+    threshold (rate is in 256ths: 64 -> 25%, 0 -> none, 256 -> all).
+    Returns (bucket, kept). Pure map-side — sampling 100 TB is one scan,
+    no shuffle, and the decision is reproducible from (seed, stratum,
+    id) alone, so re-runs and the DuckDB oracle agree bit-for-bit.
+    Thresholds compare lexicographically on the FIXED-WIDTH 2-char hex
+    prefix (identical semantics in Spark, DuckDB, and any engine that
+    prints lowercase hex) — which is exactly why rates are validated to
+    0..256: f"{256:02x}" would be the 3-char '100' and compare
+    lexicographically ('ff' < '100' is False), silently keeping ~6%
+    instead of all, so the boundary rates bypass the compare."""
+
+    def _keep(rate: int) -> Column:
+        if not 0 <= rate <= 256:
+            raise ValueError(f"stratified_keep: rate {rate} outside 0..256")
+        if rate == 0:
+            return F.lit(False)
+        if rate == 256:
+            return F.lit(True)
+        return bucket < F.lit(f"{rate:02x}")
+
     key = F.concat(F.lit(seed + "|"), stratum, F.lit(":"), id_col.cast("string"))
     bucket = F.substring(F.sha2(key, 256), 1, 2)
-    expr = bucket < F.lit(f"{default_rate:02x}")
+    expr = _keep(default_rate)
     for name, rate in rates.items():
-        expr = F.when(stratum == name, bucket < F.lit(f"{rate:02x}")).otherwise(expr)
+        expr = F.when(stratum == name, _keep(rate)).otherwise(expr)
     return bucket, expr
 
 

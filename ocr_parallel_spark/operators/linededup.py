@@ -7,13 +7,17 @@ request-key dedup (D1/D2, app/services/batch_processor.py:116-140) from
 document granularity to line granularity — keep-FIRST becomes
 keep-if-rare.
 
-Scale shape (the whole point at 100 TB): one explode, ONE shuffle to
-build the line-frequency table keyed on the line hash, one shuffle join
-back, one per-doc re-aggregation. The frequency table is the corpus's
-distinct-line set — orders of magnitude smaller than the corpus — and
-Spark's map-side partial aggregation means each executor ships one
-(line_hash, partial_count) row per distinct local line, not one row per
-occurrence. No driver collect anywhere.
+Scale shape (the whole point at 100 TB): the lines lineage is read
+TWICE — once to build the line-frequency table (a distinct-doc count
+keyed on the line hash), once for the join-back + per-doc
+re-aggregation. That double read is deliberate: columnar re-scan of the
+source is cheaper than shuffling full line bodies through a
+corpus-sized window exchange (the one-shuffle alternative), and both
+count exchanges carry 32-byte hashes only. Callers whose upstream
+lineage is expensive (not a plain scan) should persist/localCheckpoint
+the lines DataFrame before calling. The frequency table itself is the
+corpus's distinct-line set — orders of magnitude smaller than the
+corpus. No driver collect anywhere.
 """
 
 from __future__ import annotations
@@ -29,8 +33,12 @@ def dedup_lines(
     line_no_col: str = "line_no",
     line_col: str = "line",
 ) -> DataFrame:
-    """Drop every line occurring >= ``min_count`` times corpus-wide;
-    reassemble each document from its surviving lines in order.
+    """Drop every line appearing in >= ``min_count`` DISTINCT documents
+    corpus-wide; reassemble each document from its surviving lines in
+    order. (Distinct-doc counting is the CCNet semantics: a single
+    spammy doc repeating one line five times internally must NOT turn
+    that line into corpus boilerplate — intra-doc repetition is
+    repetition_signals' business, not this operator's.)
 
     Input: one row per (doc, line_no, line). Output: one row per doc —
     n_lines, n_kept (both bigint), kept_text (newline-joined survivors;
@@ -43,7 +51,9 @@ def dedup_lines(
     """
     key = F.sha2(F.col(line_col), 256).alias("_line_key")
     keyed = lines.select(id_col, line_no_col, line_col, key)
-    freq = keyed.groupBy("_line_key").agg(F.count(F.lit(1)).alias("_line_docs"))
+    freq = keyed.groupBy("_line_key").agg(
+        F.count_distinct(F.col(id_col)).alias("_line_docs")
+    )
     kept = F.col("_line_docs") < min_count
     return (
         keyed.join(freq, "_line_key")

@@ -644,20 +644,29 @@ def q_repetition_signals(spark, sf_dir):
     lines = F.when(
         F.col("doc_id") % 5 == 0, F.concat(lines, F.slice(lines, 1, 1))
     ).otherwise(lines)
-    base = d.select(
-        "doc_id",
-        F.size(lines).cast("long").alias("n_lines"),
-        (F.size(lines) - F.size(F.array_distinct(lines)))
-        .cast("long")
-        .alias("n_dup_lines"),
-        word_bigrams(toks).alias("_bg"),
+    # Both line stats route through ONE explode + keyed aggregation:
+    # referencing the interpreted word_lines HOF from two projection
+    # columns would rebuild the array twice per row (projection collapse
+    # defeats intermediate selects — the documented Catalyst-HOF
+    # pitfall); the explode evaluates it exactly once and count/distinct
+    # run JVM-side on the keyed stream.
+    line_stats = (
+        d.select("doc_id", F.explode(lines).alias("_line"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("_line"))).alias(
+                "n_dup_lines"
+            ),
+        )
     )
     cnt = (
-        base.select("doc_id", F.explode("_bg").alias("bigram"))
+        d.select("doc_id", F.explode(word_bigrams(toks)).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("bn"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("bn").desc(), F.col("bigram").asc())
+    per_doc = cnt.groupBy("doc_id").agg(F.sum("bn").alias("n_bigrams"))
     top = (
         cnt.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
@@ -668,15 +677,13 @@ def q_repetition_signals(spark, sf_dir):
         )
     )
     return (
-        base.select(
-            "doc_id", "n_lines", "n_dup_lines", F.size("_bg").cast("long").alias("n_bigrams")
-        )
+        line_stats.join(per_doc, "doc_id", "left")
         .join(top, "doc_id", "left")
         .select(
             "doc_id",
-            "n_lines",
-            "n_dup_lines",
-            "n_bigrams",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_dup_lines").cast("long").alias("n_dup_lines"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
             F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
             F.coalesce(F.col("top_bigram_n"), F.lit(0).cast("long")).alias(
                 "top_bigram_n"
@@ -766,16 +773,10 @@ def q_decontaminate(spark, sf_dir):
     exchange is the per-doc hit count keyed on doc_id. Per-doc grams are
     array_distinct'ed BEFORE the explode so n_hits counts distinct
     shared grams on both sides."""
+    from ocr_parallel_spark.functions.curation import word_ngrams
+
     d = _docs(spark, sf_dir)
-    toks = F.split(F.col("norm"), " ")
-    n = F.size(toks)
-    grams = F.when(
-        n >= 8,
-        F.transform(
-            F.sequence(F.lit(1), n - 7),
-            lambda i: F.array_join(F.slice(toks, i, 8), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(F.split(F.col("norm"), " "), 8)
     g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
     bench = F.broadcast(
         g.filter(F.col("doc_id") % 50 == 7).select("gram").distinct()
@@ -1682,7 +1683,8 @@ def oracle_sql() -> dict[str, str]:
               FROM docs
               UNION ALL SELECT doc_id, line_no, line FROM content
             ),
-            freq AS (SELECT line, count(*) AS c FROM alllines GROUP BY line)
+            freq AS (SELECT line, count(DISTINCT doc_id) AS c
+                     FROM alllines GROUP BY line)
             SELECT a.doc_id,
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(CASE WHEN f.c < {LINE_DEDUP_MIN_COUNT}

@@ -70,6 +70,33 @@ def test_dedup_lines_drops_frequent_keeps_rare(spark):
     assert out[1]["kept_text"] == "unique 1"
 
 
+def test_dedup_lines_counts_distinct_docs_not_occurrences(spark):
+    """CCNet semantics: one spammy doc repeating a line 5 times must NOT
+    promote that line to corpus boilerplate — the threshold counts
+    DISTINCT documents."""
+    rows = [(0, i, "buy now") for i in range(5)]  # 5 occurrences, 1 doc
+    rows += [(1, 0, "buy now"), (1, 1, "real content")]
+    lines = spark.createDataFrame(rows, "doc_id long, line_no int, line string")
+    out = {r["doc_id"]: r for r in dedup_lines(lines, min_count=5).collect()}
+    # 2 distinct docs < 5 -> kept everywhere
+    assert out[0]["n_kept"] == 5
+    assert out[1]["kept_text"] == "buy now\nreal content"
+
+
+def test_stratified_keep_boundary_rates_and_validation(spark):
+    import pytest
+
+    df = spark.range(64).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    _, all_keep = stratified_keep(F.col("lang"), F.col("doc_id"), {}, 256, "s")
+    _, none_keep = stratified_keep(F.col("lang"), F.col("doc_id"), {}, 0, "s")
+    assert df.filter(all_keep).count() == 64
+    assert df.filter(none_keep).count() == 0
+    with pytest.raises(ValueError):
+        stratified_keep(F.col("lang"), F.col("doc_id"), {"en": 257}, 128, "s")
+
+
 def test_dedup_lines_all_boilerplate_doc_survives_empty(spark):
     rows = [(d, 0, "banner") for d in range(5)]
     lines = spark.createDataFrame(rows, "doc_id long, line_no int, line string")
