@@ -217,6 +217,7 @@ def run_bench(sf_dir: str, cpus: int, names: list[str], passes: int = 2) -> dict
 
     timings: dict[str, float] = {}
     pass_walls: dict[str, list[float]] = {}
+    entry_load: dict[str, float] = {}
     extras: dict[str, float] = {}
     # warm the JVM and the Python/Arrow worker pool so the first timed
     # query is not paying session + worker-fork startup
@@ -275,6 +276,14 @@ def run_bench(sf_dir: str, cpus: int, names: list[str], passes: int = 2) -> dict
         spark.catalog.clearCache()
         timings[name] = min(walls)
         pass_walls[name] = walls
+        # 1-min loadavg sampled as each entry finishes. The start-of-run
+        # quiet gate cannot see neighbor load that arrives mid-run
+        # (observed: a run whose gate read 0.49 but whose flagship was 3x
+        # slow in BOTH passes); the per-entry trace includes our own
+        # executor load, but a sustained neighbor spike shows up as
+        # values far above cpus-consistent levels, letting a reader mark
+        # which entries were measured under load.
+        entry_load[name] = round(os.getloadavg()[0], 2)
         if n_pages is not None:
             extras["pages_in" + suffix] = n_pages
             extras["pages_per_sec" + suffix] = round(n_pages / min(walls), 1)
@@ -290,6 +299,7 @@ def run_bench(sf_dir: str, cpus: int, names: list[str], passes: int = 2) -> dict
         "cpus": cpus,
         "n_passes": passes,
         "pass_walls": pass_walls,
+        "entry_load": entry_load,
         **extras,
     }
     spark.stop()
