@@ -1,7 +1,7 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit (56 queries; 50 with exact DuckDB value-hash oracles).
+toolkit (58 queries; 52 with exact DuckDB value-hash oracles).
 Every SQL-expressible ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
@@ -829,6 +829,72 @@ def q_token_budget_mix(spark, sf_dir):
     )
 
 
+BLOCKED_HOSTS = ["site-3.example.com", "site-5.example.com"]
+
+
+def q_domain_stats(spark, sf_dir):
+    """Domain-level curation (RefinedWeb-style URL filtering): extract
+    the host from each doc's (synthesized) URL, compute per-host doc
+    counts with ONE keyed window shuffle, and flag docs whose host is on
+    a blocklist via a broadcast left join (real blocklists are ~100k
+    hosts — broadcast territory forever; the corpus side never
+    re-shuffles for the flag). Host extraction is a single
+    regexp_extract in the Java/RE2 common subset."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://site-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/?#]+)", 1))
+    d = docs.select("doc_id", host.alias("host"))
+    w = Window.partitionBy("host")
+    blocked = spark.createDataFrame(
+        [(h,) for h in BLOCKED_HOSTS], "host string"
+    ).withColumn("_blocked", F.lit(True))
+    return (
+        d.withColumn("host_docs", F.count(F.lit(1)).over(w).cast("long"))
+        .join(F.broadcast(blocked), "host", "left")
+        .select(
+            "doc_id",
+            "host",
+            "host_docs",
+            F.coalesce(F.col("_blocked"), F.lit(False)).alias("blocked"),
+        )
+    )
+
+
+# Mojibake artifacts (UTF-8 bytes re-decoded as latin-1): U+00C3+U+00A9
+# for an e-acute, the U+00E2 U+0080 U+0099 curly-quote triple, a stray
+# U+00C2. Written as escapes, not literal chars, so the source file
+# cannot itself be mojibake'd by a transcoding tool.
+MOJI_TAINT = " caf\u00c3\u00a9 menu\u00e2\u0080\u0099s\u00c2 here"
+MOJI_PATTERN = "(\u00c3|\u00e2\u0080|\u00c2)"
+
+
+def q_encoding_quality(spark, sf_dir):
+    """Encoding-quality scoring (ftfy-style mojibake detection): plant
+    classic UTF-8-read-as-latin1 artifacts (see MOJI_TAINT) on docs
+    with doc_id % 4 == 1 plus a U+FFFD replacement char on
+    doc_id % 10 == 2, then count marker occurrences and flag. Pure
+    expressions; the markers are literal codepoints so Java regex and
+    RE2 agree byte-for-byte."""
+    d = _docs(spark, sf_dir)
+    doc_id = F.col("doc_id")
+    taint = F.when(doc_id % 4 == 1, F.lit(MOJI_TAINT)).otherwise(F.lit(""))
+    taint2 = F.when(doc_id % 10 == 2, F.lit(" bad\ufffdbyte")).otherwise(F.lit(""))
+    t = d.select("doc_id", F.concat(F.col("norm"), taint, taint2).alias("_t"))
+    n_moji = F.regexp_count(F.col("_t"), F.lit(MOJI_PATTERN))
+    n_repl = F.regexp_count(F.col("_t"), F.lit("\ufffd"))
+    return t.select(
+        "doc_id",
+        n_moji.cast("long").alias("n_mojibake"),
+        n_repl.cast("long").alias("n_replacement"),
+        ((n_moji > 0) | (n_repl > 0)).alias("suspect_encoding"),
+    )
+
+
 def q_corpus_curation(spark, sf_dir):
     """The canonical training-corpus curation flow as ONE plan: language
     filter -> quality thresholds -> exact content dedup, each drop
@@ -1354,6 +1420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "token_budget_mix": q_token_budget_mix,
+        "domain_stats": q_domain_stats,
+        "encoding_quality": q_encoding_quality,
         "repetition_signals": q_repetition_signals,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
@@ -1624,6 +1692,42 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "corpus_curation": _curation_sql(),
+        "domain_stats": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     lower(regexp_extract(
+                       'https://site-' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+                       '^https?://([^/?#]+)', 1)) AS host
+              FROM documents
+            ),
+            blocked(host) AS (VALUES {", ".join(f"('{h}')" for h in BLOCKED_HOSTS)})
+            SELECT d.doc_id, d.host,
+                   CAST(count(*) OVER (PARTITION BY d.host) AS BIGINT)
+                     AS host_docs,
+                   b.host IS NOT NULL AS blocked
+            FROM d LEFT JOIN blocked b USING (host)
+        """,
+        "encoding_quality": f"""
+            WITH {_DOCS_CTE},
+            t AS (
+              SELECT doc_id,
+                norm
+                || CASE WHEN doc_id % 4 = 1 THEN '{MOJI_TAINT}' ELSE '' END
+                || CASE WHEN doc_id % 10 = 2 THEN ' bad�byte' ELSE '' END
+                AS t
+              FROM docs
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '{MOJI_PATTERN}')) AS BIGINT)
+                AS n_mojibake,
+              CAST(len(regexp_extract_all(t, '�')) AS BIGINT)
+                AS n_replacement,
+              len(regexp_extract_all(t, '{MOJI_PATTERN}')) > 0
+                OR len(regexp_extract_all(t, '�')) > 0
+                AS suspect_encoding
+            FROM t
+        """,
         "decontaminate": f"""
             WITH {_DOCS_CTE},
             t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs),

@@ -215,6 +215,38 @@ def test_decontaminate_flags_bench_docs_and_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan_string(out)
 
 
+def test_domain_stats_blocklist_and_counts(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import BLOCKED_HOSTS, q_domain_stats
+
+    out = q_domain_stats(spark, sf_dir)
+    # exactly the blocklisted hosts flag, every doc of those hosts
+    flagged_hosts = {
+        r["host"] for r in out.filter(F.col("blocked")).select("host").distinct().collect()
+    }
+    assert flagged_hosts == set(BLOCKED_HOSTS)
+    # host_docs is consistent: sum over distinct hosts == total docs
+    total = out.count()
+    per_host = out.select("host", "host_docs").distinct()
+    assert per_host.agg(F.sum("host_docs")).first()[0] == total
+
+
+def test_encoding_quality_flags_planted_mojibake(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_encoding_quality
+
+    out = q_encoding_quality(spark, sf_dir)
+    tainted = out.filter(F.col("doc_id") % 4 == 1)
+    assert tainted.filter(~F.col("suspect_encoding")).count() == 0
+    # the planted taint carries exactly 3 marker hits (C3-acute pair
+    # counts once via the A-tilde lead, the curly-quote lead pair, the
+    # stray C2)
+    assert tainted.filter(F.col("n_mojibake") != 3).count() == 0
+    repl = out.filter(F.col("doc_id") % 10 == 2)
+    assert repl.filter(F.col("n_replacement") < 1).count() == 0
+    # clean docs (word-salad ASCII) are never flagged
+    clean = out.filter((F.col("doc_id") % 4 != 1) & (F.col("doc_id") % 10 != 2))
+    assert clean.filter(F.col("suspect_encoding")).count() == 0
+
+
 def test_token_budget_mix_budget_and_determinism(spark, sf_dir):
     from ocr_parallel_spark.queries_catalog import q_token_budget_mix
 
