@@ -39,6 +39,7 @@ HEADLINE = [
     "extraction_pipeline_heavy",
     "full_process_boundaries",
     "ann_lsh_topk_wide",
+    "curation_pipeline",
     "minhash_verified_pairs",
     "minhash_lsh_pairs",
     "localization_variants",

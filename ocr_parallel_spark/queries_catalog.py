@@ -1,7 +1,7 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit (58 queries; 52 with exact DuckDB value-hash oracles).
+toolkit (59 queries; 53 with exact DuckDB value-hash oracles).
 Every SQL-expressible ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
@@ -708,17 +708,10 @@ def q_stratified_sample(spark, sf_dir):
     return d.select("doc_id", "lang", bucket.alias("bucket"), kept.alias("kept"))
 
 
-def q_pii_scrub(spark, sf_dir):
-    """PII scrubbing: plant a deterministic email / phone / IPv4 per doc
-    (by doc_id arithmetic), count matches per kind on the original text,
-    and emit the redacted text. All patterns live in the Java-regex/RE2
-    common subset (functions/curation.py) so Spark and the DuckDB oracle
-    tokenize identically; email is replaced first because its character
-    class could otherwise swallow an adjacent redaction token's
-    neighbors. Pure expressions — scrubbing is scan-speed at any scale."""
-    from ocr_parallel_spark.functions.curation import pii_counts, scrub_pii
-
-    d = _docs(spark, sf_dir)
+def _pii_tainted_text() -> F.Column:
+    """norm + the deterministic planted email/phone/IPv4 (+ a second
+    email on doc_id % 7 == 0) — shared by q_pii_scrub and the curation
+    composite so their plantings cannot drift."""
     doc_id = F.col("doc_id")
     pii = (
         F.when(
@@ -752,7 +745,38 @@ def q_pii_scrub(spark, sf_dir):
         )
     )
     extra = F.when(doc_id % 7 == 0, F.lit(" or admin@site.org")).otherwise(F.lit(""))
-    t = d.select("doc_id", F.concat(F.col("norm"), pii, extra).alias("_t"))
+    return F.concat(F.col("norm"), pii, extra)
+
+
+# The pii taint re-derived in SQL — interpolated into every oracle that
+# plants it so the two engines share one definition.
+PII_TAINT_SQL = """norm ||
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com for details'
+                  WHEN 1 THEN ' call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+                  ELSE ' server 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 100 AS VARCHAR)
+                    || '.' || CAST(doc_id % 250 AS VARCHAR) || ' logged'
+                END ||
+                CASE WHEN doc_id % 7 = 0 THEN ' or admin@site.org'
+                     ELSE '' END"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing: plant a deterministic email / phone / IPv4 per doc
+    (by doc_id arithmetic), count matches per kind on the original text,
+    and emit the redacted text. All patterns live in the Java-regex/RE2
+    common subset (functions/curation.py) so Spark and the DuckDB oracle
+    tokenize identically; email is replaced first because its character
+    class could otherwise swallow an adjacent redaction token's
+    neighbors. Pure expressions — scrubbing is scan-speed at any scale."""
+    from ocr_parallel_spark.functions.curation import pii_counts, scrub_pii
+
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", _pii_tainted_text().alias("_t"))
     counts = pii_counts(F.col("_t"))
     return t.select(
         "doc_id",
@@ -871,6 +895,19 @@ def q_domain_stats(spark, sf_dir):
 # cannot itself be mojibake'd by a transcoding tool.
 MOJI_TAINT = " caf\u00c3\u00a9 menu\u00e2\u0080\u0099s\u00c2 here"
 MOJI_PATTERN = "(\u00c3|\u00e2\u0080|\u00c2)"
+REPL_TAINT = " bad\ufffdbyte"
+
+
+def _moji_tainted_text() -> F.Column:
+    """norm + the planted mojibake (doc_id % 4 == 1) and U+FFFD
+    (doc_id % 10 == 2) taints \u2014 shared by q_encoding_quality and the
+    curation composite."""
+    doc_id = F.col("doc_id")
+    return F.concat(
+        F.col("norm"),
+        F.when(doc_id % 4 == 1, F.lit(MOJI_TAINT)).otherwise(F.lit("")),
+        F.when(doc_id % 10 == 2, F.lit(REPL_TAINT)).otherwise(F.lit("")),
+    )
 
 
 def q_encoding_quality(spark, sf_dir):
@@ -881,10 +918,7 @@ def q_encoding_quality(spark, sf_dir):
     expressions; the markers are literal codepoints so Java regex and
     RE2 agree byte-for-byte."""
     d = _docs(spark, sf_dir)
-    doc_id = F.col("doc_id")
-    taint = F.when(doc_id % 4 == 1, F.lit(MOJI_TAINT)).otherwise(F.lit(""))
-    taint2 = F.when(doc_id % 10 == 2, F.lit(" bad\ufffdbyte")).otherwise(F.lit(""))
-    t = d.select("doc_id", F.concat(F.col("norm"), taint, taint2).alias("_t"))
+    t = d.select("doc_id", _moji_tainted_text().alias("_t"))
     n_moji = F.regexp_count(F.col("_t"), F.lit(MOJI_PATTERN))
     n_repl = F.regexp_count(F.col("_t"), F.lit("\ufffd"))
     return t.select(
@@ -892,6 +926,65 @@ def q_encoding_quality(spark, sf_dir):
         n_moji.cast("long").alias("n_mojibake"),
         n_repl.cast("long").alias("n_replacement"),
         ((n_moji > 0) | (n_repl > 0)).alias("suspect_encoding"),
+    )
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The FULL web-corpus curation flow as ONE Catalyst plan — the
+    deployment shape at 100 TB is one pass over the corpus, not eight
+    jobs: encoding check -> language ID -> length -> PII screen ->
+    inter-doc line dedup (boilerplate removal) -> exact dedup on the
+    CLEANED text -> benchmark decontamination, with a first-failing
+    drop_reason per doc. Composes the standalone operators verbatim
+    (same planted taints, same thresholds) so each signal stays pinned
+    by its own oracle while this query pins the composition. Plan shape:
+    pure expressions for the scalar signals, the line-frequency
+    join + per-doc reassembly, one broadcast gram probe, one sha2
+    window on the cleaned text, three doc_id-keyed joins. The dup
+    window ranks ALL docs by doc_id (a survivor of the content window
+    may itself be dropped for an earlier reason — documented, and the
+    SQL twin does the same)."""
+    from ocr_parallel_spark.functions.curation import pii_counts
+    from ocr_parallel_spark.functions.text_quality import detect_lang_from_hits
+
+    d, hits = _with_lang_hits(_docs(spark, sf_dir))
+    counts = pii_counts(_pii_tainted_text())
+    moji = _moji_tainted_text()
+    scalars = d.select(
+        "doc_id",
+        detect_lang_from_hits(hits).alias("pred_lang"),
+        F.size(F.col("_toks")).alias("n_tokens"),
+        (counts["email"] + counts["phone"] + counts["ip"]).alias("n_pii"),
+        (
+            (F.regexp_count(moji, F.lit(MOJI_PATTERN)) > 0)
+            | (F.regexp_count(moji, F.lit("�")) > 0)
+        ).alias("suspect_encoding"),
+    )
+    lined = q_line_dedup(spark, sf_dir).select(
+        "doc_id", F.col("n_kept").alias("n_kept_lines"), "kept_text"
+    )
+    cont = q_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    j = scalars.join(lined, "doc_id").join(cont, "doc_id")
+    w = Window.partitionBy(F.sha2(F.col("kept_text"), 256)).orderBy("doc_id")
+    j = j.withColumn("_dup", F.row_number().over(w) > 1)
+    reason = (
+        F.when(F.col("suspect_encoding"), F.lit("encoding"))
+        .when(F.col("pred_lang") != "en", F.lit("lang"))
+        .when(F.col("n_tokens") < 30, F.lit("too_short"))
+        .when(F.col("n_pii") >= 2, F.lit("pii"))
+        .when(F.col("n_kept_lines") == 0, F.lit("boilerplate"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.col("_dup"), F.lit("dup"))
+    )
+    return j.select(
+        "doc_id",
+        "pred_lang",
+        "n_tokens",
+        "n_pii",
+        "n_kept_lines",
+        "contaminated",
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
     )
 
 
@@ -1422,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "domain_stats": q_domain_stats,
         "encoding_quality": q_encoding_quality,
+        "curation_pipeline": q_curation_pipeline,
         "repetition_signals": q_repetition_signals,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
@@ -1692,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "corpus_curation": _curation_sql(),
+        "curation_pipeline": _curation_full_sql(),
         "domain_stats": f"""
             WITH d AS (
               SELECT doc_id,
@@ -1863,20 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": f"""
             WITH {_DOCS_CTE},
             t AS (
-              SELECT doc_id,
-                norm ||
-                CASE CAST(doc_id % 3 AS INT)
-                  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@example.com for details'
-                  WHEN 1 THEN ' call 555-'
-                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
-                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
-                  ELSE ' server 10.' || CAST(doc_id % 256 AS VARCHAR)
-                    || '.' || CAST(doc_id % 100 AS VARCHAR)
-                    || '.' || CAST(doc_id % 250 AS VARCHAR) || ' logged'
-                END ||
-                CASE WHEN doc_id % 7 = 0 THEN ' or admin@site.org'
-                     ELSE '' END AS t
+              SELECT doc_id, {PII_TAINT_SQL} AS t
               FROM docs
             )
             SELECT doc_id,
@@ -2408,6 +2490,127 @@ def _curation_sql() -> str:
         )
         SELECT doc_id, pred_lang, n_tokens,
                drop_reason IS NULL AS kept, drop_reason
+        FROM r
+    """
+
+
+def _curation_full_sql() -> str:
+    """DuckDB twin of q_curation_pipeline: every stage's fragment is the
+    SAME SQL used by that stage's standalone oracle (lang hits, pii
+    taint, moji taint, line-dedup CTEs, 8-gram contamination), joined on
+    doc_id with the identical first-failing CASE."""
+    from ocr_parallel_spark.functions.curation import PII_PATTERNS
+    from ocr_parallel_spark.functions.text_quality import (
+        LANG_PRECEDENCE,
+        STOPWORDS,
+    )
+
+    hits_select = ", ".join(
+        "len(list_filter(string_split(lower(trim(norm)), ' '), "
+        f"t -> t IN ({', '.join(repr(w) for w in STOPWORDS[lang])}))) AS h_{lang}"
+        for lang in LANG_PRECEDENCE
+    )
+    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_PRECEDENCE) + ")"
+    case = "CASE "
+    for lang in LANG_PRECEDENCE:
+        case += f"WHEN best > 0 AND h_{lang} = best THEN '{lang}' "
+    case += "ELSE 'und' END"
+    pii_sum = " + ".join(
+        f"len(regexp_extract_all(pt, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    return f"""
+        WITH {_DOCS_CTE},
+        h AS (SELECT doc_id, norm, {hits_select} FROM docs),
+        bb AS (SELECT *, {greatest} AS best FROM h),
+        l AS (SELECT doc_id, {case} AS pred_lang,
+                     CAST(len(string_split(lower(trim(norm)), ' ')) AS INT)
+                       AS n_tokens
+              FROM bb),
+        pc AS (
+          SELECT doc_id, {pii_sum} AS n_pii
+          FROM (SELECT doc_id, {PII_TAINT_SQL} AS pt FROM docs)
+        ),
+        mc AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(mt, '{MOJI_PATTERN}')) > 0
+                 OR len(regexp_extract_all(mt, '�')) > 0 AS suspect_encoding
+          FROM (
+            SELECT doc_id,
+              norm
+              || CASE WHEN doc_id % 4 = 1 THEN '{MOJI_TAINT}' ELSE '' END
+              || CASE WHEN doc_id % 10 = 2 THEN '{REPL_TAINT}' ELSE '' END
+              AS mt
+            FROM docs
+          )
+        ),
+        t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs),
+        idx AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(
+                   CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS line_no
+          FROM t
+        ),
+        content AS (
+          SELECT doc_id, CAST(line_no AS INT) AS line_no,
+                 array_to_string(
+                   toks[(line_no-1)*8+1 : (line_no-1)*8+8], ' ') AS line
+          FROM idx
+        ),
+        alllines AS (
+          SELECT doc_id, 0 AS line_no,
+                 CASE WHEN doc_id % 2 = 0 THEN '{BOILER_A}'
+                      ELSE '{BOILER_B}' END AS line
+          FROM docs
+          UNION ALL SELECT doc_id, line_no, line FROM content
+        ),
+        freq AS (SELECT line, count(DISTINCT doc_id) AS c
+                 FROM alllines GROUP BY line),
+        lined AS (
+          SELECT a.doc_id,
+                 CAST(sum(CASE WHEN f.c < {LINE_DEDUP_MIN_COUNT}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+                 coalesce(string_agg(
+                   CASE WHEN f.c < {LINE_DEDUP_MIN_COUNT} THEN a.line END,
+                   chr(10) ORDER BY a.line_no), '') AS kept_text
+          FROM alllines a JOIN freq f USING (line)
+          GROUP BY a.doc_id
+        ),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 8
+              THEN list_transform(generate_series(1, len(toks)-7),
+                     i -> array_to_string(toks[i:i+7], ' '))
+              ELSE CAST([] AS VARCHAR[]) END)) AS gram
+          FROM t
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7),
+        hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)),
+        dd AS (
+          SELECT doc_id, row_number() OVER
+            (PARTITION BY sha256(kept_text) ORDER BY doc_id) > 1 AS dup
+          FROM lined
+        ),
+        r AS (
+          SELECT l.doc_id, l.pred_lang, l.n_tokens,
+                 CAST(pc.n_pii AS BIGINT) AS n_pii,
+                 lined.n_kept_lines,
+                 hit.doc_id IS NOT NULL AS contaminated,
+                 CASE WHEN mc.suspect_encoding THEN 'encoding'
+                      WHEN l.pred_lang != 'en' THEN 'lang'
+                      WHEN l.n_tokens < 30 THEN 'too_short'
+                      WHEN pc.n_pii >= 2 THEN 'pii'
+                      WHEN lined.n_kept_lines = 0 THEN 'boilerplate'
+                      WHEN hit.doc_id IS NOT NULL THEN 'contaminated'
+                      WHEN dd.dup THEN 'dup' END AS drop_reason
+          FROM l
+          JOIN pc USING (doc_id)
+          JOIN mc USING (doc_id)
+          JOIN lined USING (doc_id)
+          JOIN dd USING (doc_id)
+          LEFT JOIN hit USING (doc_id)
+        )
+        SELECT doc_id, pred_lang, n_tokens, n_pii, n_kept_lines,
+               contaminated, drop_reason IS NULL AS kept, drop_reason
         FROM r
     """
 

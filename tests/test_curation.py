@@ -247,6 +247,34 @@ def test_encoding_quality_flags_planted_mojibake(spark, sf_dir):
     assert clean.filter(F.col("suspect_encoding")).count() == 0
 
 
+def test_curation_pipeline_composes_stage_signals(spark, sf_dir):
+    """The composite's verdicts must agree with the standalone stage
+    queries (same taints, same thresholds) and apply first-failing
+    precedence."""
+    from ocr_parallel_spark.queries_catalog import (
+        q_curation_pipeline,
+        q_decontaminate,
+        q_encoding_quality,
+    )
+
+    out = q_curation_pipeline(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # encoding outranks everything: every %4==1 doc is dropped as
+    # 'encoding' (suspect_encoding is planted there)
+    enc = {r["doc_id"] for r in q_encoding_quality(spark, sf_dir)
+           .filter(F.col("suspect_encoding")).collect()}
+    assert enc and all(rows[i]["drop_reason"] == "encoding" for i in enc)
+    # contaminated docs not caught by an earlier stage carry the flag
+    cont = {r["doc_id"] for r in q_decontaminate(spark, sf_dir)
+            .filter(F.col("contaminated")).collect()}
+    assert cont and all(rows[i]["contaminated"] for i in cont)
+    early = {"encoding", "lang", "too_short", "pii", "boilerplate"}
+    for i in cont:
+        assert rows[i]["drop_reason"] in early | {"contaminated"}
+    # at least some docs survive the whole gauntlet
+    assert sum(1 for r in rows.values() if r["kept"]) > 0
+
+
 def test_token_budget_mix_budget_and_determinism(spark, sf_dir):
     from ocr_parallel_spark.queries_catalog import q_token_budget_mix
 
