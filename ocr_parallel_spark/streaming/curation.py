@@ -1,0 +1,120 @@
+"""Streaming-tier corpus curation.
+
+The two-tier design (same split as extraction ingest, incremental.py):
+every PER-DOCUMENT curation signal — language ID, token counts, PII
+detection, encoding quality, domain blocklist — is a stateless
+projection or a stream-static broadcast join, so it runs identically in
+a micro-batch as in batch; corpus-GLOBAL signals (inter-doc line
+frequencies, exact/near dup ranking, decontamination gram sets) need a
+global view and stay in the batch compaction tier over the committed
+table. A crawl drip therefore gets its cheap screens applied on ingest
+(drop-early saves the 100 TB of downstream shuffle), and the batch pass
+arbitrates everything that requires seeing the whole corpus.
+
+The blocklist side of the stream-static join is a plain static
+DataFrame: Spark re-plans it per micro-batch, which is exactly what a
+slowly-changing blocklist wants (updates picked up on the next trigger
+without restarting the query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ocr_parallel_spark.functions.curation import pii_counts
+from ocr_parallel_spark.functions.text_quality import (
+    LANG_PRECEDENCE,
+    detect_lang_from_hits,
+    stopword_hits_from_tokens,
+    tokens_col,
+)
+from ocr_parallel_spark.operators.classify import normalize_col
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def read_docs_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+
+def curate_docs(docs: DataFrame, blocked_hosts: DataFrame) -> DataFrame:
+    """The streaming-safe curation projection + blocklist join. Works on
+    a streaming OR batch ``docs`` DataFrame unchanged (the equivalence is
+    pinned by test_streaming_curation) — one definition, two tiers.
+
+    ``blocked_hosts``: static DataFrame with a ``host`` column."""
+    d = docs.withColumn("norm", normalize_col("text")).withColumn(
+        "_toks", tokens_col(F.col("norm"))
+    )
+    for lang in LANG_PRECEDENCE:
+        d = d.withColumn(
+            f"_h_{lang}", stopword_hits_from_tokens(F.col("_toks"), lang)
+        )
+    hits = {lang: F.col(f"_h_{lang}") for lang in LANG_PRECEDENCE}
+    counts = pii_counts(F.col("norm"))
+    host = F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/?#]+)", 1))
+    d = d.select(
+        "doc_id",
+        host.alias("host"),
+        detect_lang_from_hits(hits).alias("pred_lang"),
+        F.size(F.col("_toks")).alias("n_tokens"),
+        (counts["email"] + counts["phone"] + counts["ip"]).alias("n_pii"),
+    )
+    blocked = F.broadcast(
+        blocked_hosts.select(F.lower(F.col("host")).alias("host")).withColumn(
+            "_blocked", F.lit(True)
+        )
+    )
+    d = d.join(blocked, "host", "left")
+    reason = (
+        F.when(F.coalesce(F.col("_blocked"), F.lit(False)), F.lit("blocked"))
+        .when(F.col("pred_lang") != "en", F.lit("lang"))
+        .when(F.col("n_tokens") < 30, F.lit("too_short"))
+        .when(F.col("n_pii") >= 2, F.lit("pii"))
+    )
+    return d.select(
+        "doc_id",
+        "host",
+        "pred_lang",
+        "n_tokens",
+        "n_pii",
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+    )
+
+
+def run_curation_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    blocked_hosts: DataFrame,
+):
+    """Drain all pending doc files through the curation screen and stop
+    (availableNow); re-runs process only new files via the checkpoint's
+    file-source log."""
+    out = curate_docs(read_docs_stream(spark, input_dir), blocked_hosts)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
