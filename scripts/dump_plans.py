@@ -111,6 +111,17 @@ def main() -> None:
     )
     sections.append(
         (
+            "Full curation composite (one-pass deployment shape)",
+            "Eight curation stages as ONE plan: scalar screens (lang/PII/"
+            "encoding) are pure projections; line-frequency join + gram "
+            "broadcast probe + one sha2 window on cleaned text; the three "
+            "doc_id-keyed joins share partitioning. One pass over the "
+            "corpus instead of eight jobs.",
+            plan_of(q["curation_pipeline"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
             "Scan pushdown / pruning",
             "Filter + projection reach the parquet reader (PushedFilters, "
             "2-column ReadSchema).",
