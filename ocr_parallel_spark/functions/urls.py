@@ -51,3 +51,20 @@ def canonical_url(url: Column | str) -> Column:
         F.size(kept) > 0,
         F.concat(base_clean, F.lit("?"), F.array_join(kept, "&")),
     ).otherwise(base_clean)
+
+
+def host_col(url: Column | str) -> Column:
+    """Lowercased host from a crawl URL, for blocklist matching and
+    per-domain keying: case-insensitive scheme (RFC 3986 — 'HTTPS://'
+    is the same scheme), userinfo and port stripped, so
+    'HTTPS://User@Site-3.Example.COM:443/x' keys as
+    'site-3.example.com'. A naive case-sensitive, authority-verbatim
+    extract lets blocklisted domains evade the screen via scheme case
+    or an explicit port. ``\\z`` not '$' per the module's anchoring
+    rule; all patterns are in the Java-regex/RE2 common subset so the
+    DuckDB oracle applies the identical chain."""
+    c = F.col(url) if isinstance(url, str) else url
+    auth = F.regexp_extract(c, r"(?i)^https?://([^/?#]+)", 1)
+    return F.lower(
+        F.regexp_replace(F.regexp_replace(auth, r"^[^@]*@", ""), r":\d+\z", "")
+    )

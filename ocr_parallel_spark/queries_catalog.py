@@ -862,8 +862,11 @@ def q_domain_stats(spark, sf_dir):
     counts with ONE keyed window shuffle, and flag docs whose host is on
     a blocklist via a broadcast left join (real blocklists are ~100k
     hosts — broadcast territory forever; the corpus side never
-    re-shuffles for the flag). Host extraction is a single
-    regexp_extract in the Java/RE2 common subset."""
+    re-shuffles for the flag). Host keying is functions/urls.py
+    host_col (case-insensitive scheme, userinfo/port stripped) so
+    blocked domains can't evade via 'HTTPS://' or ':443'."""
+    from ocr_parallel_spark.functions.urls import host_col
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     url = F.concat(
         F.lit("https://site-"),
@@ -871,12 +874,11 @@ def q_domain_stats(spark, sf_dir):
         F.lit(".example.com/p/"),
         F.col("doc_id").cast("string"),
     )
-    host = F.lower(F.regexp_extract(url, r"^https?://([^/?#]+)", 1))
-    d = docs.select("doc_id", host.alias("host"))
+    d = docs.select("doc_id", host_col(url).alias("host"))
     w = Window.partitionBy("host")
     blocked = spark.createDataFrame(
         [(h,) for h in BLOCKED_HOSTS], "host string"
-    ).withColumn("_blocked", F.lit(True))
+    ).select(F.lower(F.col("host")).alias("host"), F.lit(True).alias("_blocked"))
     return (
         d.withColumn("host_docs", F.count(F.lit(1)).over(w).cast("long"))
         .join(F.broadcast(blocked), "host", "left")
@@ -895,7 +897,8 @@ def q_domain_stats(spark, sf_dir):
 # cannot itself be mojibake'd by a transcoding tool.
 MOJI_TAINT = " caf\u00c3\u00a9 menu\u00e2\u0080\u0099s\u00c2 here"
 MOJI_PATTERN = "(\u00c3|\u00e2\u0080|\u00c2)"
-REPL_TAINT = " bad\ufffdbyte"
+REPL_CHAR = "\ufffd"
+REPL_TAINT = " bad" + REPL_CHAR + "byte"
 
 
 def _moji_tainted_text() -> F.Column:
@@ -920,7 +923,7 @@ def q_encoding_quality(spark, sf_dir):
     d = _docs(spark, sf_dir)
     t = d.select("doc_id", _moji_tainted_text().alias("_t"))
     n_moji = F.regexp_count(F.col("_t"), F.lit(MOJI_PATTERN))
-    n_repl = F.regexp_count(F.col("_t"), F.lit("\ufffd"))
+    n_repl = F.regexp_count(F.col("_t"), F.lit(REPL_CHAR))
     return t.select(
         "doc_id",
         n_moji.cast("long").alias("n_mojibake"),
@@ -948,8 +951,16 @@ def q_curation_pipeline(spark, sf_dir):
     from ocr_parallel_spark.functions.text_quality import detect_lang_from_hits
 
     d, hits = _with_lang_hits(_docs(spark, sf_dir))
-    counts = pii_counts(_pii_tainted_text())
-    moji = _moji_tainted_text()
+    # Materialize the tainted texts as columns BEFORE counting (the
+    # discipline of q_pii_scrub/q_encoding_quality): each is referenced
+    # by 2-3 regexp counts, and Catalyst won't inline a multiply-
+    # referenced non-cheap alias — unmaterialized, the ~15-expression
+    # taint concat would be rebuilt inside every count.
+    d = d.withColumn("_pt", _pii_tainted_text()).withColumn(
+        "_mt", _moji_tainted_text()
+    )
+    counts = pii_counts(F.col("_pt"))
+    moji = F.col("_mt")
     scalars = d.select(
         "doc_id",
         detect_lang_from_hits(hits).alias("pred_lang"),
@@ -957,7 +968,7 @@ def q_curation_pipeline(spark, sf_dir):
         (counts["email"] + counts["phone"] + counts["ip"]).alias("n_pii"),
         (
             (F.regexp_count(moji, F.lit(MOJI_PATTERN)) > 0)
-            | (F.regexp_count(moji, F.lit("�")) > 0)
+            | (F.regexp_count(moji, F.lit(REPL_CHAR)) > 0)
         ).alias("suspect_encoding"),
     )
     lined = q_line_dedup(spark, sf_dir).select(
@@ -1790,10 +1801,11 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": f"""
             WITH d AS (
               SELECT doc_id,
-                     lower(regexp_extract(
+                     lower(regexp_replace(regexp_replace(regexp_extract(
                        'https://site-' || CAST(doc_id % 7 AS VARCHAR)
                        || '.example.com/p/' || CAST(doc_id AS VARCHAR),
-                       '^https?://([^/?#]+)', 1)) AS host
+                       '(?i)^https?://([^/?#]+)', 1),
+                       '^[^@]*@', ''), ':\\d+\\z', '')) AS host
               FROM documents
             ),
             blocked(host) AS (VALUES {", ".join(f"('{h}')" for h in BLOCKED_HOSTS)})
@@ -1809,17 +1821,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                 norm
                 || CASE WHEN doc_id % 4 = 1 THEN '{MOJI_TAINT}' ELSE '' END
-                || CASE WHEN doc_id % 10 = 2 THEN ' bad�byte' ELSE '' END
+                || CASE WHEN doc_id % 10 = 2 THEN '{REPL_TAINT}' ELSE '' END
                 AS t
               FROM docs
             )
             SELECT doc_id,
               CAST(len(regexp_extract_all(t, '{MOJI_PATTERN}')) AS BIGINT)
                 AS n_mojibake,
-              CAST(len(regexp_extract_all(t, '�')) AS BIGINT)
+              CAST(len(regexp_extract_all(t, '{REPL_CHAR}')) AS BIGINT)
                 AS n_replacement,
               len(regexp_extract_all(t, '{MOJI_PATTERN}')) > 0
-                OR len(regexp_extract_all(t, '�')) > 0
+                OR len(regexp_extract_all(t, '{REPL_CHAR}')) > 0
                 AS suspect_encoding
             FROM t
         """,
@@ -2448,9 +2460,10 @@ def _variants_sql() -> str:
     """
 
 
-def _curation_sql() -> str:
-    """DuckDB twin of q_corpus_curation (langid + quality + dedup with
-    first-failing-reason semantics; integer-exact thresholds)."""
+def _langid_sql_parts() -> tuple[str, str, str]:
+    """Shared langid SQL fragments (hits_select, greatest, case) used by
+    _langid_sql, _curation_sql, and _curation_full_sql — one builder so
+    a stopword or precedence tweak cannot desynchronize the oracles."""
     from ocr_parallel_spark.functions.text_quality import (
         LANG_PRECEDENCE,
         STOPWORDS,
@@ -2466,6 +2479,13 @@ def _curation_sql() -> str:
     for lang in LANG_PRECEDENCE:
         case += f"WHEN best > 0 AND h_{lang} = best THEN '{lang}' "
     case += "ELSE 'und' END"
+    return hits_select, greatest, case
+
+
+def _curation_sql() -> str:
+    """DuckDB twin of q_corpus_curation (langid + quality + dedup with
+    first-failing-reason semantics; integer-exact thresholds)."""
+    hits_select, greatest, case = _langid_sql_parts()
     return f"""
         WITH {_DOCS_CTE},
         h AS (SELECT doc_id, norm, {hits_select} FROM docs),
@@ -2500,21 +2520,7 @@ def _curation_full_sql() -> str:
     taint, moji taint, line-dedup CTEs, 8-gram contamination), joined on
     doc_id with the identical first-failing CASE."""
     from ocr_parallel_spark.functions.curation import PII_PATTERNS
-    from ocr_parallel_spark.functions.text_quality import (
-        LANG_PRECEDENCE,
-        STOPWORDS,
-    )
-
-    hits_select = ", ".join(
-        "len(list_filter(string_split(lower(trim(norm)), ' '), "
-        f"t -> t IN ({', '.join(repr(w) for w in STOPWORDS[lang])}))) AS h_{lang}"
-        for lang in LANG_PRECEDENCE
-    )
-    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_PRECEDENCE) + ")"
-    case = "CASE "
-    for lang in LANG_PRECEDENCE:
-        case += f"WHEN best > 0 AND h_{lang} = best THEN '{lang}' "
-    case += "ELSE 'und' END"
+    hits_select, greatest, case = _langid_sql_parts()
     pii_sum = " + ".join(
         f"len(regexp_extract_all(pt, '{pat}'))" for pat in PII_PATTERNS.values()
     )
@@ -2533,7 +2539,7 @@ def _curation_full_sql() -> str:
         mc AS (
           SELECT doc_id,
                  len(regexp_extract_all(mt, '{MOJI_PATTERN}')) > 0
-                 OR len(regexp_extract_all(mt, '�')) > 0 AS suspect_encoding
+                 OR len(regexp_extract_all(mt, '{REPL_CHAR}')) > 0 AS suspect_encoding
           FROM (
             SELECT doc_id,
               norm
@@ -2869,21 +2875,7 @@ def _boundaries_sql() -> str:
 
 
 def _langid_sql() -> str:
-    from ocr_parallel_spark.functions.text_quality import LANG_PRECEDENCE, STOPWORDS
-
-    hit_exprs = {
-        lang: (
-            "len(list_filter(string_split(lower(trim(norm)), ' '), "
-            f"t -> t IN ({', '.join(repr(w) for w in STOPWORDS[lang])})))"
-        )
-        for lang in LANG_PRECEDENCE
-    }
-    greatest = "greatest(" + ", ".join(f"h_{lang}" for lang in LANG_PRECEDENCE) + ")"
-    case = "CASE "
-    for lang in LANG_PRECEDENCE:
-        case += f"WHEN best > 0 AND h_{lang} = best THEN '{lang}' "
-    case += "ELSE 'und' END"
-    hits_select = ", ".join(f"{e} AS h_{lang}" for lang, e in hit_exprs.items())
+    hits_select, greatest, case = _langid_sql_parts()
     return f"""
         WITH {_DOCS_CTE},
         h AS (SELECT doc_id, {hits_select} FROM docs),

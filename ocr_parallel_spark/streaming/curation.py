@@ -12,9 +12,12 @@ table. A crawl drip therefore gets its cheap screens applied on ingest
 arbitrates everything that requires seeing the whole corpus.
 
 The blocklist side of the stream-static join is a plain static
-DataFrame: Spark re-plans it per micro-batch, which is exactly what a
-slowly-changing blocklist wants (updates picked up on the next trigger
-without restarting the query).
+DataFrame, re-broadcast per micro-batch. NOTE: re-planning does NOT
+refresh its contents — a createDataFrame blocklist is fixed at
+creation, and a file-backed one caches its file index — so a blocklist
+update requires restarting the query (or rebuilding the static
+DataFrame between availableNow drains, the pattern the resume test
+uses). Cheap either way: there is no state to migrate.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ from ocr_parallel_spark.functions.text_quality import (
     stopword_hits_from_tokens,
     tokens_col,
 )
+from ocr_parallel_spark.functions.urls import host_col
 from ocr_parallel_spark.operators.classify import normalize_col
 
 DOCS_SCHEMA = StructType(
@@ -66,10 +70,9 @@ def curate_docs(docs: DataFrame, blocked_hosts: DataFrame) -> DataFrame:
         )
     hits = {lang: F.col(f"_h_{lang}") for lang in LANG_PRECEDENCE}
     counts = pii_counts(F.col("norm"))
-    host = F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/?#]+)", 1))
     d = d.select(
         "doc_id",
-        host.alias("host"),
+        host_col(F.col("url")).alias("host"),
         detect_lang_from_hits(hits).alias("pred_lang"),
         F.size(F.col("_toks")).alias("n_tokens"),
         (counts["email"] + counts["phone"] + counts["ip"]).alias("n_pii"),

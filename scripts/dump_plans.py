@@ -113,11 +113,14 @@ def main() -> None:
         (
             "Full curation composite (one-pass deployment shape)",
             "Eight curation stages as ONE plan: scalar screens (lang/PII/"
-            "encoding) are pure projections; line-frequency join + gram "
-            "broadcast probe + one sha2 window on cleaned text; the three "
-            "doc_id-keyed joins share partitioning. One pass over the "
-            "corpus instead of eight jobs.",
+            "encoding) are pure projections over once-materialized taint "
+            "columns; line-frequency join + gram broadcast probe + one "
+            "sha2 window on cleaned text; the doc_id joins broadcast at "
+            "this capture scale (AQE switches them to sort-merge with a "
+            "shared doc_id Exchange once both sides outgrow the "
+            "threshold). One pass over the corpus instead of eight jobs.",
             plan_of(q["curation_pipeline"](spark, SF), "simple"),
+            12000,
         )
     )
     sections.append(
@@ -139,8 +142,10 @@ def main() -> None:
           "Generated by `scripts/dump_plans.py`; invariants enforced by "
           "`tests/test_plans.py`. Plans captured at sf0.001 on local[8]; "
           "shapes are size-independent.", ""]
-    for title, note, plan in sections:
-        md += [f"## {title}", "", note, "", "```", plan.strip()[:4000], "```", ""]
+    for sec in sections:
+        title, note, plan = sec[:3]
+        cap = sec[3] if len(sec) > 3 else 4000
+        md += [f"## {title}", "", note, "", "```", plan.strip()[:cap], "```", ""]
     (REPO / "PLANS.md").write_text("\n".join(md))
     print("wrote PLANS.md")
     spark.stop()

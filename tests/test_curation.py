@@ -230,6 +230,26 @@ def test_domain_stats_blocklist_and_counts(spark, sf_dir):
     assert per_host.agg(F.sum("host_docs")).first()[0] == total
 
 
+def test_host_col_normalizes_scheme_port_userinfo(spark):
+    """Blocklist keying must not be evadable via scheme case, an
+    explicit port, or userinfo in the authority."""
+    from ocr_parallel_spark.functions.urls import host_col
+
+    rows = [
+        ("HTTPS://Site-3.Example.COM:443/x",),
+        ("https://u:p@site-5.example.com/y",),
+        ("http://plain.org/z",),
+        ("not a url",),
+    ]
+    got = [
+        r[0]
+        for r in spark.createDataFrame(rows, "url string")
+        .select(host_col("url"))
+        .collect()
+    ]
+    assert got == ["site-3.example.com", "site-5.example.com", "plain.org", ""]
+
+
 def test_encoding_quality_flags_planted_mojibake(spark, sf_dir):
     from ocr_parallel_spark.queries_catalog import q_encoding_quality
 
