@@ -153,6 +153,60 @@ def test_pii_scrub_no_pii_is_identity(spark):
     assert row["s"] == "plain words only"
 
 
+def _wide_inputs(spark, sf_dir):
+    """Wide property-sweep input: the corpus texts plus crafted edges
+    (empty, single token, unicode, embedded PII, pattern-adjacent
+    near-misses) — one DataFrame so every law is checked over hundreds
+    of cases in a single Spark job instead of per-example rounds."""
+    from pyspark.sql import functions as F
+
+    edges = [
+        "", "x", "  ", "a b", "one two three four five six seven eight nine",
+        "u@d.co", "u@d.co u@d.co u@d.co", "555-123-4567", "1.2.3.4",
+        "999-99-9999 12.34 v1.2.3", "café naïve Ω≈ç",
+        "a@b mail@ @host .com", "10.0.0.1:8080 555-12-3456",
+    ]
+    crafted = spark.createDataFrame([(t,) for t in edges], "t string")
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("text").alias("t"))
+        .limit(400)
+    )
+    return crafted.union(corpus)
+
+
+def test_word_lines_coverage_law(spark, sf_dir):
+    """Joining the lines back with spaces reproduces the token stream
+    exactly, for any line width — no token lost or duplicated."""
+    d = _wide_inputs(spark, sf_dir).select(F.split("t", " ").alias("toks"))
+    for width in (1, 3, 8):
+        bad = d.filter(
+            F.array_join(word_lines(F.col("toks"), width), " ")
+            != F.array_join(F.col("toks"), " ")
+        ).count()
+        assert bad == 0, f"width {width}"
+
+
+def test_word_ngrams_count_law(spark, sf_dir):
+    from ocr_parallel_spark.functions.curation import word_ngrams
+
+    d = _wide_inputs(spark, sf_dir).select(F.split("t", " ").alias("toks"))
+    for k in (2, 5, 8):
+        bad = d.filter(
+            F.size(word_ngrams(F.col("toks"), k))
+            != F.greatest(F.lit(0), F.size("toks") - (k - 1))
+        ).count()
+        assert bad == 0, f"k {k}"
+
+
+def test_scrub_pii_idempotent_and_identity_without_matches(spark, sf_dir):
+    d = _wide_inputs(spark, sf_dir).select("t", scrub_pii(F.col("t")).alias("s"))
+    assert d.filter(scrub_pii(F.col("s")) != F.col("s")).count() == 0
+    c = pii_counts(F.col("t"))
+    no_pii = d.filter((c["email"] + c["phone"] + c["ip"]) == 0)
+    assert no_pii.filter(F.col("s") != F.col("t")).count() == 0
+
+
 def test_line_dedup_query_drops_planted_banners(spark, sf_dir):
     """E2E on the synthetic corpus: both banners cross the frequency
     threshold and vanish; every content line is rarer and survives."""
