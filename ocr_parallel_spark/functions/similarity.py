@@ -321,12 +321,21 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 8,
     n_tables: int = 8,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH: a candidate shares the
     query's bucket in ANY of the ``n_tables`` hash tables; exact cosine
     ranks within candidates. Dials: more planes => smaller buckets =>
     fewer candidates but lower per-table recall; more tables => the union
-    restores recall at ~linear candidate cost. Production corpora
+    restores recall at ~linear candidate cost; ``n_probes`` > 0 turns on
+    MULTI-PROBE: each query additionally probes the buckets reached by
+    flipping each of the first ``n_probes`` signature bits per table
+    (per-table Hamming<=1 neighborhood). Probing expands ONLY the
+    broadcast query index — the corpus index stays at L rows per vector —
+    so it buys the recall of extra tables without their index memory and
+    build shuffle: the standard trade (Lv et al.'s multi-probe LSH,
+    public) when the corpus side dominates cost, which at 100 TB it
+    always does. Production corpora
     (clustered, near-neighbors at cos >= 0.8) run wide-and-many (e.g.
     n_planes=12, n_tables=12: random-pair candidates ~12/4096 = 0.3% of
     the corpus per query, neighbor recall ~0.87); the sandbox's synthetic
@@ -343,16 +352,34 @@ def lsh_topk(
     then vectors are fetched back by id for the exact rank."""
     from pyspark.sql import Window
 
+    if not 0 <= n_probes <= n_planes:
+        raise ValueError(f"lsh_topk: n_probes {n_probes} outside 0..{n_planes}")
     v_idx = with_lsh_buckets(
         vectors.select(id_col, vec_col), vec_col, dim, n_planes, n_tables
     ).select(id_col, F.explode("lsh_buckets").alias("lsh_bucket"))
+    q_buckets = F.col("lsh_buckets")
+    if n_probes:
+        # bucket = sig | (t << n_planes) with sig < 2^n_planes, so
+        # XOR-ing bits below n_planes stays inside the same table's
+        # id range — a probe can never alias another table's bucket.
+        q_buckets = F.flatten(
+            F.transform(
+                q_buckets,
+                lambda b: F.concat(
+                    F.array(b),
+                    F.array(
+                        *[b.bitwiseXOR(F.lit(1 << j)) for j in range(n_probes)]
+                    ),
+                ),
+            )
+        )
     q_idx = with_lsh_buckets(
         queries.select(query_id_col, F.col(vec_col).alias("_q")),
         "_q",
         dim,
         n_planes,
         n_tables,
-    ).select(query_id_col, F.explode("lsh_buckets").alias("lsh_bucket"))
+    ).select(query_id_col, F.explode(q_buckets).alias("lsh_bucket"))
     cand_ids = (
         v_idx.join(F.broadcast(q_idx), "lsh_bucket")
         .select(query_id_col, id_col)

@@ -172,6 +172,56 @@ def test_lsh_sublinear_on_clustered_data(spark):
     assert frac < 0.15, f"candidate set not sublinear on clustered data: {frac}"
 
 
+def test_lsh_multiprobe_matches_recall_with_half_the_tables(spark):
+    """Multi-probe trades broadcast-side query probes for corpus-index
+    tables: on the planted clustered corpus, 4 tables + 12 probes must
+    reach the >= 0.9 recall that 8 tables reach probe-free, while the
+    corpus index (the 100 TB side) carries HALF the rows and the
+    candidate set stays sublinear."""
+    import numpy as np
+
+    from ocr_parallel_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.RandomState(3)
+    dim, n_clusters, per = 64, 40, 25
+    bases = rng.standard_normal((n_clusters, dim))
+    bases /= np.linalg.norm(bases, axis=1)[:, None]
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = bases[c] + 0.02 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % per == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    e = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    probed = lsh_topk(
+        emb, queries, k=5, dim=dim, n_planes=12, n_tables=4, n_probes=12
+    )
+    a = {(r.query_id, r.vec_id) for r in probed.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"multi-probe recall collapsed: {recall}"
+
+
+def test_lsh_multiprobe_validates_probe_range(spark):
+    import pytest
+
+    from ocr_parallel_spark.functions.similarity import lsh_topk
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError):
+        lsh_topk(emb, q, n_planes=4, n_tables=2, n_probes=5)
+
+
 def test_simhash_near_dups_marks_drifted_copy(spark, sf_dir):
     from ocr_parallel_spark.queries_catalog import q_simhash_near_dups
 
