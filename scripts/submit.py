@@ -45,10 +45,12 @@ def main() -> None:
     ap.add_argument("--run", action="store_true", help="exec spark-submit")
     ap.add_argument(
         "--job",
-        choices=["extract", "full-process"],
+        choices=["extract", "full-process", "curate"],
         default="extract",
         help="which batch job to submit",
     )
+    ap.add_argument("--blocklist", help="hosts file (curate job only)")
+    ap.add_argument("--bench", help="eval-docs parquet (curate job only)")
     ap.add_argument("--targets", help="targets CSV (full-process job only)")
     ap.add_argument(
         "--start-marker",
@@ -77,11 +79,20 @@ def main() -> None:
         str(
             REPO
             / "scripts"
-            / ("job_extract.py" if args.job == "extract" else "job_full_process.py")
+            / {
+                "extract": "job_extract.py",
+                "full-process": "job_full_process.py",
+                "curate": "job_curate.py",
+            }[args.job]
         ),
         "--input", args.input,
         "--output", args.output,
     ]
+    if args.job == "curate":
+        if args.blocklist:
+            cmd += ["--blocklist", args.blocklist]
+        if args.bench:
+            cmd += ["--bench", args.bench]
     if args.job == "full-process":
         cmd += ["--targets", args.targets]
         for m in args.start_marker or []:
