@@ -106,6 +106,50 @@ def _bucket_expr(v: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _query_probe_buckets(
+    v: Column, dim: int, n_planes: int, n_tables: int, n_probes: int,
+    seed: int = 42,
+) -> Column:
+    """Query-directed multi-probe bucket array: per table, the home
+    bucket plus the ``n_probes`` buckets reached by flipping the LEAST
+    CONFIDENT signature bits — the planes with the smallest |dot(v, p)|,
+    where a near-neighbor is most likely to land on the other side (Lv
+    et al.'s multi-probe LSH). Flipping by ascending margin reaches a
+    given recall with far fewer probes than a fixed flip set: the
+    planted-cluster test matches 8-table recall with 4 tables x 4
+    probes. Pure expressions; the margin dots are computed on the QUERY
+    side only (a handful of rows), never on the corpus."""
+    shifts = F.array(*[F.lit(1 << j).cast("bigint") for j in range(n_planes)])
+    per_table = []
+    for t in range(n_tables):
+        planes = hyperplane_planes(dim, n_planes, seed + 1000 * t)
+        home = _bucket_expr(v, planes) + F.lit(t << n_planes).cast("bigint")
+        margins = F.array(
+            *[
+                F.struct(
+                    F.abs(
+                        dot(v, F.array(*[F.lit(float(x)) for x in p]))
+                    ).alias("m"),
+                    F.lit(j).alias("j"),
+                )
+                for j, p in enumerate(planes)
+            ]
+        )
+        flips = F.slice(F.array_sort(margins), 1, n_probes)
+        per_table.append(
+            F.concat(
+                F.array(home),
+                F.transform(
+                    flips,
+                    lambda s, home=home: home.bitwiseXOR(
+                        F.element_at(shifts, s["j"] + 1)
+                    ),
+                ),
+            )
+        )
+    return F.flatten(F.array(*per_table))
+
+
 def with_lsh_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -328,14 +372,15 @@ def lsh_topk(
     ranks within candidates. Dials: more planes => smaller buckets =>
     fewer candidates but lower per-table recall; more tables => the union
     restores recall at ~linear candidate cost; ``n_probes`` > 0 turns on
-    MULTI-PROBE: each query additionally probes the buckets reached by
-    flipping each of the first ``n_probes`` signature bits per table
-    (per-table Hamming<=1 neighborhood). Probing expands ONLY the
-    broadcast query index — the corpus index stays at L rows per vector —
-    so it buys the recall of extra tables without their index memory and
-    build shuffle: the standard trade (Lv et al.'s multi-probe LSH,
-    public) when the corpus side dominates cost, which at 100 TB it
-    always does. Production corpora
+    QUERY-DIRECTED MULTI-PROBE: each query additionally probes the
+    buckets reached by flipping its ``n_probes`` least-confident
+    signature bits per table (smallest |dot| margins — where a true
+    neighbor most likely sits on the other side; Lv et al.'s multi-probe
+    LSH, public). Probing expands ONLY the broadcast query index — the
+    corpus index stays at L rows per vector — so it buys the recall of
+    extra tables without their index memory and build shuffle: the
+    standard trade when the corpus side dominates cost, which at 100 TB
+    it always does. Production corpora
     (clustered, near-neighbors at cos >= 0.8) run wide-and-many (e.g.
     n_planes=12, n_tables=12: random-pair candidates ~12/4096 = 0.3% of
     the corpus per query, neighbor recall ~0.87); the sandbox's synthetic
@@ -357,29 +402,29 @@ def lsh_topk(
     v_idx = with_lsh_buckets(
         vectors.select(id_col, vec_col), vec_col, dim, n_planes, n_tables
     ).select(id_col, F.explode("lsh_buckets").alias("lsh_bucket"))
-    q_buckets = F.col("lsh_buckets")
     if n_probes:
         # bucket = sig | (t << n_planes) with sig < 2^n_planes, so
         # XOR-ing bits below n_planes stays inside the same table's
         # id range — a probe can never alias another table's bucket.
-        q_buckets = F.flatten(
-            F.transform(
-                q_buckets,
-                lambda b: F.concat(
-                    F.array(b),
-                    F.array(
-                        *[b.bitwiseXOR(F.lit(1 << j)) for j in range(n_probes)]
-                    ),
-                ),
-            )
+        qv = queries.select(
+            query_id_col, F.col(vec_col).cast("array<double>").alias("_qv")
         )
-    q_idx = with_lsh_buckets(
-        queries.select(query_id_col, F.col(vec_col).alias("_q")),
-        "_q",
-        dim,
-        n_planes,
-        n_tables,
-    ).select(query_id_col, F.explode(q_buckets).alias("lsh_bucket"))
+        q_idx = qv.select(
+            query_id_col,
+            F.explode(
+                _query_probe_buckets(
+                    F.col("_qv"), dim, n_planes, n_tables, n_probes
+                )
+            ).alias("lsh_bucket"),
+        )
+    else:
+        q_idx = with_lsh_buckets(
+            queries.select(query_id_col, F.col(vec_col).alias("_q")),
+            "_q",
+            dim,
+            n_planes,
+            n_tables,
+        ).select(query_id_col, F.explode("lsh_buckets").alias("lsh_bucket"))
     cand_ids = (
         v_idx.join(F.broadcast(q_idx), "lsh_bucket")
         .select(query_id_col, id_col)

@@ -51,14 +51,23 @@ def build_output(
 
     if blocked_hosts is None:
         blocked_hosts = spark.createDataFrame([], "host string")
+    # build_output scans `docs` several times (screens, lines x2 via
+    # dedup_lines' documented double read, grams); under run_resumable
+    # that lineage is source-scan + committed-table anti-join, so pin it
+    # once — checkpoint blocks are freed by the ContextCleaner when the
+    # result is dropped (the dedup_lines docstring's own advice).
+    docs = docs.localCheckpoint(eager=False)
     screens = curate_docs(docs, blocked_hosts)
 
     # Real web text carries newlines; the synthetic corpus is
     # single-line, so fall back to fixed-width word lines there — the
-    # downstream frequency algebra is line-source agnostic.
+    # downstream frequency algebra is line-source agnostic. Split on
+    # \r?\n, not \n: CRLF docs would otherwise carry a trailing \r per
+    # line, splitting every banner's frequency count across the two
+    # line-ending variants (and splitting dup hashes the same way).
     norm = normalize_col("text")
     has_nl = F.instr(F.col("text"), "\n") > 0
-    lines_arr = F.when(has_nl, F.split(F.col("text"), "\n")).otherwise(
+    lines_arr = F.when(has_nl, F.split(F.col("text"), r"\r?\n")).otherwise(
         word_lines(F.split(norm, " "), line_tokens)
     )
     lines = docs.select(
@@ -69,8 +78,6 @@ def build_output(
     )
 
     j = screens.join(lined, "doc_id")
-    w = Window.partitionBy(F.sha2(F.col("kept_text"), 256)).orderBy("doc_id")
-    j = j.withColumn("_dup", F.row_number().over(w) > 1)
 
     if bench_docs is not None:
         grams = word_ngrams(F.split(normalize_col("text"), " "), 8)
@@ -90,6 +97,29 @@ def build_output(
         )
     else:
         j = j.withColumn("contaminated", F.lit(False))
+
+    # Exact-dup ranking runs ONLY over docs that survive every earlier
+    # stage (screens, boilerplate, contamination — hence computed after
+    # the bench join): a screened-out doc must never claim the canonical
+    # slot, or its kept twin would be dropped as 'dup' and the content
+    # permanently lost from the committed kept set. Ranking the eligible
+    # subset also keeps the all-boilerplate kept_text='' mass out of the
+    # window — at scale that constant key would otherwise funnel
+    # millions of rows into one straggler task.
+    eligible = j.filter(
+        F.col("drop_reason").isNull()
+        & (F.col("n_kept_lines") > 0)
+        & ~F.col("contaminated")
+    ).select("doc_id", F.sha2(F.col("kept_text"), 256).alias("_kh"))
+    w = Window.partitionBy("_kh").orderBy("doc_id")
+    dups = (
+        eligible.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id", F.lit(True).alias("_dup"))
+    )
+    j = j.join(dups, "doc_id", "left").withColumn(
+        "_dup", F.coalesce(F.col("_dup"), F.lit(False))
+    )
 
     reason = F.coalesce(
         F.col("drop_reason"),
@@ -128,11 +158,8 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     blocked = None
     if args.blocklist:
-        hosts = [
-            (ln.strip(),)
-            for ln in open(args.blocklist, encoding="utf-8")
-            if ln.strip()
-        ]
+        with open(args.blocklist, encoding="utf-8") as fh:
+            hosts = [(ln.strip(),) for ln in fh if ln.strip()]
         blocked = spark.createDataFrame(hosts, "host string")
     bench = spark.read.parquet(args.bench) if args.bench else None
     table = SnapshotTable(args.output)

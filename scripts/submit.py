@@ -51,6 +51,11 @@ def main() -> None:
     )
     ap.add_argument("--blocklist", help="hosts file (curate job only)")
     ap.add_argument("--bench", help="eval-docs parquet (curate job only)")
+    ap.add_argument(
+        "--min-line-count",
+        type=int,
+        help="boilerplate line-frequency threshold (curate job only)",
+    )
     ap.add_argument("--targets", help="targets CSV (full-process job only)")
     ap.add_argument(
         "--start-marker",
@@ -93,6 +98,8 @@ def main() -> None:
             cmd += ["--blocklist", args.blocklist]
         if args.bench:
             cmd += ["--bench", args.bench]
+        if args.min_line_count is not None:
+            cmd += ["--min-line-count", str(args.min_line_count)]
     if args.job == "full-process":
         cmd += ["--targets", args.targets]
         for m in args.start_marker or []:

@@ -70,6 +70,46 @@ def test_curate_job_end_to_end_and_resume(spark, sf_dir, tmp_path):
     assert snap2.get("noop") is True
 
 
+def test_dup_canonical_slot_never_goes_to_screened_out_doc(spark):
+    """A blocked doc with the same cleaned text as an allowed doc must
+    NOT claim the canonical slot: the allowed twin stays kept (else the
+    content would be permanently lost from the committed kept set)."""
+    body = "plenty of unique content words here for the screen " * 4
+    rows = [
+        (1, "https://blocked.org/a", body, "en", "s"),
+        (2, "https://ok.org/a", body, "en", "s"),
+        (3, "https://ok.org/b", body, "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string, source string"
+    )
+    blocked = spark.createDataFrame([("blocked.org",)], "host string")
+    got = {r["doc_id"]: r for r in job.build_output(spark, docs, blocked, None).collect()}
+    assert got[1]["drop_reason"] == "blocked"
+    # doc 2 is the first ELIGIBLE copy -> kept; doc 3 is its true dup
+    assert got[2]["kept"] and got[2]["drop_reason"] is None
+    assert got[3]["drop_reason"] == "dup"
+
+
+def test_crlf_and_lf_line_endings_share_frequencies(spark):
+    """CRLF and LF variants of the same banner line must count into ONE
+    frequency bucket (split on \\r?\\n, not \\n)."""
+    rows = [
+        (i, f"https://h{i}.org/x", f"BANNER LINE\r\ncontent {i}", "en", "s")
+        for i in range(3)
+    ] + [
+        (i, f"https://h{i}.org/x", f"BANNER LINE\ncontent {i}", "en", "s")
+        for i in range(3, 6)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string, source string"
+    )
+    got = {r["doc_id"]: r for r in job.build_output(spark, docs, None, None).collect()}
+    # 6 distinct docs carry the banner (3 CRLF + 3 LF) -> >= 5 -> dropped
+    for i in range(6):
+        assert got[i]["n_kept_lines"] == 1, got[i]
+
+
 def test_curate_job_real_newline_docs_use_line_granularity(spark):
     """Docs WITH newlines dedup on their real lines: a banner line shared
     by >= min_count docs is stripped, content survives."""
