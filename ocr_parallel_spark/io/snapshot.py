@@ -160,6 +160,58 @@ class SnapshotTable:
         self._commit(snap)
         return snap
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int | None = None,
+        lineage: dict | None = None,
+    ) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
+        read the live set, rewrite it as ONE run directory, commit a
+        snapshot whose live set is just that directory. After hundreds
+        of incremental appends the live set is hundreds of small run
+        dirs — every read pays per-file open/footer costs and the resume
+        anti-join scans them all; compaction collapses that to one
+        columnar dir. History is untouched: old snapshots keep
+        referencing the old dirs (time travel intact — compaction
+        rewrites the live LAYOUT, never the past); reclaim the old dirs
+        with ``expire_snapshots`` once history is no longer needed."""
+        df = self.read(spark)
+        prior = self.current_snapshot()
+        if df is None or prior is None:
+            return {"ordinal": -1, "noop": True}
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        info = dict(lineage or {})
+        info["compaction_of"] = prior["ordinal"]
+        info["compacted_dirs"] = len(prior["data_dirs"])
+        return self.overwrite(df, lineage=info)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Iceberg ``expire_snapshots`` analog: drop all but the newest
+        ``keep_last`` manifests and DELETE data dirs referenced only by
+        the dropped ones. Time travel to expired ordinals is gone — by
+        choice; every kept snapshot (including CURRENT) still reads.
+        Append-lineage means an old run dir usually also appears in
+        newer snapshots' live sets — such dirs are NOT deleted; real
+        space comes back after a compaction made the old dirs
+        unreferenced by the kept tail. Returns the deleted dirs."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        snaps = self.snapshots()
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live = {d for s in keep for d in s["data_dirs"]}
+        removed: list[str] = []
+        for s in drop:
+            for d in s["data_dirs"]:
+                if d not in live and (self.root / d).exists():
+                    shutil.rmtree(self.root / d)
+                    removed.append(d)
+            (self.manifest_dir / f"snapshot-{s['ordinal']:06d}.json").unlink()
+        return removed
+
     def _commit(self, snap: dict) -> None:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         name = f"snapshot-{snap['ordinal']:06d}.json"

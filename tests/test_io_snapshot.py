@@ -133,3 +133,50 @@ def test_schema_evolution_added_column(spark, tmp_path):
     # per-snapshot schema recorded in the manifest
     assert t.snapshot_at(0)["columns"] == ["url", "v"]
     assert t.snapshot_at(1)["columns"] == ["url", "v", "score"]
+
+
+def test_compaction_collapses_live_set_preserving_rows_and_history(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t7"))
+    t.append(_mkdf(spark, range(5)))
+    t.append(_mkdf(spark, range(5, 8)))
+    t.append(_mkdf(spark, range(8, 12)))
+    before = sorted(r["url"] for r in t.read(spark).collect())
+    assert len(t.current_snapshot()["data_dirs"]) == 3
+
+    snap = t.compact(spark, target_partitions=2)
+    assert len(snap["data_dirs"]) == 1
+    assert snap["lineage"]["compaction_of"] == 2
+    after = sorted(r["url"] for r in t.read(spark).collect())
+    assert after == before
+    # history untouched: pre-compaction ordinals still read their state
+    assert t.read(spark, ordinal=1).count() == 8
+    # resume semantics survive compaction: everything is still committed
+    todo = resume_filter(_mkdf(spark, range(12)), t, spark, "url")
+    assert todo.count() == 0
+
+
+def test_expire_snapshots_reclaims_only_unreferenced_dirs(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t8"))
+    t.append(_mkdf(spark, range(5)))
+    t.append(_mkdf(spark, range(5, 8)))
+    # without compaction, run-000000 is still in the kept live set
+    assert t.expire_snapshots(keep_last=1) == []
+    assert t.read(spark).count() == 8
+
+    t.compact(spark)
+    removed = t.expire_snapshots(keep_last=1)
+    # the two pre-compaction run dirs are now unreferenced -> deleted
+    assert sorted(removed) == ["data/run-000000", "data/run-000001"]
+    assert t.read(spark).count() == 8
+    assert t.snapshot_at(0) is None and t.snapshot_at(1) is None
+    # time travel to the kept (compacted) snapshot still works
+    assert t.read(spark, ordinal=t.current_snapshot()["ordinal"]).count() == 8
+
+
+def test_expire_snapshots_validates_keep_last(spark, tmp_path):
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "t9"))
+    t.append(_mkdf(spark, range(3)))
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
