@@ -1,7 +1,7 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit (59 queries; 53 with exact DuckDB value-hash oracles).
+toolkit (60 queries; 54 with exact DuckDB value-hash oracles).
 Every SQL-expressible ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
@@ -932,6 +932,64 @@ def q_encoding_quality(spark, sf_dir):
     )
 
 
+# Span planted by q_repeated_spans on doc_id % 9 == 0: 20 tokens, so any
+# window-15 slide across it yields >= 6 cross-doc-shared spans.
+SHARED_SPAN = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions beneath the ancient stone bridge"
+)
+SPAN_W = 15
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Span-level exact-substring dedup signal (the Spark-shaped reading
+    of Lee et al.'s 'Deduplicating Training Data Makes Language Models
+    Better', public): every 15-token window (stride 1 — stride sampling
+    would break cross-document alignment and miss repeats) is keyed by
+    sha2 and counted by DISTINCT document; a doc's spans that appear in
+    >= 2 docs are its cross-corpus repeated content. Granularity sits
+    between line_dedup (fixed lines) and MinHash (whole doc): it catches
+    a paragraph quoted inside otherwise-unique pages. Docs with
+    doc_id % 9 == 0 carry a planted 20-token sentence, so each yields
+    >= 6 shared windows. Cost shape: the explode is ~one row per token,
+    but only (doc_id, 32-byte hash) rows ever shuffle — the window TEXT
+    never leaves the map side."""
+    d = _docs(spark, sf_dir)
+    text = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.col("norm"), F.lit(" " + SHARED_SPAN)),
+    ).otherwise(F.col("norm"))
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    spans = F.when(
+        n >= SPAN_W,
+        F.transform(
+            F.sequence(F.lit(1), n - (SPAN_W - 1)),
+            lambda i: F.sha2(F.array_join(F.slice(toks, i, SPAN_W), " "), 256),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(F.array_distinct(spans)).alias("_sk"))
+    freq = g.groupBy("_sk").agg(F.count_distinct(F.col("doc_id")).alias("_docs"))
+    per_doc = (
+        g.join(freq, "_sk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("has_shared"),
+        )
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The FULL web-corpus curation flow as ONE Catalyst plan — the
     deployment shape at 100 TB is one pass over the corpus, not eight
@@ -1527,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "encoding_quality": q_encoding_quality,
         "curation_pipeline": q_curation_pipeline,
+        "repeated_spans": q_repeated_spans,
         "repetition_signals": q_repetition_signals,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
@@ -1798,6 +1857,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_curation": _curation_sql(),
         "curation_pipeline": _curation_full_sql(),
+        "repeated_spans": f"""
+            WITH {_DOCS_CTE},
+            t AS (
+              SELECT doc_id, string_split(
+                CASE WHEN doc_id % 9 = 0
+                     THEN norm || ' {SHARED_SPAN}' ELSE norm END,
+                ' ') AS toks
+              FROM docs
+            ),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= {SPAN_W}
+                  THEN list_transform(generate_series(1, len(toks)-{SPAN_W - 1}),
+                         i -> sha256(array_to_string(
+                           toks[i:i+{SPAN_W - 1}], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END)) AS sk
+              FROM t
+            ),
+            freq AS (SELECT sk, count(DISTINCT doc_id) AS docs
+                     FROM g GROUP BY sk),
+            per_doc AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_shared
+              FROM g JOIN freq f USING (sk) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+                   coalesce(p.n_shared, 0) > 0 AS has_shared
+            FROM docs d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "domain_stats": f"""
             WITH d AS (
               SELECT doc_id,

@@ -349,6 +349,23 @@ def test_curation_pipeline_composes_stage_signals(spark, sf_dir):
     assert sum(1 for r in rows.values() if r["kept"]) > 0
 
 
+def test_repeated_spans_flags_planted_shared_sentence(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_repeated_spans
+
+    out = q_repeated_spans(spark, sf_dir)
+    planted = out.filter(F.col("doc_id") % 9 == 0)
+    # the 20-token planted sentence slides into >= 6 window-15 spans,
+    # all shared across the planted docs
+    assert planted.filter(~F.col("has_shared")).count() == 0
+    assert planted.filter(F.col("n_shared") < 6).count() == 0
+    # Most non-planted docs are clean. Not all: the synthetic corpus
+    # contains exact-duplicate documents (content_hash_dedup's subject),
+    # and an exact dup shares EVERY window with its twin — a true
+    # positive for span-level dedup, not noise (~8% observed).
+    clean = out.filter(F.col("doc_id") % 9 != 0)
+    assert clean.filter(F.col("has_shared")).count() < clean.count() * 0.2
+
+
 def test_token_budget_mix_budget_and_determinism(spark, sf_dir):
     from ocr_parallel_spark.queries_catalog import q_token_budget_mix
 
