@@ -38,6 +38,7 @@ HEADLINE = [
     "extraction_pipeline",
     "extraction_pipeline_heavy",
     "full_process_boundaries",
+    "repeated_spans",
     "ann_lsh_topk_wide",
     "curation_pipeline",
     "minhash_verified_pairs",
