@@ -78,7 +78,9 @@ def _ann_lsh_topk_wide(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries_df, k=10, dim=64, n_planes=4, n_tables=8)
+    return lsh_topk(
+        emb, queries_df, k=10, dim=64, n_planes=4, n_tables=4, n_probes=4
+    )
 
 
 BENCH_ONLY = {"ann_lsh_topk_wide": _ann_lsh_topk_wide}

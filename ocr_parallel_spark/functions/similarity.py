@@ -385,10 +385,11 @@ def lsh_topk(
     n_planes=12, n_tables=12: random-pair candidates ~12/4096 = 0.3% of
     the corpus per query, neighbor recall ~0.87); the sandbox's synthetic
     embeddings are near-RANDOM (5th-neighbor cos ~0.35), so the gated
-    config is narrow (n_planes=4, n_tables=8) and its candidate fraction
-    (~40%) reflects the data's absent structure, not the operator —
-    tests/test_multimodal.py pins the sublinear behavior on planted
-    clustered data.
+    config is narrow (n_planes=4, n_tables=4, n_probes=4 — measured
+    recall 0.76-0.86, meets or beats probe-free n_tables=8 at about half
+    the candidate cost) and its candidate fraction reflects the data's
+    absent structure, not the operator — tests/test_multimodal.py pins
+    the sublinear behavior on planted clustered data.
 
     Plan shape: the L-fold expansion touches only (id, bucket) index
     rows — vector bytes never multiply across tables. Candidates are

@@ -104,7 +104,7 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_topk(emb, queries, k=5)
-    approx = lsh_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
+    approx = lsh_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=4, n_probes=4)
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     # rank-1 self-match always survives (query is in its own bucket)
@@ -114,7 +114,8 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     # though pairs collide in several tables
     assert len(a) == approx.count()
     recall = len(e & a) / len(e)
-    # measured 0.78 on this corpus; deterministic (literal planes)
+    # gated 4x4x4-probe config: measured 0.76 on this corpus (sf0.001);
+    # deterministic (literal planes)
     assert recall >= 0.7, f"LSH recall collapsed: {recall}"
 
 

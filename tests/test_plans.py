@@ -134,7 +134,9 @@ def test_multitable_lsh_plan_shape(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=8)
+    # the GATED config (multi-probe): the probe expansion must ride the
+    # broadcast query side only
+    out = lsh_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=4, n_probes=4)
     p = plan_of(out)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInArrow" not in p  # pure expressions, no kernel needed
