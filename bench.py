@@ -144,6 +144,66 @@ def materialize_pages_input(
     return inp
 
 
+def _total_busy_jiffies() -> int:
+    """Machine-wide non-idle jiffies from /proc/stat (all cores summed)."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals) - idle
+
+
+def _tree_jiffies(root: int) -> int:
+    """CPU jiffies (utime+stime+cutime+cstime) of the process subtree
+    rooted at ``root`` — the bench python driver, its py4j-launched JVM,
+    and the JVM's Python/Arrow workers. cutime/cstime cover reaped
+    children (a worker that died mid-entry keeps its time counted via
+    its parent) without double-counting live ones (a live child is not
+    in its parent's cutime yet)."""
+    children: dict[int, list[int]] = {}
+    jiffies: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                raw = fh.read()
+        except OSError:  # process exited between listdir and open
+            continue
+        # comm (field 2) may contain spaces/parens: split after LAST ')'
+        rest = raw.rsplit(")", 1)[1].split()
+        jiffies[int(d)] = sum(int(rest[i]) for i in (11, 12, 13, 14))
+        children.setdefault(int(rest[1]), []).append(int(d))
+    total, stack = 0, [root]
+    while stack:
+        p = stack.pop()
+        total += jiffies.get(p, 0)
+        stack.extend(children.get(p, ()))
+    return total
+
+
+class ForeignCpuMeter:
+    """Fraction of machine CPU capacity burned by processes OUTSIDE our
+    own tree while an entry ran. The start-of-run loadavg gate cannot
+    see neighbor load that arrives mid-run, and mid-run loadavg is
+    confounded by the decayed history of our own executors — this is
+    the direct measurement: (machine busy - our tree) / capacity."""
+
+    def __init__(self) -> None:
+        self._clk = os.sysconf("SC_CLK_TCK")
+        self._ncpu = os.cpu_count() or 1
+        self._pid = os.getpid()
+
+    def start(self) -> tuple[int, int, float]:
+        return _total_busy_jiffies(), _tree_jiffies(self._pid), time.perf_counter()
+
+    def stop(self, snap: tuple[int, int, float]) -> float:
+        busy0, ours0, t0 = snap
+        wall = max(time.perf_counter() - t0, 1e-6)
+        foreign = _total_busy_jiffies() - busy0 - (_tree_jiffies(self._pid) - ours0)
+        return max(0.0, foreign / (self._ncpu * wall * self._clk))
+
+
 def wait_for_quiet(threshold: float, max_wait: float) -> dict:
     """Optionally delay the run until the box quiets down. This VM has
     documented neighbor-noise spikes (3-7x per-entry swings with zero
@@ -222,7 +282,9 @@ def run_bench(sf_dir: str, cpus: int, names: list[str], passes: int = 2) -> dict
     timings: dict[str, float] = {}
     pass_walls: dict[str, list[float]] = {}
     entry_load: dict[str, float] = {}
+    entry_foreign: dict[str, float] = {}
     extras: dict[str, float] = {}
+    meter = ForeignCpuMeter()
     # warm the JVM and the Python/Arrow worker pool so the first timed
     # query is not paying session + worker-fork startup
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -262,24 +324,35 @@ def run_bench(sf_dir: str, cpus: int, names: list[str], passes: int = 2) -> dict
         # cost. clearCache BEFORE each pass: Spark's cache manager matches
         # identical logical plans, so pass 2 would silently reuse pass 1's
         # persisted extraction output and time a different (cached) job.
-        walls = []
+        walls: list[float] = []
+        foreigns: list[float] = []
+
+        def timed_pass() -> None:
+            spark.catalog.clearCache()
+            snap = meter.start()
+            t0 = time.perf_counter()
+            job()
+            walls.append(round(time.perf_counter() - t0, 3))
+            foreigns.append(round(meter.stop(snap), 3))
+
         for _ in range(passes):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            job()
-            walls.append(round(time.perf_counter() - t0, 3))
-        # Adaptive retry: when the passes disagree badly (>1.5x), one of
-        # them was noise-contaminated — one extra pass recovers a usable
-        # minimum instead of publishing a coin-flip. Bounded at +1 so a
-        # persistently loaded box cannot stall the bench.
-        if max(walls) > 1.5 * min(walls):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            job()
-            walls.append(round(time.perf_counter() - t0, 3))
+            timed_pass()
+        # Adaptive retry — bounded at +1 so a persistently loaded box
+        # cannot stall the bench — on either noise signal: the passes
+        # disagree badly (>1.5x: one was contaminated, an extra pass
+        # recovers a usable minimum instead of publishing a coin-flip),
+        # or the would-be-published minimum pass itself ran while
+        # neighbor processes burned >15% of the machine (the mid-run
+        # re-gate: foreign CPU is measured directly, so unlike loadavg
+        # it cannot be confused by our own executors' decayed history).
+        best = walls.index(min(walls))
+        if max(walls) > 1.5 * min(walls) or foreigns[best] > 0.15:
+            timed_pass()
         spark.catalog.clearCache()
-        timings[name] = min(walls)
+        best = walls.index(min(walls))
+        timings[name] = walls[best]
         pass_walls[name] = walls
+        entry_foreign[name] = foreigns[best]
         # 1-min loadavg sampled as each entry finishes. The start-of-run
         # quiet gate cannot see neighbor load that arrives mid-run
         # (observed: a run whose gate read 0.49 but whose flagship was 3x
@@ -304,6 +377,11 @@ def run_bench(sf_dir: str, cpus: int, names: list[str], passes: int = 2) -> dict
         "n_passes": passes,
         "pass_walls": pass_walls,
         "entry_load": entry_load,
+        # foreign-CPU share of machine capacity during the PUBLISHED
+        # (minimum) pass of each entry: ~0.00-0.03 quiet; a published
+        # number with >0.15 here was measured under neighbor load even
+        # after the bounded retry — discount it when comparing rounds.
+        "entry_foreign_cpu": entry_foreign,
         **extras,
     }
     spark.stop()
