@@ -60,6 +60,8 @@ HEADLINE = [
     "content_hash_dedup",
     "ordered_concat",
     "sessionize",
+    "sketch_stats",
+    "weighted_sample",
     "topk_per_group",
     "salted_rollup",
     "media_meta",

@@ -710,6 +710,92 @@ def q_stratified_sample(spark, sf_dir):
     return d.select("doc_id", "lang", bucket.alias("bucket"), kept.alias("kept"))
 
 
+def q_sketch_stats(spark, sf_dir):
+    """Sketch-based corpus statistics — the 100 TB stats path: per
+    event_type, HyperLogLog++ distinct users (approx_count_distinct,
+    rsd 0.05) and KLL-style approximate percentiles (percentile_approx,
+    accuracy 10000), each gated against the exact answer computed in the
+    SAME aggregation. At scale only the sketches run (one map-side
+    partial-agg pass, mergeable state, no distinct expand); the exact
+    columns exist so the DuckDB oracle can re-derive every number and
+    the ok-booleans go red if a sketch drifts outside its error bound
+    (HLL: 3-sigma = 15% relative; percentiles: approx must land between
+    the exact p±0.01 rank neighbors — a rank-error bound, which is what
+    the sketch actually guarantees)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.expr("approx_count_distinct(user_id, 0.05)").alias("_hll"),
+        F.expr(
+            "percentile(value, array(0.49, 0.50, 0.51, 0.89, 0.90, 0.91))"
+        ).alias("_ex"),
+        F.expr("percentile_approx(value, array(0.5, 0.9), 10000)").alias("_ap"),
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        F.round(F.col("_ex")[1], 4).alias("p50_exact"),
+        F.round(F.col("_ex")[4], 4).alias("p90_exact"),
+        (
+            F.abs(F.col("_hll") - F.col("n_users_exact"))
+            <= 0.15 * F.col("n_users_exact")
+        ).alias("hll_ok"),
+        F.col("_ap")[0].between(F.col("_ex")[0], F.col("_ex")[2]).alias("p50_ok"),
+        F.col("_ap")[1].between(F.col("_ex")[3], F.col("_ex")[5]).alias("p90_ok"),
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted reservoir sampling per stratum (Efraimidis-Spirakis,
+    public): keep the top-20 docs per language where each doc's key is
+    ln(u)/w — u a deterministic uniform from sha2('ws42|lang:doc_id'),
+    w = n_chars — so a doc's keep-probability is proportional to its
+    length, and the sample is reproducible from the seed alone (re-runs,
+    retries, and the DuckDB oracle agree). Equivalent to ranking by
+    u^(1/w) (exp is monotonic) without the pow. One scan + one keyed
+    window shuffle; WindowGroupLimit cuts non-top rows map-side, so at
+    100 TB the shuffle carries ~k rows per stratum per map task, not
+    the corpus. The u+1 offset keeps ln() finite at u=0; n_chars >= 1
+    in this corpus (min 48) so the weight never divides by zero."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit("ws42|"),
+                        F.col("lang"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "lang", "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("_key")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+    )
+
+
 def _pii_tainted_text() -> F.Column:
     """norm + the deterministic planted email/phone/IPv4 (+ a second
     email on doc_id % 7 == 0) — shared by q_pii_scrub and the curation
@@ -1592,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "repetition_signals": q_repetition_signals,
         "stratified_sample": q_stratified_sample,
+        "sketch_stats": q_sketch_stats,
+        "weighted_sample": q_weighted_sample,
         "pii_scrub": q_pii_scrub,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
@@ -2062,6 +2150,30 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
                    END AS kept
             FROM documents
+        """,
+        "sketch_stats": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+                   ROUND(quantile_cont(value, 0.50), 4) AS p50_exact,
+                   ROUND(quantile_cont(value, 0.90), 4) AS p90_exact,
+                   TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p90_ok
+            FROM events GROUP BY event_type
+        """,
+        "weighted_sample": """
+            WITH s AS (
+              SELECT lang, doc_id, n_chars,
+                     ln((('0x' || substr(sha256('ws42|' || lang || ':'
+                         || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+                        / 4294967296.0) / n_chars AS key
+              FROM documents
+            )
+            SELECT lang, doc_id, n_chars, sample_rank FROM (
+              SELECT lang, doc_id, n_chars,
+                     CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY key DESC, doc_id) AS BIGINT) AS sample_rank
+              FROM s
+            ) WHERE sample_rank <= 20
         """,
         "pii_scrub": f"""
             WITH {_DOCS_CTE},

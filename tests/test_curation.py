@@ -386,3 +386,48 @@ def test_token_budget_mix_budget_and_determinism(spark, sf_dir):
         r["doc_id"] for r in q_token_budget_mix(spark, sf_dir).filter("taken").collect()
     )
     assert a == b
+
+
+def test_sketch_stats_bounds(spark, sf_dir):
+    """Every sketch must sit inside its published error bound on this
+    corpus (deterministic: HLL++ and percentile_approx are seed-free
+    deterministic aggregates in Spark)."""
+    from ocr_parallel_spark.queries_catalog import q_sketch_stats
+
+    rows = q_sketch_stats(spark, sf_dir).collect()
+    assert rows, "no event_type groups"
+    for r in rows:
+        assert r.hll_ok and r.p50_ok and r.p90_ok, r
+        assert r.n_events >= r.n_users_exact >= 1
+        assert r.p50_exact <= r.p90_exact
+
+
+def test_weighted_sample_biases_toward_weight(spark, sf_dir):
+    """Efraimidis-Spirakis with w = n_chars: the kept sample's mean
+    length must exceed the stratum's corpus mean (the whole point of
+    weighting), exactly 20 kept per stratum, ranks dense 1..20, and the
+    sample is reproducible."""
+    from ocr_parallel_spark.queries_catalog import q_weighted_sample
+
+    out = q_weighted_sample(spark, sf_dir)
+    per = out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("sample_rank").alias("mx"),
+        F.min("sample_rank").alias("mn"),
+        F.avg("n_chars").alias("mean_kept"),
+    )
+    for r in per.collect():
+        assert r.k == 20 and r.mn == 1 and r.mx == 20, r
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.avg("n_chars").alias("mean_all"))
+    )
+    joined = per.join(corpus, "lang").collect()
+    assert joined
+    # every stratum's kept mean exceeds its corpus mean on this corpus
+    assert all(r.mean_kept > r.mean_all for r in joined), joined
+    # deterministic re-run
+    a = sorted((r.lang, r.doc_id) for r in out.collect())
+    b = sorted((r.lang, r.doc_id) for r in q_weighted_sample(spark, sf_dir).collect())
+    assert a == b
