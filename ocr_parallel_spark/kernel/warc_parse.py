@@ -1,0 +1,136 @@
+"""Pure-Python WARC record parsing (ISO 28500, public spec) — the
+driver-free kernel behind ``sources/warc.py``.
+
+Web-crawl corpora (Common Crawl and everything shaped like it) ship as
+WARC: a concatenation of records, each a ``WARC/1.0`` version line,
+CRLF-terminated named headers, a blank line, then exactly
+``Content-Length`` bytes of block. Parsing is LENGTH-DRIVEN, never
+delimiter scanning: a payload that itself contains the string
+``WARC/1.0`` (a crawled page about WARC, a mirrored crawl) must not
+split a record, so the only legal way to find the next record is to
+jump ``Content-Length`` bytes. Records are separated by two CRLFs,
+which the spec counts OUTSIDE the block.
+
+Compression: CC ships ``.warc.gz`` with one gzip MEMBER PER RECORD,
+concatenated. A single whole-file ``zlib`` pass stops at the first
+member boundary, so :func:`maybe_gunzip` loops a fresh
+``decompressobj`` over ``unused_data`` until the stream is exhausted —
+this also transparently handles the single-member whole-file case.
+
+No Spark imports: unit-testable without a session, identical behavior
+driver-side and inside an Arrow batch.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+GZIP_MAGIC = b"\x1f\x8b"
+_CRLF = b"\r\n"
+_BLANK = b"\r\n\r\n"
+
+
+def maybe_gunzip(data: bytes) -> bytes:
+    """Decompress every concatenated gzip member; pass plain bytes
+    through untouched."""
+    if not data.startswith(GZIP_MAGIC):
+        return data
+    out = []
+    rest = data
+    while rest.startswith(GZIP_MAGIC):
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        out.append(d.decompress(rest))
+        out.append(d.flush())
+        rest = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Split a (decompressed) WARC file into records.
+
+    Returns one dict per record: ``warc_type``, ``target_uri``,
+    ``record_id``, ``content_type`` (the WARC block's type, e.g.
+    ``application/http; msgtype=response``), and ``block`` (the raw
+    ``Content-Length`` bytes). Raises ``ValueError`` on a malformed
+    version line or a missing/short block — a truncated crawl file
+    should surface as an error row upstream, not as silent loss.
+    """
+    records: list[dict] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        while data.startswith(_CRLF, pos):  # inter-record separators
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError(f"warc: unterminated version line at byte {pos}")
+        version = data[pos:eol]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(f"warc: expected WARC/ version line at byte {pos}, got {version[:20]!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = data.find(_CRLF, pos)
+            if eol < 0:
+                raise ValueError("warc: unterminated header block")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            key, _, val = line.partition(b":")
+            headers[key.strip().decode("ascii", "replace").lower()] = val.strip().decode(
+                "utf-8", "replace"
+            )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError(f"warc: bad Content-Length in record at byte {pos}") from exc
+        block = data[pos : pos + length]
+        if len(block) != length:
+            raise ValueError(
+                f"warc: truncated block (want {length} bytes, file ends {length - len(block)} short)"
+            )
+        pos += length
+        records.append(
+            {
+                "warc_type": headers.get("warc-type", ""),
+                "target_uri": headers.get("warc-target-uri", ""),
+                "record_id": headers.get("warc-record-id", ""),
+                "content_type": headers.get("content-type", ""),
+                "block": block,
+            }
+        )
+    return records
+
+
+def split_http_response(block: bytes) -> tuple[str, bytes]:
+    """Split an ``application/http`` response block into (status line,
+    body bytes). The body is everything after the first blank line —
+    again length-implied, never scanned for markers."""
+    head, sep, body = block.partition(_BLANK)
+    if not sep:
+        return head.split(_CRLF, 1)[0].decode("ascii", "replace"), b""
+    return head.split(_CRLF, 1)[0].decode("ascii", "replace"), body
+
+
+def build_record(
+    warc_type: str,
+    target_uri: str,
+    block: bytes,
+    record_id: str,
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    """Serialize one WARC record (the writer twin of :func:`parse_warc`,
+    used by tests and fixture synthesis). Header order is fixed so the
+    bytes are deterministic."""
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: {record_id}\r\n"
+        f"WARC-Target-URI: {target_uri}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(block)}\r\n"
+        f"\r\n"
+    ).encode("ascii")
+    return head + block + _BLANK

@@ -796,6 +796,50 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_warc_extract(spark, sf_dir):
+    """WARC source round-trip (S-family: the container webtext actually
+    ships in): deterministic CC-shaped archives are synthesized from
+    the documents table (3 plain + 1 per-record-gzip-member, warcinfo
+    heads, sources/warc.py), read back through the one-file-per-task
+    binaryFile + mapInPandas record splitter, HTTP framing stripped
+    length-wise, and each response payload pinned byte-exactly: the
+    DuckDB oracle re-derives url, sha256(body) and the UTF-8 byte
+    length straight from documents, so one flipped byte anywhere in
+    write -> gzip -> split -> HTTP-strip turns the gate red. warcinfo
+    records must be typed (and are filtered here); a doc_id parsed from
+    the crawl URI keys the join back."""
+    from ocr_parallel_spark.kernel.warc_parse import split_http_response
+    from ocr_parallel_spark.sources.warc import read_warc, synthesize_warc_fixture
+
+    fixture = synthesize_warc_fixture(spark, sf_dir)
+    recs = read_warc(spark, fixture)
+
+    import pandas as pd  # noqa: F401 — mapInPandas below
+
+    def strip_http(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            bodies = [split_http_response(bytes(b))[1] for b in pdf["block"]]
+            yield pd.DataFrame(
+                {"target_uri": pdf["target_uri"], "body": bodies}
+            )
+
+    return (
+        recs.filter(F.col("warc_type") == "response")
+        .select("target_uri", "block")
+        .mapInPandas(strip_http, "target_uri string, body binary")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.sha2(F.col("body"), 256).alias("payload_sha"),
+            F.length("body").cast("long").alias("n_bytes"),
+        )
+    )
+
+
 def _pii_tainted_text() -> F.Column:
     """norm + the deterministic planted email/phone/IPv4 (+ a second
     email on doc_id % 7 == 0) — shared by q_pii_scrub and the curation
@@ -1680,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sketch_stats": q_sketch_stats,
         "weighted_sample": q_weighted_sample,
+        "warc_extract": q_warc_extract,
         "pii_scrub": q_pii_scrub,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
@@ -2174,6 +2219,13 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY key DESC, doc_id) AS BIGINT) AS sample_rank
               FROM s
             ) WHERE sample_rank <= 20
+        """,
+        "warc_extract": """
+            SELECT doc_id,
+                   'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   sha256(text) AS payload_sha,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "pii_scrub": f"""
             WITH {_DOCS_CTE},

@@ -1,0 +1,144 @@
+"""WARC source — reads web-crawl archive files into a records table.
+
+Extends the S-family sources (SURVEY §2.1) with the container the
+webtext world actually ships: Common-Crawl-style ``.warc`` /
+``.warc.gz`` files. The execution model mirrors production CC-on-Spark
+pipelines: **one archive file per task**. ``binaryFile`` loads each
+file as a single row (it never splits a file), so a 100 TB crawl of
+~1 GB archives parallelizes across ~100k tasks with per-task memory
+bounded by one archive — the standard CC processing shape. Record
+splitting runs inside one ``mapInPandas`` kernel
+(`kernel/warc_parse.py`, length-driven per the WARC spec), so archive
+bytes never cross an exchange: the scan task that read the file emits
+already-parsed records.
+
+A stricter-than-needed ``pathGlobFilter`` plus the recursive lookup
+keeps directory junk (_SUCCESS markers, checksums) out of the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_RECORDS_SCHEMA = (
+    "path string, record_idx long, warc_type string, target_uri string, "
+    "content_type string, block binary"
+)
+
+
+def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """Read WARC archives under ``path`` into one row per record.
+
+    Columns: ``path`` (source archive), ``record_idx`` (0-based within
+    its archive — with the archive path this is a stable record key),
+    ``warc_type`` / ``target_uri`` / ``content_type`` (WARC headers),
+    ``block`` (the raw Content-Length bytes; for ``response`` records
+    split HTTP framing off with
+    ``kernel.warc_parse.split_http_response``).
+    """
+    import pandas as pd
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from ocr_parallel_spark.kernel.warc_parse import maybe_gunzip, parse_warc
+
+        cols = [
+            "path",
+            "record_idx",
+            "warc_type",
+            "target_uri",
+            "content_type",
+            "block",
+        ]
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for i, rec in enumerate(parse_warc(maybe_gunzip(bytes(content)))):
+                    rows.append(
+                        (
+                            path_,
+                            i,
+                            rec["warc_type"],
+                            rec["target_uri"],
+                            rec["content_type"],
+                            rec["block"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(gen, WARC_RECORDS_SCHEMA)
+
+
+def synthesize_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic WARC archives synthesized from the documents table
+    (gate/test plumbing — no external data). Four archives, docs
+    striped by ``doc_id % 4``; archive 0 is per-record-member gzipped
+    (the CC wire format) so the gated read path exercises the
+    multi-member decompression loop. Each archive opens with a
+    ``warcinfo`` record the reader must type (and consumers filter).
+    Idempotent: keyed on the kernel source + sf_dir, marker-completed
+    so a partial dir from an interrupted build never passes for a
+    fixture."""
+    import gzip
+    import hashlib
+    import os
+
+    import ocr_parallel_spark.kernel.warc_parse as _kmod
+    from ocr_parallel_spark.kernel.warc_parse import build_record
+
+    with open(_kmod.__file__, "rb") as fh:
+        key = hashlib.md5(fh.read() + sf_dir.encode() + b"v1").hexdigest()[:10]
+    out_dir = f"/tmp/warc_fixture_{key}"
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    shards: list[list[bytes]] = [[], [], [], []]
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        body = r.text.encode("utf-8")
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n\r\n"
+            + body
+        )
+        shards[r.doc_id % 4].append(
+            build_record(
+                "response",
+                f"http://example.com/doc/{r.doc_id}",
+                block,
+                f"<urn:uuid:doc-{r.doc_id}>",
+            )
+        )
+    for i, recs in enumerate(shards):
+        info = build_record(
+            "warcinfo",
+            "",
+            b"software: ocr-parallel-spark fixture\r\n",
+            f"<urn:uuid:info-{i}>",
+            content_type="application/warc-fields",
+        )
+        if i == 0:  # CC wire format: one gzip member per record
+            payload = b"".join(
+                gzip.compress(rec, mtime=0) for rec in [info, *recs]
+            )
+            path = os.path.join(out_dir, f"shard-{i}.warc.gz")
+        else:
+            payload = b"".join([info, *recs])
+            path = os.path.join(out_dir, f"shard-{i}.warc")
+        with open(path, "wb") as fh:
+            fh.write(payload)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir

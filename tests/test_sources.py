@@ -48,3 +48,94 @@ def test_read_embeddings_types(spark, sf_dir):
     df = read_embeddings(spark, f"{sf_dir}/embeddings.parquet")
     assert df.schema["embedding"].dataType.simpleString() == "array<float>"
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------- WARC
+
+
+def test_warc_parse_length_driven_not_delimiter_scanned():
+    """A payload that CONTAINS 'WARC/1.0' (a crawled page about WARC)
+    must not split the record — parsing is Content-Length-driven."""
+    from ocr_parallel_spark.kernel.warc_parse import build_record, parse_warc
+
+    evil = b"look: WARC/1.0\r\nWARC-Type: fake\r\n\r\n inside a body"
+    data = build_record("response", "http://e/1", evil, "<urn:1>") + build_record(
+        "response", "http://e/2", b"second", "<urn:2>"
+    )
+    recs = parse_warc(data)
+    assert [r["target_uri"] for r in recs] == ["http://e/1", "http://e/2"]
+    assert recs[0]["block"] == evil
+    assert recs[1]["block"] == b"second"
+
+
+def test_warc_gunzip_multi_member():
+    """CC wire format: one gzip member per record, concatenated — a
+    single-pass decompress would stop at the first member."""
+    import gzip
+
+    from ocr_parallel_spark.kernel.warc_parse import (
+        build_record,
+        maybe_gunzip,
+        parse_warc,
+    )
+
+    a = build_record("response", "http://e/1", b"alpha", "<urn:1>")
+    b = build_record("response", "http://e/2", b"beta", "<urn:2>")
+    wire = gzip.compress(a, mtime=0) + gzip.compress(b, mtime=0)
+    assert maybe_gunzip(wire) == a + b
+    assert len(parse_warc(maybe_gunzip(wire))) == 2
+    # plain bytes pass through untouched
+    assert maybe_gunzip(a) == a
+
+
+def test_warc_parse_rejects_truncation():
+    import pytest
+
+    from ocr_parallel_spark.kernel.warc_parse import build_record, parse_warc
+
+    rec = build_record("response", "http://e/1", b"0123456789", "<urn:1>")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(rec[:-8])  # cut inside the block
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_warc_http_split_and_reader(spark, sf_dir):
+    """End-to-end through the Spark reader: warcinfo records are typed,
+    response bodies survive byte-exactly (incl. through the gzip
+    shard), HTTP status framing splits off."""
+    from ocr_parallel_spark.kernel.warc_parse import split_http_response
+    from ocr_parallel_spark.sources.warc import read_warc, synthesize_warc_fixture
+
+    fixture = synthesize_warc_fixture(spark, sf_dir)
+    recs = read_warc(spark, fixture).cache()
+    try:
+        by_type = {
+            r["warc_type"]: r["n"]
+            for r in recs.groupBy("warc_type").count().withColumnRenamed("count", "n").collect()
+        }
+        assert by_type["warcinfo"] == 4
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert by_type["response"] == n_docs
+        # gz shard contributes (all four paths present)
+        paths = {r.path.rsplit("/", 1)[-1] for r in recs.select("path").distinct().collect()}
+        assert paths == {"shard-0.warc.gz", "shard-1.warc", "shard-2.warc", "shard-3.warc"}
+        one = recs.filter("target_uri = 'http://example.com/doc/7'").collect()[0]
+        status, body = split_http_response(bytes(one.block))
+        assert status == "HTTP/1.1 200 OK"
+        expected = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id = 7")
+            .collect()[0]
+            .text
+        )
+        assert body == expected.encode("utf-8")
+    finally:
+        recs.unpersist()
+
+
+def test_warc_split_http_no_blank_line():
+    from ocr_parallel_spark.kernel.warc_parse import split_http_response
+
+    status, body = split_http_response(b"HTTP/1.1 204 No Content\r\nX: y\r\n")
+    assert status == "HTTP/1.1 204 No Content" and body == b""
