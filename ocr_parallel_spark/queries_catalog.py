@@ -840,6 +840,40 @@ def q_warc_extract(spark, sf_dir):
     )
 
 
+def q_dup_components(spark, sf_dir):
+    """General connected components (operators/graph.py) — the cluster
+    consolidation step after MinHash/SimHash candidate pairs at scale,
+    where plain one-hop label propagation needs diameter rounds. The
+    gate plants a graph whose components are analytically known: chain
+    edges doc_id -> doc_id+1 within groups of 8 (diameter 7 — strictly
+    beyond plain propagation at the operator's default budget were it
+    not for pointer doubling, which converges in ~3 rounds) plus a
+    redundant long-range edge per full group (7 -> 5 mod 8) to exercise
+    multi-edge/cycle handling. Every doc is passed as a node, so
+    boundary docs isolated by the max-id truncation keep themselves.
+    Oracle: component = doc_id - doc_id % 8 (ids are contiguous from
+    0). Convergence is by fixpoint probe, not round budget, so the gate
+    goes red if doubling breaks."""
+    from ocr_parallel_spark.operators.graph import connected_components
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("_mx"))
+    chain = (
+        d.crossJoin(F.broadcast(mx))
+        .filter((F.col("doc_id") % 8 != 7) & (F.col("doc_id") + 1 <= F.col("_mx")))
+        .select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+        )
+    )
+    skip = d.filter(F.col("doc_id") % 8 == 7).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 2).alias("dst")
+    )
+    cc = connected_components(
+        chain.union(skip), nodes=d.select(F.col("doc_id").alias("node"))
+    )
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
 def _pii_tainted_text() -> F.Column:
     """norm + the deterministic planted email/phone/IPv4 (+ a second
     email on doc_id % 7 == 0) — shared by q_pii_scrub and the curation
@@ -1725,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_stats": q_sketch_stats,
         "weighted_sample": q_weighted_sample,
         "warc_extract": q_warc_extract,
+        "dup_components": q_dup_components,
         "pii_scrub": q_pii_scrub,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
@@ -2219,6 +2254,10 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY key DESC, doc_id) AS BIGINT) AS sample_rank
               FROM s
             ) WHERE sample_rank <= 20
+        """,
+        "dup_components": """
+            SELECT doc_id, doc_id - doc_id % 8 AS component
+            FROM documents
         """,
         "warc_extract": """
             SELECT doc_id,

@@ -231,3 +231,46 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+# ------------------------------------------------- connected components
+
+
+def test_connected_components_doubles_past_plain_propagation(spark):
+    """A 200-node chain has diameter 199: plain one-hop label
+    propagation needs 199 rounds, pointer doubling needs ~8 (window
+    grows as 2^(t+1)-2). max_rounds=9 therefore passes ONLY if the
+    doubling step works."""
+    from ocr_parallel_spark.operators.graph import connected_components
+
+    edges = spark.range(199).selectExpr("id AS src", "id + 1 AS dst")
+    out = connected_components(edges, max_rounds=9)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r.component == 0 for r in rows)
+
+
+def test_connected_components_multi_component_and_isolated(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.operators.graph import connected_components
+
+    # components {0,1,2}, {10,11} (duplicate + reversed edges), isolated 99
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 1), (10, 11), (11, 10), (10, 11)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(0,), (1,), (2,), (10,), (11,), (99,)], "node long")
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 99: 99}
+
+
+def test_dup_components_planted_graph(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_dup_components
+
+    rows = q_dup_components(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert all(r.component == r.doc_id - r.doc_id % 8 for r in rows)
