@@ -125,6 +125,34 @@ def main() -> None:
     )
     sections.append(
         (
+            "WARC source (CC container read)",
+            "One archive file per task (binaryFile never splits a file — "
+            "the production CC shape); record splitting is ONE mapInPandas "
+            "on the scan tasks, so archive bytes never cross an exchange.",
+            plan_of(q["warc_extract"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
+            "Sketch statistics (HLL++ / approx percentiles)",
+            "One partial-agg pass: HashAggregate(partial) on the scan side "
+            "carries the mergeable sketch state, one exchange on the group "
+            "key, final merge — the exact columns ride the same pass as "
+            "the gate.",
+            plan_of(q["sketch_stats"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
+            "Weighted reservoir sample (Efraimidis-Spirakis)",
+            "Deterministic sha2-uniform key built in codegen; one keyed "
+            "window shuffle with WindowGroupLimit cutting non-top rows "
+            "map-side before the exchange.",
+            plan_of(q["weighted_sample"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
             "Scan pushdown / pruning",
             "Filter + projection reach the parquet reader (PushedFilters, "
             "2-column ReadSchema).",
