@@ -48,6 +48,7 @@ HEADLINE = [
     "simhash_near_dups",
     "decontaminate",
     "corpus_curation",
+    "dup_components",
     "line_dedup",
     "theta_join_localization",
     "pii_scrub",
@@ -65,6 +66,9 @@ HEADLINE = [
     "topk_per_group",
     "salted_rollup",
     "media_meta",
+    # warc_extract synthesizes its archive fixture on first pass; the
+    # published min therefore times the READ path only.
+    "warc_extract",
 ]
 
 
