@@ -808,27 +808,15 @@ def q_warc_extract(spark, sf_dir):
     write -> gzip -> split -> HTTP-strip turns the gate red. warcinfo
     records must be typed (and are filtered here); a doc_id parsed from
     the crawl URI keys the join back."""
-    from ocr_parallel_spark.kernel.warc_parse import split_http_response
-    from ocr_parallel_spark.sources.warc import read_warc, synthesize_warc_fixture
+    from ocr_parallel_spark.sources.warc import (
+        read_warc,
+        response_bodies,
+        synthesize_warc_fixture,
+    )
 
     fixture = synthesize_warc_fixture(spark, sf_dir)
-    recs = read_warc(spark, fixture)
-
-    import pandas as pd  # noqa: F401 — mapInPandas below
-
-    def strip_http(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            bodies = [split_http_response(bytes(b))[1] for b in pdf["block"]]
-            yield pd.DataFrame(
-                {"target_uri": pdf["target_uri"], "body": bodies}
-            )
-
     return (
-        recs.filter(F.col("warc_type") == "response")
-        .select("target_uri", "block")
-        .mapInPandas(strip_http, "target_uri string, body binary")
+        response_bodies(read_warc(spark, fixture))
         .select(
             F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
             .cast("long")
@@ -1134,8 +1122,18 @@ def q_repeated_spans(spark, sf_dir):
             lambda i: F.sha2(F.array_join(F.slice(toks, i, SPAN_W), " "), 256),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", F.explode(F.array_distinct(spans)).alias("_sk"))
-    freq = g.groupBy("_sk").agg(F.count_distinct(F.col("doc_id")).alias("_docs"))
+    # g feeds BOTH the frequency agg and the join-back, and the two
+    # branches shuffle with different shapes (partial-agg vs plain), so
+    # without a boundary the tokenize+sha2 map work runs twice.
+    # localCheckpoint materializes the cheap (doc_id, 32-byte hash) rows
+    # once; both shuffles read them back.
+    g = d.select(
+        "doc_id", F.explode(F.array_distinct(spans)).alias("_sk")
+    ).localCheckpoint(eager=False)
+    # (doc_id, _sk) pairs are unique by construction (array_distinct per
+    # doc), so plain count == count_distinct without the distinct-agg
+    # expand.
+    freq = g.groupBy("_sk").agg(F.count(F.lit(1)).alias("_docs"))
     per_doc = (
         g.join(freq, "_sk")
         .groupBy("doc_id")

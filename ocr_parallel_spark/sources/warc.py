@@ -142,3 +142,46 @@ def synthesize_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return out_dir
+
+
+def response_bodies(recs: DataFrame) -> DataFrame:
+    """``response`` records -> (target_uri, body): HTTP framing stripped
+    length-wise in one mapInPandas that pipelines with the record
+    splitter (same stage, no exchange — PLANS.md 'WARC source'). Shared
+    by the warc_extract gate and the curation job so their byte
+    semantics cannot drift."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    def strip_http(batches):
+        import pandas as pd
+
+        from ocr_parallel_spark.kernel.warc_parse import split_http_response
+
+        for pdf in batches:
+            bodies = [split_http_response(bytes(b))[1] for b in pdf["block"]]
+            yield pd.DataFrame({"target_uri": pdf["target_uri"], "body": bodies})
+
+    return (
+        recs.filter(F.col("warc_type") == "response")
+        .select("target_uri", "block")
+        .mapInPandas(strip_http, "target_uri string, body binary")
+    )
+
+
+def warc_docs(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archives -> the curation job's docs shape
+    ``(doc_id, url, text, source)``. ``doc_id = xxhash64(url)`` so
+    resume keys are stable across runs and re-crawls of the same url
+    dedup onto one key; a 64-bit hash is collision-safe to ~billions of
+    urls — a corpus beyond that should key on (archive, offset)
+    instead. Bodies decode as UTF-8."""
+    from pyspark.sql import functions as F
+
+    return response_bodies(read_warc(spark, path)).select(
+        F.xxhash64("target_uri").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.lit("warc").alias("source"),
+    )

@@ -11,6 +11,7 @@ column) -> per-doc verdict rows snapshot-committed, resumable on doc_id
 
     spark-submit --py-files ocr_parallel_spark.zip scripts/job_curate.py \
         --input /data/docs --output /data/verdicts \
+        [--input-format warc]  # raw .warc/.warc.gz archives instead of parquet
         [--blocklist hosts.txt] [--bench /data/eval_docs]
 """
 
@@ -143,6 +144,14 @@ def build_output(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--input-format",
+        choices=("parquet", "warc"),
+        default="parquet",
+        help="parquet: a docs table (doc_id, url, text, ...); warc: a "
+        "directory of .warc/.warc.gz archives read via sources/warc.py "
+        "(doc_id = xxhash64(url) for stable resume keys)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--blocklist", help="text file, one host per line")
     ap.add_argument("--bench", help="parquet of eval docs (text column)")
@@ -155,7 +164,12 @@ def main() -> None:
 
     from ocr_parallel_spark.io.snapshot import SnapshotTable, run_resumable
 
-    docs = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from ocr_parallel_spark.sources.warc import warc_docs
+
+        docs = warc_docs(spark, args.input)
+    else:
+        docs = spark.read.parquet(args.input)
     blocked = None
     if args.blocklist:
         with open(args.blocklist, encoding="utf-8") as fh:

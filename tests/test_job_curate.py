@@ -124,3 +124,34 @@ def test_curate_job_real_newline_docs_use_line_granularity(spark):
     got = {r["doc_id"]: r for r in out.collect()}
     for i in range(6):
         assert got[i]["n_kept_lines"] == 1
+
+
+def test_warc_input_feeds_curation(spark, sf_dir, tmp_path):
+    """--input-format warc: the WARC fixture round-trips into the docs
+    shape (text byte-identical to the documents table, stable hashed
+    doc_id) and the full curation composition runs over it."""
+    from ocr_parallel_spark.sources.warc import synthesize_warc_fixture, warc_docs
+
+    fixture = synthesize_warc_fixture(spark, sf_dir)
+    docs = warc_docs(spark, fixture)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert docs.count() == n_docs
+    # texts byte-identical to the source table (join back via the url id)
+    orig = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.col("text").alias("orig_text"),
+    )
+    mismatches = (
+        docs.join(orig, "url").filter(F.col("text") != F.col("orig_text")).count()
+    )
+    assert mismatches == 0
+    # doc_id is the stable url hash — re-reading yields identical keys
+    a = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    b = sorted(r.doc_id for r in warc_docs(spark, fixture).select("doc_id").collect())
+    assert a == b and len(set(a)) == n_docs
+    # the job's composition accepts the shape end-to-end
+    out = job.build_output(spark, docs, None, None)
+    assert out.count() == n_docs
+    assert out.filter(F.col("kept")).count() > 0
