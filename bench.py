@@ -48,6 +48,8 @@ HEADLINE = [
     "simhash_near_dups",
     "decontaminate",
     "corpus_curation",
+    "dsir_weights",
+    "bm25_search",
     "dup_components",
     "line_dedup",
     "theta_join_localization",

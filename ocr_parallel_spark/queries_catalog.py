@@ -862,6 +862,180 @@ def q_dup_components(spark, sf_dir):
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style data-selection importance weights (Xie et al.,
+    'Data Selection for Language Models via Importance Resampling',
+    public): hashed word-bigram features; per-bucket log-likelihood
+    ratio of the TARGET distribution (here: the corpus's own 'en'
+    slice stands in for the target domain) vs the RAW distribution,
+    add-one smoothed; a doc's importance is the sum of its bigram
+    occurrences' ratios. Scale shape: the ratio table is 256 rows —
+    a broadcast literal in all but name — so the per-doc pass is one
+    explode + broadcast join + keyed sum; the (doc_id, bucket) rows
+    are localCheckpointed because three consumers (raw counts, target
+    counts, the per-doc sum) would otherwise re-run the tokenize+sha2
+    map work. Ratios are quantized to integer micro-units BEFORE the
+    per-doc sum, so the sum is order-independent and the DuckDB oracle
+    matches bit-for-bit."""
+    from ocr_parallel_spark.functions.curation import word_ngrams
+
+    B = 256
+    d = _docs(spark, sf_dir)
+    grams = word_ngrams(F.split(F.col("norm"), " "), 2)
+    g = (
+        d.select("doc_id", "lang", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.sha2(F.col("gram"), 256), 1, 4), 16, 10)
+                .cast("long")
+                % B
+            ).alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    raw = g.groupBy("bucket").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        g.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    totals = g.groupBy().agg(
+        F.count(F.lit(1)).alias("big_r"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("big_t"),
+    )
+    lam = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("t"), F.lit(0)) + 1)
+                        / (F.col("big_t") + float(B))
+                    )
+                    - F.log((F.col("r") + 1) / (F.col("big_r") + float(B)))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("lam_mi"),
+        )
+    )
+    per_doc = (
+        g.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam_mi").alias("importance_micro"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("importance_micro"), F.lit(0))
+            .cast("long")
+            .alias("importance_micro"),
+        )
+    )
+
+
+BM25_QUERIES = [
+    ("q1", "hash"), ("q1", "join"), ("q1", "merge"),
+    ("q2", "window"), ("q2", "stream"), ("q2", "batch"),
+    ("q3", "scan"), ("q3", "filter"), ("q3", "column"),
+]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 relevance search over the corpus (Robertson et al., public;
+    the Lucene-shaped idf with the +1 floor): a literal query-term table
+    broadcasts against the corpus, tf comes from one HOF filter over
+    the once-materialized token array, df and the length norm come from
+    corpus aggregates. The length norm uses dl*N/sum_dl — exact-integer
+    operands into one double division — instead of a pre-averaged
+    avgdl, and scores are quantized to micro-units before the top-10
+    window, so ranking ties break identically in Spark and DuckDB.
+    Scale shape: terms-side broadcast (a query workload is ~KB), one
+    keyed shuffle for the (query, doc) sum, WindowGroupLimit for the
+    top-k."""
+    K1, BB = 1.2, 0.75
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("norm"), " ").alias("toks")
+    )
+    d = d.select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = d.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    terms = spark.createDataFrame(BM25_QUERIES, "query_id string, term string")
+    hit = (
+        d.crossJoin(F.broadcast(terms))
+        .select(
+            "doc_id",
+            "dl",
+            "query_id",
+            "term",
+            F.size(
+                F.filter(F.col("toks"), lambda x: x == F.col("term"))
+            ).alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    df_t = hit.groupBy("query_id", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        hit.join(F.broadcast(df_t), ["query_id", "term"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (K1 + 1))
+                / (
+                    F.col("tf")
+                    + K1
+                    * (
+                        1.0
+                        - BB
+                        + BB * (F.col("dl") * F.col("n_docs")) / F.col("sum_dl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+        # quantize PER TERM, then sum integers: a 3-double sum would
+        # depend on addition order, which differs across engines
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("contrib") * 1e6, 0).cast("long").alias("contrib_mi"),
+        )
+    )
+    per = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_mi").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "doc_id", "score_micro", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 def _pii_tainted_text() -> F.Column:
     """norm + the deterministic planted email/phone/IPv4 (+ a second
     email on doc_id % 7 == 0) — shared by q_pii_scrub and the curation
@@ -1758,6 +1932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "warc_extract": q_warc_extract,
         "dup_components": q_dup_components,
+        "dsir_weights": q_dsir_weights,
+        "bm25_search": q_bm25_search,
         "pii_scrub": q_pii_scrub,
         "media_meta": q_media_meta,
         "video_frames": q_video_frames,
@@ -2256,6 +2432,81 @@ def oracle_sql() -> dict[str, str]:
         "dup_components": """
             SELECT doc_id, doc_id - doc_id % 8 AS component
             FROM documents
+        """,
+        "dsir_weights": f"""
+            WITH {_DOCS_CTE},
+            t AS (SELECT doc_id, lang, string_split(norm, ' ') AS toks FROM docs),
+            g AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(sha256(gram), 1, 4))::UBIGINT % 256
+                       AS BIGINT) AS bucket
+              FROM (
+                SELECT doc_id, lang, unnest(
+                  CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks)-1),
+                           i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM t
+              )
+            ),
+            raw AS (SELECT bucket, count(*) AS r FROM g GROUP BY 1),
+            tgt AS (SELECT bucket, count(*) AS tt FROM g WHERE lang = 'en' GROUP BY 1),
+            tot AS (
+              SELECT count(*) AS big_r,
+                     count(*) FILTER (WHERE lang = 'en') AS big_t
+              FROM g
+            ),
+            lam AS (
+              SELECT raw.bucket,
+                     CAST(round((ln((coalesce(tt, 0) + 1) / (big_t + 256.0))
+                               - ln((r + 1) / (big_r + 256.0))) * 1e6)
+                       AS BIGINT) AS lam_mi
+              FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+            ),
+            per AS (
+              SELECT doc_id, count(*) AS n_grams, sum(lam_mi) AS imp
+              FROM g JOIN lam USING (bucket) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(per.imp, 0) AS BIGINT) AS importance_micro
+            FROM docs d LEFT JOIN per USING (doc_id)
+        """,
+        "bm25_search": f"""
+            WITH {_DOCS_CTE},
+            t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs),
+            d2 AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+            stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d2),
+            terms(query_id, term) AS (VALUES
+              ('q1','hash'), ('q1','join'), ('q1','merge'),
+              ('q2','window'), ('q2','stream'), ('q2','batch'),
+              ('q3','scan'), ('q3','filter'), ('q3','column')),
+            hit AS (
+              SELECT * FROM (
+                SELECT doc_id, dl, query_id, term,
+                       len(list_filter(toks, x -> x = term)) AS tf
+                FROM d2 CROSS JOIN terms
+              ) WHERE tf > 0
+            ),
+            df_t AS (
+              SELECT query_id, term, count(*) AS df
+              FROM hit GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT query_id, doc_id,
+                     CAST(round(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * (dl * n_docs) / sum_dl))
+                       * 1e6) AS BIGINT) AS contrib_mi
+              FROM hit JOIN df_t USING (query_id, term) CROSS JOIN stats
+            )
+            SELECT query_id, doc_id, score_micro, rank FROM (
+              SELECT query_id, doc_id, sum(contrib_mi) AS score_micro,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY sum(contrib_mi) DESC, doc_id) AS BIGINT) AS rank
+              FROM scored GROUP BY query_id, doc_id
+            ) WHERE rank <= 10
         """,
         "warc_extract": """
             SELECT doc_id,

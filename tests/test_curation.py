@@ -431,3 +431,53 @@ def test_weighted_sample_biases_toward_weight(spark, sf_dir):
     a = sorted((r.lang, r.doc_id) for r in out.collect())
     b = sorted((r.lang, r.doc_id) for r in q_weighted_sample(spark, sf_dir).collect())
     assert a == b
+
+
+def test_dsir_importance_separates_target_language(spark, sf_dir):
+    """DSIR with target = the 'en' slice: English docs must score
+    higher importance (per gram) than non-English docs on average —
+    otherwise the log-ratio direction is wrong."""
+    from ocr_parallel_spark.queries_catalog import q_dsir_weights
+
+    out = q_dsir_weights(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    j = out.join(docs, "doc_id").filter(F.col("n_grams") > 0)
+    per_lang = {
+        r.grp: r.m
+        for r in j.groupBy((F.col("lang") == "en").alias("grp"))
+        .agg(F.avg(F.col("importance_micro") / F.col("n_grams")).alias("m"))
+        .collect()
+    }
+    assert per_lang[True] > per_lang[False], per_lang
+    # deterministic re-run
+    a = sorted((r.doc_id, r.importance_micro) for r in out.collect())
+    b = sorted((r.doc_id, r.importance_micro) for r in q_dsir_weights(spark, sf_dir).collect())
+    assert a == b
+
+
+def test_bm25_ranks_term_rich_docs(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_bm25_search
+
+    rows = q_bm25_search(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {"q1", "q2", "q3"}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) <= 10
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        # scores non-increasing with rank
+        scores = [r.score_micro for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        # the top hit actually contains at least one query term
+        terms = {"q1": ["hash", "join", "merge"],
+                 "q2": ["window", "stream", "batch"],
+                 "q3": ["scan", "filter", "column"]}[q]
+        toks = docs[rs[0].doc_id].split()
+        assert any(t in toks for t in terms)
