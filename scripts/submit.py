@@ -49,6 +49,11 @@ def main() -> None:
         default="extract",
         help="which batch job to submit",
     )
+    ap.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        help="curate job only: read --input as raw WARC archives",
+    )
     ap.add_argument("--blocklist", help="hosts file (curate job only)")
     ap.add_argument("--bench", help="eval-docs parquet (curate job only)")
     ap.add_argument(
@@ -94,6 +99,8 @@ def main() -> None:
         "--output", args.output,
     ]
     if args.job == "curate":
+        if args.input_format:
+            cmd += ["--input-format", args.input_format]
         if args.blocklist:
             cmd += ["--blocklist", args.blocklist]
         if args.bench:
