@@ -132,5 +132,5 @@ def build_record(
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(block)}\r\n"
         f"\r\n"
-    ).encode("ascii")
+    ).encode("utf-8")  # WARC named fields are UTF-8; IRIs are legal
     return head + block + _BLANK

@@ -43,6 +43,7 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
         .load(path)
         .select("path", "content")
     )
@@ -179,9 +180,13 @@ def warc_docs(spark: SparkSession, path: str) -> DataFrame:
     instead. Bodies decode as UTF-8."""
     from pyspark.sql import functions as F
 
+    # CAST(binary AS STRING), not decode(): decode raises
+    # MALFORMED_CHARACTER_CODING on the first invalid byte — one bad
+    # page would kill a 100 TB job — while the cast substitutes U+FFFD,
+    # matching the kernel's decode(..., "replace") convention.
     return response_bodies(read_warc(spark, path)).select(
         F.xxhash64("target_uri").alias("doc_id"),
         F.col("target_uri").alias("url"),
-        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.col("body").cast("string").alias("text"),
         F.lit("warc").alias("source"),
     )

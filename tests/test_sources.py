@@ -139,3 +139,19 @@ def test_warc_split_http_no_blank_line():
 
     status, body = split_http_response(b"HTTP/1.1 204 No Content\r\nX: y\r\n")
     assert status == "HTTP/1.1 204 No Content" and body == b""
+
+
+def test_warc_docs_survives_malformed_utf8(spark, tmp_path):
+    """A crawl page with invalid UTF-8 bytes must become U+FFFD text,
+    not a MALFORMED_CHARACTER_CODING job kill (decode() would raise;
+    warc_docs must use the lenient cast)."""
+    from ocr_parallel_spark.kernel.warc_parse import build_record
+    from ocr_parallel_spark.sources.warc import warc_docs
+
+    block = b"HTTP/1.1 200 OK\r\n\r\nok \xff\xfe bad"
+    p = tmp_path / "bad.warc"
+    p.write_bytes(build_record("response", "http://e/é", block, "<urn:1>"))
+    rows = warc_docs(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].text == "ok �� bad"
+    assert rows[0].url == "http://e/é"  # IRI survives the writer too
