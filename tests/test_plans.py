@@ -146,3 +146,53 @@ def test_multitable_lsh_plan_shape(spark, sf_dir):
     for seg in p.split("Generate")[1:]:
         first_line = seg.split("\n", 1)[0]
         assert "embedding" not in first_line, first_line
+
+
+def test_dsir_plan_broadcasts_ratio_table(spark, sf_dir):
+    """dsir_weights 100 TB shape: the 256-row ratio table broadcasts
+    into the per-doc pass (no sort-merge on bucket), and the whole
+    query is pure expressions — zero Python."""
+    from ocr_parallel_spark.queries_catalog import q_dsir_weights
+
+    p = plan_of(q_dsir_weights(spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p and "MapInArrow" not in p
+    assert "BroadcastHashJoin [bucket" in p
+
+
+def test_bm25_plan_broadcasts_terms_and_limits_topk(spark, sf_dir):
+    """bm25_search: the query-term table rides a broadcast (corpus rows
+    never shuffle for the term join) and the top-10 rank filter runs
+    map-side (WindowGroupLimit) before the per-query exchange."""
+    from ocr_parallel_spark.queries_catalog import q_bm25_search
+
+    p = plan_of(q_bm25_search(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+
+
+def test_weighted_sample_plan_windowgrouplimit(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_weighted_sample
+
+    p = plan_of(q_weighted_sample(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("WindowGroupLimit") >= 2  # Partial (map-side) + Final
+
+
+def test_warc_read_pipelines_without_exchange(spark, sf_dir):
+    """The record splitter and the HTTP strip are two mapInPandas that
+    must PIPELINE on the scan tasks: no Exchange may sit between the
+    binaryFile scan and the second Python stage — archive bytes and
+    payload blocks never shuffle."""
+    from ocr_parallel_spark.sources.warc import (
+        read_warc,
+        response_bodies,
+        synthesize_warc_fixture,
+    )
+
+    fixture = synthesize_warc_fixture(spark, sf_dir)
+    p = plan_of(response_bodies(read_warc(spark, fixture)), "simple")
+    # plan reads bottom-up scan -> gen -> strip; no Exchange anywhere
+    assert "Exchange" not in p
+    assert p.count("MapInPandas") == 2
