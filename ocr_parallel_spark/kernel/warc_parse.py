@@ -134,3 +134,74 @@ def build_record(
         f"\r\n"
     ).encode("utf-8")  # WARC named fields are UTF-8; IRIs are legal
     return head + block + _BLANK
+
+
+# --------------------------------------------------------- charset sniffing
+
+_META_CHARSET_RE = None  # compiled lazily; pure-Python module stays import-light
+
+
+def split_http_response_full(block: bytes) -> tuple[str, dict, bytes]:
+    """Like :func:`split_http_response` but keeps the HTTP headers —
+    charset sniffing needs ``Content-Type``."""
+    head, sep, body = block.partition(_BLANK)
+    lines = head.split(_CRLF)
+    status = lines[0].decode("ascii", "replace")
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        if k:
+            headers[k.strip().decode("ascii", "replace").lower()] = v.strip().decode(
+                "latin-1", "replace"
+            )
+    return status, headers, (body if sep else b"")
+
+
+def sniff_and_decode(body: bytes, content_type: str = "") -> tuple[str, str]:
+    """Charset-aware page decode: ``(charset_used, text)``.
+
+    Real crawls are not all UTF-8; the standard sniffing precedence
+    (WHATWG encoding sniffing, simplified to the signals crawl
+    pipelines actually use) is
+
+    1. byte-order mark (UTF-16 LE/BE, UTF-8-sig),
+    2. the HTTP ``Content-Type`` header's ``charset=`` parameter,
+    3. an HTML ``<meta charset=...>`` / http-equiv declaration in the
+       first 1024 bytes,
+    4. UTF-8 default.
+
+    Decoding always uses errors='replace' — a mislabeled page must
+    yield U+FFFD runs, never kill the job (the same contract as
+    ``warc_docs``). An unknown/unsupported label falls back to UTF-8
+    and reports ``utf-8``, so downstream grouping by charset never
+    sees unbounded junk labels.
+    """
+    import codecs
+    import re
+
+    global _META_CHARSET_RE
+    if body.startswith(b"\xff\xfe"):
+        return "utf-16-le", body[2:].decode("utf-16-le", "replace")
+    if body.startswith(b"\xfe\xff"):
+        return "utf-16-be", body[2:].decode("utf-16-be", "replace")
+    if body.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig", body[3:].decode("utf-8", "replace")
+    if _META_CHARSET_RE is None:
+        _META_CHARSET_RE = re.compile(
+            rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_:.-]+)""",
+            re.IGNORECASE,
+        )
+    label = ""
+    m = re.search(r"charset\s*=\s*([A-Za-z0-9_:.-]+)", content_type, re.IGNORECASE)
+    if m:
+        label = m.group(1)
+    else:
+        mm = _META_CHARSET_RE.search(body[:1024])
+        if mm:
+            label = mm.group(1).decode("ascii", "replace")
+    charset = label.strip().lower() or "utf-8"
+    try:
+        codecs.lookup(charset)
+    except LookupError:
+        charset = "utf-8"
+    return charset, body.decode(charset, "replace")

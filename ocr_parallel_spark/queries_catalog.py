@@ -1036,6 +1036,35 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_warc_charset(spark, sf_dir):
+    """Charset-aware crawl decoding (webtext table stakes — real crawls
+    are not UTF-8): a second WARC fixture stripes docs across four
+    declaration styles (HTTP-header charset, meta-tag-only latin-1,
+    BOM'd UTF-8, BOM'd UTF-16-LE), each text carrying a deterministic
+    non-ASCII suffix (the corpus is pure ASCII, which would make every
+    charset vacuously right). The reader sniffs with the standard
+    precedence (kernel sniff_and_decode: BOM > header > meta > UTF-8)
+    and the oracle re-derives the decoded text, its sha and length, and
+    the sniffed charset name per doc straight from documents — a wrong
+    decode OR a wrong precedence order flips the sha or the charset
+    column red."""
+    from ocr_parallel_spark.sources.warc import (
+        decode_responses,
+        read_warc,
+        synthesize_charset_fixture,
+    )
+
+    fixture = synthesize_charset_fixture(spark, sf_dir)
+    return decode_responses(read_warc(spark, fixture)).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "charset",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def _pii_tainted_text() -> F.Column:
     """norm + the deterministic planted email/phone/IPv4 (+ a second
     email on doc_id % 7 == 0) — shared by q_pii_scrub and the curation
@@ -1932,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "warc_extract": q_warc_extract,
         "dup_components": q_dup_components,
+        "warc_charset": q_warc_charset,
         "dsir_weights": q_dsir_weights,
         "bm25_search": q_bm25_search,
         "pii_scrub": q_pii_scrub,
@@ -2431,6 +2461,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_components": """
             SELECT doc_id, doc_id - doc_id % 8 AS component
+            FROM documents
+        """,
+        "warc_charset": """
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                        WHEN 1 THEN 'iso-8859-1'
+                        WHEN 2 THEN 'utf-8-sig'
+                        ELSE 'utf-16-le' END AS charset,
+                   sha256(CASE doc_id % 4
+                        WHEN 0 THEN text || ' — café 中文'
+                        WHEN 1 THEN '<meta charset="iso-8859-1"> ' || text
+                                    || ' café ±'
+                        WHEN 2 THEN text || ' — naïve'
+                        ELSE text || ' — Ωmega' END) AS text_sha,
+                   CAST(length(CASE doc_id % 4
+                        WHEN 0 THEN text || ' — café 中文'
+                        WHEN 1 THEN '<meta charset="iso-8859-1"> ' || text
+                                    || ' café ±'
+                        WHEN 2 THEN text || ' — naïve'
+                        ELSE text || ' — Ωmega' END) AS BIGINT) AS n_chars
             FROM documents
         """,
         "dsir_weights": f"""

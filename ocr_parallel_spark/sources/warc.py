@@ -190,3 +190,110 @@ def warc_docs(spark: SparkSession, path: str) -> DataFrame:
         F.col("body").cast("string").alias("text"),
         F.lit("warc").alias("source"),
     )
+
+
+def decode_responses(recs: DataFrame) -> DataFrame:
+    """``response`` records -> ``(target_uri, charset, text)`` with
+    charset-aware decoding (kernel ``sniff_and_decode``: BOM > HTTP
+    Content-Type charset > html meta charset > UTF-8, always
+    errors='replace'). Use this instead of ``response_bodies`` + a cast
+    when the crawl is not known-UTF-8 — which at web scale it never
+    is. Same stage shape: pipelines with the record splitter, nothing
+    shuffles."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    def decode(batches):
+        import pandas as pd
+
+        from ocr_parallel_spark.kernel.warc_parse import (
+            sniff_and_decode,
+            split_http_response_full,
+        )
+
+        for pdf in batches:
+            out = {"target_uri": pdf["target_uri"], "charset": [], "text": []}
+            for block in pdf["block"]:
+                _, headers, body = split_http_response_full(bytes(block))
+                cs, text = sniff_and_decode(body, headers.get("content-type", ""))
+                out["charset"].append(cs)
+                out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    return (
+        recs.filter(F.col("warc_type") == "response")
+        .select("target_uri", "block")
+        .mapInPandas(decode, "target_uri string, charset string, text string")
+    )
+
+
+# Per-mode (doc_id % 4) charset suffixes for the charset fixture; the
+# SQL oracle re-derives them as literals, so they live here as the one
+# source of truth. Mode 1 must stay latin-1-encodable.
+CHARSET_SUFFIXES = {
+    0: " — café 中文",
+    1: " café ±",
+    2: " — naïve",
+    3: " — Ωmega",
+}
+
+
+def synthesize_charset_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A second deterministic WARC fixture exercising charset sniffing:
+    docs striped by ``doc_id % 4`` into (0) UTF-8 declared by the HTTP
+    Content-Type header, (1) latin-1 declared ONLY by an html meta tag,
+    (2) UTF-8 with BOM and no declaration anywhere, (3) UTF-16-LE with
+    BOM. Each text gets a deterministic non-ASCII suffix (the corpus is
+    pure ASCII, which would make every charset vacuously correct).
+    Idempotent and marker-completed like the main fixture."""
+    import hashlib
+    import os
+
+    import ocr_parallel_spark.kernel.warc_parse as _kmod
+    from ocr_parallel_spark.kernel.warc_parse import build_record
+
+    with open(_kmod.__file__, "rb") as fh:
+        key = hashlib.md5(
+            fh.read() + sf_dir.encode() + b"charset-v1"
+        ).hexdigest()[:10]
+    out_dir = f"/tmp/warc_charset_{key}"
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    recs = []
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        mode = r.doc_id % 4
+        text = r.text + CHARSET_SUFFIXES[mode]
+        if mode == 0:
+            http_ct = b"text/html; charset=utf-8"
+            body = text.encode("utf-8")
+        elif mode == 1:
+            http_ct = b"text/html"
+            body = ('<meta charset="iso-8859-1"> ' + text).encode("iso-8859-1")
+        elif mode == 2:
+            http_ct = b"text/html"
+            body = b"\xef\xbb\xbf" + text.encode("utf-8")
+        else:
+            http_ct = b"text/html"
+            body = b"\xff\xfe" + text.encode("utf-16-le")
+        block = b"HTTP/1.1 200 OK\r\nContent-Type: " + http_ct + b"\r\n\r\n" + body
+        recs.append(
+            build_record(
+                "response",
+                f"http://example.com/doc/{r.doc_id}",
+                block,
+                f"<urn:uuid:cs-{r.doc_id}>",
+            )
+        )
+    with open(os.path.join(out_dir, "pages.warc"), "wb") as fh:
+        fh.write(b"".join(recs))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir

@@ -155,3 +155,40 @@ def test_warc_docs_survives_malformed_utf8(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].text == "ok �� bad"
     assert rows[0].url == "http://e/é"  # IRI survives the writer too
+
+
+def test_charset_sniff_precedence_and_fallback():
+    from ocr_parallel_spark.kernel.warc_parse import sniff_and_decode
+
+    # BOM beats an (incorrect) header declaration
+    cs, t = sniff_and_decode(
+        b"\xef\xbb\xbf" + "café".encode("utf-8"), "text/html; charset=iso-8859-1"
+    )
+    assert (cs, t) == ("utf-8-sig", "café")
+    # header beats a conflicting meta tag
+    cs, t = sniff_and_decode(
+        '<meta charset="utf-8"> café'.encode("iso-8859-1"),
+        "text/html; charset=iso-8859-1",
+    )
+    assert cs == "iso-8859-1" and t.endswith("café")
+    # meta applies when the header is silent
+    cs, t = sniff_and_decode('<meta charset="iso-8859-1"> café'.encode("iso-8859-1"), "text/html")
+    assert cs == "iso-8859-1" and t.endswith("café")
+    # utf-16-be BOM
+    cs, t = sniff_and_decode(b"\xfe\xff" + "Ω".encode("utf-16-be"), "")
+    assert (cs, t) == ("utf-16-be", "Ω")
+    # unknown label falls back to utf-8, never raises
+    cs, t = sniff_and_decode("café".encode("utf-8"), "text/html; charset=klingon-8")
+    assert (cs, t) == ("utf-8", "café")
+    # mislabeled page yields replacement chars, never raises
+    cs, t = sniff_and_decode("中文".encode("utf-8"), "text/html; charset=ascii")
+    assert cs == "ascii" and "�" in t
+
+
+def test_warc_charset_query_covers_all_modes(spark, sf_dir):
+    from ocr_parallel_spark.queries_catalog import q_warc_charset
+
+    out = q_warc_charset(spark, sf_dir)
+    by_cs = {r["charset"]: r["n"] for r in out.groupBy("charset").count().withColumnRenamed("count", "n").collect()}
+    assert set(by_cs) == {"utf-8", "iso-8859-1", "utf-8-sig", "utf-16-le"}
+    assert all(v > 0 for v in by_cs.values())
