@@ -98,6 +98,7 @@ def parse_warc(data: bytes) -> list[dict]:
                 "target_uri": headers.get("warc-target-uri", ""),
                 "record_id": headers.get("warc-record-id", ""),
                 "content_type": headers.get("content-type", ""),
+                "warc_date": headers.get("warc-date", ""),
                 "block": block,
             }
         )
@@ -120,15 +121,18 @@ def build_record(
     block: bytes,
     record_id: str,
     content_type: str = "application/http; msgtype=response",
+    warc_date: str = "",
 ) -> bytes:
     """Serialize one WARC record (the writer twin of :func:`parse_warc`,
     used by tests and fixture synthesis). Header order is fixed so the
     bytes are deterministic."""
+    date_line = f"WARC-Date: {warc_date}\r\n" if warc_date else ""
     head = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
         f"WARC-Record-ID: {record_id}\r\n"
         f"WARC-Target-URI: {target_uri}\r\n"
+        f"{date_line}"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(block)}\r\n"
         f"\r\n"

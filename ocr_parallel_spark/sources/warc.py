@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 WARC_RECORDS_SCHEMA = (
     "path string, record_idx long, warc_type string, target_uri string, "
-    "content_type string, block binary"
+    "content_type string, warc_date string, block binary"
 )
 
 
@@ -57,6 +57,7 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
             "warc_type",
             "target_uri",
             "content_type",
+            "warc_date",
             "block",
         ]
         for pdf in batches:
@@ -70,6 +71,7 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
                             rec["warc_type"],
                             rec["target_uri"],
                             rec["content_type"],
+                            rec["warc_date"],
                             rec["block"],
                         )
                     )
@@ -120,6 +122,7 @@ def synthesize_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
                 f"http://example.com/doc/{r.doc_id}",
                 block,
                 f"<urn:uuid:doc-{r.doc_id}>",
+                warc_date=f"2026-01-{1 + r.doc_id % 28:02d}T00:00:00Z",
             )
         )
     for i, recs in enumerate(shards):
@@ -145,12 +148,13 @@ def synthesize_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
-def response_bodies(recs: DataFrame) -> DataFrame:
-    """``response`` records -> (target_uri, body): HTTP framing stripped
-    length-wise in one mapInPandas that pipelines with the record
-    splitter (same stage, no exchange — PLANS.md 'WARC source'). Shared
-    by the warc_extract gate and the curation job so their byte
-    semantics cannot drift."""
+def response_bodies(recs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """``response`` records -> (target_uri[, *extra_cols], body): HTTP
+    framing stripped length-wise in one mapInPandas that pipelines with
+    the record splitter (same stage, no exchange — PLANS.md 'WARC
+    source'). Shared by the warc_extract gate and the curation/extract
+    jobs so their byte semantics cannot drift. ``extra_cols`` names
+    string record columns (e.g. ``warc_date``) to carry through."""
     import pandas as pd  # noqa: F401
 
     from pyspark.sql import functions as F
@@ -161,13 +165,21 @@ def response_bodies(recs: DataFrame) -> DataFrame:
         from ocr_parallel_spark.kernel.warc_parse import split_http_response
 
         for pdf in batches:
-            bodies = [split_http_response(bytes(b))[1] for b in pdf["block"]]
-            yield pd.DataFrame({"target_uri": pdf["target_uri"], "body": bodies})
+            out = {"target_uri": pdf["target_uri"]}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            out["body"] = [
+                split_http_response(bytes(b))[1] for b in pdf["block"]
+            ]
+            yield pd.DataFrame(out)
 
+    extra_schema = "".join(f", {c} string" for c in extra_cols)
     return (
         recs.filter(F.col("warc_type") == "response")
-        .select("target_uri", "block")
-        .mapInPandas(strip_http, "target_uri string, body binary")
+        .select("target_uri", *extra_cols, "block")
+        .mapInPandas(
+            strip_http, f"target_uri string{extra_schema}, body binary"
+        )
     )
 
 
@@ -297,3 +309,22 @@ def synthesize_charset_fixture(spark: SparkSession, sf_dir: str) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return out_dir
+
+
+def warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archives -> the flagship extraction pipeline's pages shape
+    ``(url, warc_ts, html, text, lang)``: html is the raw response body
+    (the kernel does its own boilerplate extraction), ``warc_ts`` parses
+    the WARC-Date header (ISO 8601; records without one get null and
+    sort last in the earliest-crawl-wins keep-first), text/lang start
+    null exactly as a fresh crawl has them."""
+    from pyspark.sql import functions as F
+
+    b = response_bodies(read_warc(spark, path), extra_cols=("warc_date",))
+    return b.select(
+        F.col("target_uri").alias("url"),
+        F.to_timestamp(F.col("warc_date")).alias("warc_ts"),
+        F.col("body").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

@@ -20,6 +20,14 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--input-format",
+        choices=("parquet", "warc"),
+        default="parquet",
+        help="parquet: a pages table; warc: raw .warc/.warc.gz archives "
+        "(sources/warc.py warc_pages — html = response body, warc_ts = "
+        "WARC-Date)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument(
         "--near-dups",
@@ -36,7 +44,12 @@ def main() -> None:
     from ocr_parallel_spark.io.snapshot import SnapshotTable, run_resumable
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "warc":
+        from ocr_parallel_spark.sources.warc import warc_pages
+
+        pages = warc_pages(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
     table = SnapshotTable(args.output)
     snap = run_resumable(
         pages,

@@ -52,7 +52,7 @@ def main() -> None:
     ap.add_argument(
         "--input-format",
         choices=["parquet", "warc"],
-        help="curate job only: read --input as raw WARC archives",
+        help="extract/curate jobs: read --input as raw WARC archives",
     )
     ap.add_argument("--blocklist", help="hosts file (curate job only)")
     ap.add_argument("--bench", help="eval-docs parquet (curate job only)")
@@ -98,9 +98,9 @@ def main() -> None:
         "--input", args.input,
         "--output", args.output,
     ]
+    if args.input_format and args.job in ("extract", "curate"):
+        cmd += ["--input-format", args.input_format]
     if args.job == "curate":
-        if args.input_format:
-            cmd += ["--input-format", args.input_format]
         if args.blocklist:
             cmd += ["--blocklist", args.blocklist]
         if args.bench:

@@ -192,3 +192,25 @@ def test_warc_charset_query_covers_all_modes(spark, sf_dir):
     by_cs = {r["charset"]: r["n"] for r in out.groupBy("charset").count().withColumnRenamed("count", "n").collect()}
     assert set(by_cs) == {"utf-8", "iso-8859-1", "utf-8-sig", "utf-16-le"}
     assert all(v > 0 for v in by_cs.values())
+
+
+def test_warc_pages_feed_extraction_pipeline(spark, sf_dir):
+    """job_extract --input-format warc: WARC archives adapt to the
+    flagship pages shape (WARC-Date -> warc_ts) and run through the
+    full extraction pipeline."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.pipeline import run_extraction_pipeline
+    from ocr_parallel_spark.sources.warc import synthesize_warc_fixture, warc_pages
+
+    fixture = synthesize_warc_fixture(spark, sf_dir)
+    pages = warc_pages(spark, fixture)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert pages.count() == n_docs
+    assert pages.filter(F.col("warc_ts").isNull()).count() == 0
+    out = run_extraction_pipeline(pages, near_dups=False)
+    rows = out.select("url", "status", "text").collect()
+    assert len(rows) == n_docs
+    assert all(r.status in ("found", "not_found", "error") for r in rows)
+    # the synthetic bodies are plain text -> kernel output is non-empty
+    assert sum(1 for r in rows if r.text) > 0
