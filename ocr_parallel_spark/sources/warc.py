@@ -183,19 +183,33 @@ def response_bodies(recs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     )
 
 
-def warc_docs(spark: SparkSession, path: str) -> DataFrame:
+def warc_docs(
+    spark: SparkSession, path: str, sniff_charset: bool = False
+) -> DataFrame:
     """WARC archives -> the curation job's docs shape
     ``(doc_id, url, text, source)``. ``doc_id = xxhash64(url)`` so
     resume keys are stable across runs and re-crawls of the same url
     dedup onto one key; a 64-bit hash is collision-safe to ~billions of
     urls — a corpus beyond that should key on (archive, offset)
-    instead. Bodies decode as UTF-8."""
+    instead.
+
+    ``sniff_charset=False`` (default): bodies decode as UTF-8 via
+    CAST(binary AS STRING), not decode() — decode raises
+    MALFORMED_CHARACTER_CODING on the first invalid byte, and one bad
+    page must not kill a 100 TB job; the cast substitutes U+FFFD.
+    ``sniff_charset=True``: full BOM/header/meta sniffing
+    (``decode_responses``) for crawls that are not known-UTF-8 — same
+    replace-never-raise contract, one extra string pass per page."""
     from pyspark.sql import functions as F
 
-    # CAST(binary AS STRING), not decode(): decode raises
-    # MALFORMED_CHARACTER_CODING on the first invalid byte — one bad
-    # page would kill a 100 TB job — while the cast substitutes U+FFFD,
-    # matching the kernel's decode(..., "replace") convention.
+    if sniff_charset:
+        decoded = decode_responses(read_warc(spark, path))
+        return decoded.select(
+            F.xxhash64("target_uri").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            "text",
+            F.lit("warc").alias("source"),
+        )
     return response_bodies(read_warc(spark, path)).select(
         F.xxhash64("target_uri").alias("doc_id"),
         F.col("target_uri").alias("url"),

@@ -153,6 +153,12 @@ def main() -> None:
         "(doc_id = xxhash64(url) for stable resume keys)",
     )
     ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--sniff-charset",
+        action="store_true",
+        help="warc input only: BOM/header/meta charset sniffing instead "
+        "of assuming UTF-8 (kernel sniff_and_decode; replace, never raise)",
+    )
     ap.add_argument("--blocklist", help="text file, one host per line")
     ap.add_argument("--bench", help="parquet of eval docs (text column)")
     ap.add_argument("--min-line-count", type=int, default=5)
@@ -167,7 +173,7 @@ def main() -> None:
     if args.input_format == "warc":
         from ocr_parallel_spark.sources.warc import warc_docs
 
-        docs = warc_docs(spark, args.input)
+        docs = warc_docs(spark, args.input, sniff_charset=args.sniff_charset)
     else:
         docs = spark.read.parquet(args.input)
     blocked = None

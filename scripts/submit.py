@@ -54,6 +54,11 @@ def main() -> None:
         choices=["parquet", "warc"],
         help="extract/curate jobs: read --input as raw WARC archives",
     )
+    ap.add_argument(
+        "--sniff-charset",
+        action="store_true",
+        help="curate job + warc input: charset sniffing instead of UTF-8",
+    )
     ap.add_argument("--blocklist", help="hosts file (curate job only)")
     ap.add_argument("--bench", help="eval-docs parquet (curate job only)")
     ap.add_argument(
@@ -101,6 +106,8 @@ def main() -> None:
     if args.input_format and args.job in ("extract", "curate"):
         cmd += ["--input-format", args.input_format]
     if args.job == "curate":
+        if args.sniff_charset:
+            cmd += ["--sniff-charset"]
         if args.blocklist:
             cmd += ["--blocklist", args.blocklist]
         if args.bench:

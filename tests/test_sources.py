@@ -214,3 +214,30 @@ def test_warc_pages_feed_extraction_pipeline(spark, sf_dir):
     assert all(r.status in ("found", "not_found", "error") for r in rows)
     # the synthetic bodies are plain text -> kernel output is non-empty
     assert sum(1 for r in rows if r.text) > 0
+
+
+def test_warc_docs_sniff_charset_mode(spark, sf_dir):
+    """warc_docs(sniff_charset=True) over the charset fixture decodes
+    every stripe correctly (the UTF-8-assuming cast path would mangle
+    the latin-1 and UTF-16 stripes)."""
+    from ocr_parallel_spark.sources.warc import (
+        synthesize_charset_fixture,
+        warc_docs,
+    )
+
+    fixture = synthesize_charset_fixture(spark, sf_dir)
+    docs = warc_docs(spark, fixture, sniff_charset=True)
+    got = {r.url: r.text for r in docs.collect()}
+    orig = {
+        f"http://example.com/doc/{r.doc_id}": (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    from ocr_parallel_spark.sources.warc import CHARSET_SUFFIXES
+
+    assert len(got) == len(orig)
+    for url, (doc_id, text) in orig.items():
+        mode = doc_id % 4
+        expected = text + CHARSET_SUFFIXES[mode]
+        if mode == 1:
+            expected = '<meta charset="iso-8859-1"> ' + expected
+        assert got[url] == expected, (url, mode)
