@@ -1065,6 +1065,51 @@ def q_warc_charset(spark, sf_dir):
     )
 
 
+ROBOTS_FIXTURE = [
+    # host index (doc_id % 7) -> robots.txt body. Covers: prefix rules
+    # with longest-match + Allow-on-tie (0), a non-star group preceding
+    # the star group (1), empty Disallow = allow-all (2), block-all (3),
+    # empty file (4), comments + Allow-beats-shorter-Disallow (5), and a
+    # robots with NO star group at all (6).
+    (0, "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"),
+    (1, "User-agent: OtherBot\nDisallow: /\n\nUser-agent: *\nDisallow: /p/2\n"),
+    (2, "User-agent: *\nDisallow:\n"),
+    (3, "User-agent: *\nDisallow: /\n"),
+    (4, ""),
+    (5, "User-agent: *\n# corpus policy\nAllow: /p/5\nDisallow: /p\n"),
+    (6, "User-agent: OtherBot\nDisallow: /\n"),
+]
+
+
+def q_robots_filter(spark, sf_dir):
+    """Retroactive robots.txt filtering (RFC 9309 subset — the polite-
+    corpus step CC-style pipelines apply at curation time, not crawl
+    time): a planted per-host robots corpus is PARSED FOR REAL by
+    functions/robots.py (line explode, window-tracked User-agent
+    groups, star-group rule extraction) and matched longest-prefix-
+    wins/Allow-on-tie against the doc urls; the oracle knows the
+    planted rules' intended semantics analytically, so any parsing or
+    precedence bug — group tracking, comment stripping, empty-Disallow,
+    tie-breaking — flips verdicts red. Urls follow the corpus
+    convention host = site-(doc_id%7), path = /p/doc_id."""
+    from ocr_parallel_spark.functions.robots import apply_robots, parse_robots
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("site-"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.concat(F.lit("/p/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    robots = spark.createDataFrame(
+        [(f"site-{k}.example.com", txt) for k, txt in ROBOTS_FIXTURE],
+        "host string, robots_txt string",
+    )
+    out = apply_robots(d, parse_robots(robots))
+    return out.select("doc_id", "host", "path", "disallowed")
+
+
 def _pii_tainted_text() -> F.Column:
     """norm + the deterministic planted email/phone/IPv4 (+ a second
     email on doc_id % 7 == 0) — shared by q_pii_scrub and the curation
@@ -1962,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "dup_components": q_dup_components,
         "warc_charset": q_warc_charset,
+        "robots_filter": q_robots_filter,
         "dsir_weights": q_dsir_weights,
         "bm25_search": q_bm25_search,
         "pii_scrub": q_pii_scrub,
@@ -2461,6 +2507,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_components": """
             SELECT doc_id, doc_id - doc_id % 8 AS component
+            FROM documents
+        """,
+        "robots_filter": """
+            SELECT doc_id,
+                   'site-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                     AS host,
+                   '/p/' || CAST(doc_id AS VARCHAR) AS path,
+                   CASE doc_id % 7
+                     WHEN 0 THEN starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/1')
+                             AND NOT starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/12')
+                     WHEN 1 THEN starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/2')
+                     WHEN 3 THEN TRUE
+                     WHEN 5 THEN NOT starts_with('/p/' || CAST(doc_id AS VARCHAR), '/p/5')
+                     ELSE FALSE
+                   END AS disallowed
             FROM documents
         """,
         "warc_charset": """

@@ -481,3 +481,56 @@ def test_bm25_ranks_term_rich_docs(spark, sf_dir):
                  "q3": ["scan", "filter", "column"]}[q]
         toks = docs[rs[0].doc_id].split()
         assert any(t in toks for t in terms)
+
+
+def test_robots_parser_groups_and_semantics(spark):
+    from ocr_parallel_spark.functions.robots import apply_robots, parse_robots
+
+    robots = spark.createDataFrame(
+        [
+            # consecutive UA lines share ONE group: rules apply to both
+            ("a.com", "User-agent: Foo\nUser-agent: *\nDisallow: /x\n"),
+            # star group closed by a second UA line: /y rule is Foo-only
+            ("b.com", "User-agent: *\nDisallow: /x\nUser-agent: Foo\nDisallow: /y\n"),
+            # comments and blank lines ignored; CRLF endings fine
+            ("c.com", "# hi\r\nUser-agent: *\r\n\r\nDisallow: /z # trailing\r\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = {(r.host, r.rule_type, r.prefix) for r in parse_robots(robots).collect()}
+    assert rules == {
+        ("a.com", "disallow", "/x"),
+        ("b.com", "disallow", "/x"),
+        ("c.com", "disallow", "/z"),
+    }
+    urls = spark.createDataFrame(
+        [("a.com", "/x/1"), ("b.com", "/y/1"), ("c.com", "/z"), ("d.com", "/x")],
+        "host string, path string",
+    )
+    got = {
+        (r.host, r.path): r.disallowed
+        for r in apply_robots(urls, parse_robots(robots)).collect()
+    }
+    assert got == {
+        ("a.com", "/x/1"): True,
+        ("b.com", "/y/1"): False,  # Foo-only rule must not hit *
+        ("c.com", "/z"): True,
+        ("d.com", "/x"): False,  # no robots for host -> allowed
+    }
+
+
+def test_robots_longest_match_and_allow_tie(spark):
+    from ocr_parallel_spark.functions.robots import apply_robots, parse_robots
+
+    robots = spark.createDataFrame(
+        [("e.com", "User-agent: *\nDisallow: /a\nAllow: /a/b\nDisallow: /c\nAllow: /c\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("e.com", "/a/b/1"), ("e.com", "/a/x"), ("e.com", "/c/q")],
+        "host string, path string",
+    )
+    got = {r.path: r.disallowed for r in apply_robots(urls, parse_robots(robots)).collect()}
+    # longest match: Allow /a/b beats Disallow /a; equal-length tie on
+    # /c: Allow wins per RFC 9309
+    assert got == {"/a/b/1": False, "/a/x": True, "/c/q": False}
