@@ -28,6 +28,7 @@ def build_output(
     bench_docs=None,
     min_line_count: int = 5,
     line_tokens: int = 8,
+    robots_df=None,
 ):
     """The batch curation composition; returns one verdict row per doc.
 
@@ -59,6 +60,41 @@ def build_output(
     # result is dropped (the dedup_lines docstring's own advice).
     docs = docs.localCheckpoint(eager=False)
     screens = curate_docs(docs, blocked_hosts)
+
+    if robots_df is not None:
+        # Retroactive robots screen (functions/robots.py): folded into
+        # drop_reason BEFORE the content stages so a disallowed doc can
+        # never claim a dup-canonical slot. ``robots_df``: (host,
+        # robots_txt). A url with no path component matches as '/'.
+        from ocr_parallel_spark.functions.robots import apply_robots, parse_robots
+        from ocr_parallel_spark.functions.urls import host_col
+
+        path = F.regexp_extract(
+            F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/\S*)?", 1
+        )
+        urls = docs.select(
+            "doc_id",
+            host_col(F.col("url")).alias("host"),
+            F.when(path == "", F.lit("/")).otherwise(path).alias("path"),
+        )
+        verdict = apply_robots(urls, parse_robots(robots_df)).select(
+            "doc_id", "disallowed"
+        )
+        screens = (
+            screens.join(verdict, "doc_id", "left")
+            .withColumn(
+                "drop_reason",
+                F.coalesce(
+                    F.col("drop_reason"),
+                    F.when(
+                        F.coalesce(F.col("disallowed"), F.lit(False)),
+                        F.lit("robots"),
+                    ),
+                ),
+            )
+            .withColumn("kept", F.col("drop_reason").isNull())
+            .drop("disallowed")
+        )
 
     # Real web text carries newlines; the synthetic corpus is
     # single-line, so fall back to fixed-width word lines there — the
@@ -160,6 +196,9 @@ def main() -> None:
         "of assuming UTF-8 (kernel sniff_and_decode; replace, never raise)",
     )
     ap.add_argument("--blocklist", help="text file, one host per line")
+    ap.add_argument(
+        "--robots", help="parquet of robots bodies (host, robots_txt columns)"
+    )
     ap.add_argument("--bench", help="parquet of eval docs (text column)")
     ap.add_argument("--min-line-count", type=int, default=5)
     args = ap.parse_args()
@@ -182,13 +221,14 @@ def main() -> None:
             hosts = [(ln.strip(),) for ln in fh if ln.strip()]
         blocked = spark.createDataFrame(hosts, "host string")
     bench = spark.read.parquet(args.bench) if args.bench else None
+    robots = spark.read.parquet(args.robots) if args.robots else None
     table = SnapshotTable(args.output)
     snap = run_resumable(
         docs,
         table,
         spark,
         lambda todo: build_output(
-            spark, todo, blocked, bench, args.min_line_count
+            spark, todo, blocked, bench, args.min_line_count, robots_df=robots
         ),
         key_col="doc_id",
         lineage={"input": args.input},

@@ -60,6 +60,9 @@ def main() -> None:
         help="curate job + warc input: charset sniffing instead of UTF-8",
     )
     ap.add_argument("--blocklist", help="hosts file (curate job only)")
+    ap.add_argument(
+        "--robots", help="robots parquet (host, robots_txt) (curate job only)"
+    )
     ap.add_argument("--bench", help="eval-docs parquet (curate job only)")
     ap.add_argument(
         "--min-line-count",
@@ -110,6 +113,8 @@ def main() -> None:
             cmd += ["--sniff-charset"]
         if args.blocklist:
             cmd += ["--blocklist", args.blocklist]
+        if args.robots:
+            cmd += ["--robots", args.robots]
         if args.bench:
             cmd += ["--bench", args.bench]
         if args.min_line_count is not None:

@@ -155,3 +155,27 @@ def test_warc_input_feeds_curation(spark, sf_dir, tmp_path):
     out = job.build_output(spark, docs, None, None)
     assert out.count() == n_docs
     assert out.filter(F.col("kept")).count() > 0
+
+
+def test_robots_screen_in_curation_job(spark, sf_dir):
+    """--robots: a disallowed doc gets drop_reason 'robots' (before the
+    content stages — it can never claim a dup-canonical slot), hosts
+    without robots are unaffected."""
+    docs = _docs(spark, sf_dir)
+    robots = spark.createDataFrame(
+        [("site-2.example.com", "User-agent: *\nDisallow: /p/\n")],
+        "host string, robots_txt string",
+    )
+    out = job.build_output(spark, docs, None, None, robots_df=robots)
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == docs.count()
+    for doc_id, r in got.items():
+        if doc_id % 7 == 2:
+            assert not r.kept
+            # robots fires unless an earlier screen already dropped it
+            assert r.drop_reason in ("robots", "lang", "too_short", "pii")
+            if r.pred_lang == "en" and r.n_tokens >= 30 and r.n_pii < 2:
+                assert r.drop_reason == "robots"
+        else:
+            assert r.drop_reason != "robots"
+    assert any(r.drop_reason == "robots" for r in got.values())
