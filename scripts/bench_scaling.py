@@ -33,8 +33,25 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def _pinned_busy_jiffies(n_cores: int) -> int:
+    """Non-idle jiffies summed over cpu0..cpu{n-1} — the cores this
+    taskset-pinned worker owns."""
+    total = 0
+    with open("/proc/stat") as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts[0].startswith("cpu") or parts[0] == "cpu":
+                continue
+            idx = int(parts[0][3:])
+            if idx >= n_cores:
+                continue
+            vals = [int(x) for x in parts[1:]]
+            total += sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    return total
+
+
 def worker(cpus: int, sf_dir: str, copies: int, body_repeat: int) -> None:
-    from bench import build_spark, materialize_pages_input
+    from bench import _tree_jiffies, build_spark, materialize_pages_input
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
     spark = build_spark(cpus, app=f"scaling-{cpus}")
@@ -57,16 +74,30 @@ def worker(cpus: int, sf_dir: str, copies: int, body_repeat: int) -> None:
     # JVM; min is the stable throughput estimate). The pipeline persists
     # its extraction output, so the cache is dropped between reps
     # (Spark's cache manager matches identical plans).
+    # Per-rep PINNED-CORE foreign CPU: taskset confines this whole tree
+    # to cpu0..cpu{N-1}, but nothing confines the neighbors — a stolen
+    # pinned core directly inflates the wall, and the machine-wide
+    # loadavg gate cannot see it. busy(pinned cores) - busy(our tree)
+    # is the direct measurement; a rep with >5% foreign share on our
+    # own cores is contaminated and the min prefers clean reps.
+    clk = os.sysconf("SC_CLK_TCK")
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-    walls = []
+    walls: list[float] = []
+    foreign: list[float] = []
     for _ in range(reps):
+        b0, o0 = _pinned_busy_jiffies(cpus), _tree_jiffies(os.getpid())
         t0 = time.perf_counter()
         run_extraction_pipeline(pages).write.format("noop").mode(
             "overwrite"
         ).save()
-        walls.append(time.perf_counter() - t0)
+        wall_i = time.perf_counter() - t0
+        db = _pinned_busy_jiffies(cpus) - b0
+        do = _tree_jiffies(os.getpid()) - o0
+        walls.append(wall_i)
+        foreign.append(max(0.0, (db - do) / (cpus * wall_i * clk)))
         spark.catalog.clearCache()
-    wall = min(walls)
+    clean = [w for w, f in zip(walls, foreign) if f < 0.05]
+    wall = min(clean) if clean else min(walls)
     print(
         json.dumps(
             {
@@ -74,6 +105,8 @@ def worker(cpus: int, sf_dir: str, copies: int, body_repeat: int) -> None:
                 "pages": n,
                 "wall_sec": round(wall, 3),
                 "walls": [round(w, 2) for w in walls],
+                "foreign_pinned": [round(f, 3) for f in foreign],
+                "clean_reps": len(clean),
                 "pages_per_sec": round(n / wall, 1),
             }
         )
@@ -135,6 +168,12 @@ def main() -> None:
                 else (results[cpus], again)
             )
             best["walls"] = best["walls"] + other["walls"]
+            best["foreign_pinned"] = best.get("foreign_pinned", []) + other.get(
+                "foreign_pinned", []
+            )
+            best["clean_reps"] = best.get("clean_reps", 0) + other.get(
+                "clean_reps", 0
+            )
             results[cpus] = best
         eff = efficiency(results)
     print(
