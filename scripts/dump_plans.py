@@ -153,6 +153,16 @@ def main() -> None:
     )
     sections.append(
         (
+            "robots.txt retro-filter",
+            "Declarative parse (line explode + window-tracked User-agent "
+            "blocks) feeds a host equi-join; the per-url verdict is a "
+            "struct-max aggregation (longest prefix, Allow on ties) — no "
+            "Python, no cross join, AQE free to broadcast the rules side.",
+            plan_of(q["robots_filter"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
             "Scan pushdown / pruning",
             "Filter + projection reach the parquet reader (PushedFilters, "
             "2-column ReadSchema).",
