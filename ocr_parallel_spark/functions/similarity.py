@@ -355,6 +355,23 @@ def ivf_topk(
     )
 
 
+def build_lsh_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Corpus-side multi-table LSH index: (id, lsh_bucket) long rows,
+    ``n_tables`` per vector. Pure expressions — one scan, no shuffle;
+    persist the result (and pass it back via ``lsh_topk(index=...)``)
+    to amortize the hashing across query batches."""
+    return with_lsh_buckets(
+        vectors.select(id_col, vec_col), vec_col, dim, n_planes, n_tables
+    ).select(id_col, F.explode("lsh_buckets").alias("lsh_bucket"))
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -366,6 +383,7 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 8,
     n_probes: int = 0,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH: a candidate shares the
     query's bucket in ANY of the ``n_tables`` hash tables; exact cosine
@@ -395,14 +413,25 @@ def lsh_topk(
     rows — vector bytes never multiply across tables. Candidates are
     (query, id)-deduped BEFORE scoring (a pair colliding in several
     tables must score once, or duplicate rows would inflate the top-k),
-    then vectors are fetched back by id for the exact rank."""
+    then vectors are fetched back by id for the exact rank.
+
+    ``index``: a precomputed ``build_lsh_index`` table (id_col,
+    lsh_bucket) — the build-once / query-many deployment shape: at
+    100 TB the corpus index is computed in one pass, persisted
+    (snapshot-committed, ideally bucketed by lsh_bucket so the probe
+    join is exchange-free on the index side), appended to as new
+    vectors arrive, and every query batch reads it instead of
+    re-hashing the corpus. MUST have been built with the same planes
+    (dim/n_planes/n_tables/seed) as this call, or buckets silently
+    mismatch — recall collapse, which the ann_recall gate catches."""
     from pyspark.sql import Window
 
     if not 0 <= n_probes <= n_planes:
         raise ValueError(f"lsh_topk: n_probes {n_probes} outside 0..{n_planes}")
-    v_idx = with_lsh_buckets(
-        vectors.select(id_col, vec_col), vec_col, dim, n_planes, n_tables
-    ).select(id_col, F.explode("lsh_buckets").alias("lsh_bucket"))
+    if index is not None:
+        v_idx = index.select(id_col, "lsh_bucket")
+    else:
+        v_idx = build_lsh_index(vectors, id_col, vec_col, dim, n_planes, n_tables)
     if n_probes:
         # bucket = sig | (t << n_planes) with sig < 2^n_planes, so
         # XOR-ing bits below n_planes stays inside the same table's

@@ -1906,6 +1906,34 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries_df, cents, k=5, nprobe=4)
 
 
+def q_minhash_clusters(spark, sf_dir):
+    """The near-dup flow's LAST mile: MinHash-LSH candidates -> exact
+    Jaccard verification -> connected components (operators/graph.py)
+    -> one canonical representative per duplicate CLUSTER with its
+    size. A~B~C chains collapse to one keeper even when A~C never
+    collided in any band — the consolidation one-hop labeling misses.
+    Candidate generation is approximate -> rows-only; the component
+    labeling itself is exact over the verified pairs and pinned
+    against a driver-side union-find in pytest, and the candidate
+    recall is pinned by the minhash_recall gate."""
+    from ocr_parallel_spark.operators.graph import connected_components
+
+    pairs = q_minhash_verified_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .select(
+            F.col("component").alias("rep_url"),
+            "cluster_size",
+            F.concat_ws(",", "members").alias("member_urls"),
+        )
+    )
+
+
 def q_minhash_verified_pairs(spark, sf_dir):
     """The production near-dup flow end-to-end: MinHash-LSH candidates ->
     exact token-Jaccard verification >= 0.5 (candidate recall is
@@ -2022,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "minhash_verified_pairs": q_minhash_verified_pairs,
+        "minhash_clusters": q_minhash_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "extraction_pipeline": q_extraction_pipeline,

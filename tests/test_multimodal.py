@@ -336,3 +336,34 @@ def test_byte_histogram_empty_payload_is_all_zero(spark):
     assert all(rows[(1, b)] == (0, 0.0) for b in range(16))
     assert rows[(2, 1)][0] == 1 and rows[(2, 3)][0] == 1  # high nibbles 1 and 3
     assert abs(rows[(2, 1)][1] - 0.5) < 1e-15
+
+
+def test_lsh_persisted_index_round_trip(spark, sf_dir, tmp_path):
+    """Build-once / query-many: the corpus index built in one pass,
+    snapshot-committed, read back from disk, and passed into lsh_topk
+    must return EXACTLY the inline result (deterministic planes); an
+    appended second batch of vectors extends the same index."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.functions.similarity import build_lsh_index, lsh_topk
+    from ocr_parallel_spark.io.snapshot import SnapshotTable
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cfg = dict(k=5, dim=64, n_planes=4, n_tables=4, n_probes=4)
+
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    table = SnapshotTable(str(tmp_path / "lsh_index"))
+    table.append(build_lsh_index(first, dim=64, n_planes=4, n_tables=4))
+    table.append(build_lsh_index(second, dim=64, n_planes=4, n_tables=4))
+    stored = table.read(spark)
+    assert stored.count() == emb.count() * 4  # n_tables rows per vector
+
+    from_index = lsh_topk(emb, queries, index=stored, **cfg)
+    inline = lsh_topk(emb, queries, **cfg)
+    a = sorted(map(tuple, from_index.collect()))
+    b = sorted(map(tuple, inline.collect()))
+    assert a == b and len(a) > 0

@@ -274,3 +274,40 @@ def test_dup_components_planted_graph(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(rows) == n_docs
     assert all(r.component == r.doc_id - r.doc_id % 8 for r in rows)
+
+
+def test_minhash_clusters_match_union_find(spark, sf_dir):
+    """The distributed component labeling over REAL verified near-dup
+    pairs must equal a driver-side union-find ground truth (exact min-
+    label components), and chains must collapse to one cluster."""
+    from ocr_parallel_spark.queries_catalog import (
+        q_minhash_clusters,
+        q_minhash_verified_pairs,
+    )
+
+    pairs = [
+        (r.id_a, r.id_b) for r in q_minhash_verified_pairs(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture produced no verified near-dup pairs"
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth: dict[str, list] = {}
+    for n in parent:
+        truth.setdefault(find(n), []).append(n)
+    got = {
+        r.rep_url: sorted(r.member_urls.split(","))
+        for r in q_minhash_clusters(spark, sf_dir).collect()
+    }
+    want = {min(v): sorted(v) for v in truth.values()}
+    assert got == want
