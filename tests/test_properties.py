@@ -113,3 +113,72 @@ def test_pipeline_dedup_order_equivalence(spark, sf_dir):
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+# ------------------------------------------------------------- WARC kernel
+
+_URI = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_URI, st.binary(max_size=300)), min_size=1, max_size=5
+    ),
+    st.booleans(),
+)
+def test_warc_build_parse_round_trip(recs, gz):
+    """build_record -> (gzip per record) -> maybe_gunzip -> parse_warc
+    recovers every (uri, payload) exactly, for ARBITRARY payloads —
+    including ones full of CRLFs, 'WARC/1.0' strings and gzip magic."""
+    import gzip as _gzip
+
+    from ocr_parallel_spark.kernel.warc_parse import (
+        build_record,
+        maybe_gunzip,
+        parse_warc,
+    )
+
+    raw = [
+        build_record("response", uri, block, f"<urn:{i}>")
+        for i, (uri, block) in enumerate(recs)
+    ]
+    wire = (
+        b"".join(_gzip.compress(r, mtime=0) for r in raw)
+        if gz
+        else b"".join(raw)
+    )
+    out = parse_warc(maybe_gunzip(wire))
+    assert [(r["target_uri"], r["block"]) for r in out] == [
+        (uri, block) for uri, block in recs
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400), st.text(max_size=60))
+def test_sniff_and_decode_never_raises(body, content_type):
+    """Total function over arbitrary crawl bytes and Content-Type
+    headers: always returns a bounded charset label and a str."""
+    from ocr_parallel_spark.kernel.warc_parse import sniff_and_decode
+
+    cs, text = sniff_and_decode(body, content_type)
+    assert isinstance(cs, str) and cs and isinstance(text, str)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=300))
+def test_split_http_response_total(block):
+    from ocr_parallel_spark.kernel.warc_parse import (
+        split_http_response,
+        split_http_response_full,
+    )
+
+    status, body = split_http_response(block)
+    status2, headers, body2 = split_http_response_full(block)
+    assert isinstance(status, str) and isinstance(body, bytes)
+    assert body2 == body and status2 == status
+    assert all(isinstance(k, str) and isinstance(v, str) for k, v in headers.items())
