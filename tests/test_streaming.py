@@ -119,3 +119,62 @@ def test_dedup_state_is_bounded_by_watermark_ttl(spark, sf_dir, tmp_path):
         spark, f"{inp}/*", str(out), str(ckpt), dedup_ttl="2 minutes"
     )
     assert _last_state_rows(q2) <= 1, "state not evicted: unbounded growth"
+
+
+def test_windowed_rollup_batch_stream_equivalence(spark, sf_dir, tmp_path):
+    """The streaming windowed sketch rollup must equal the SAME
+    definition run in batch over the same rows: counts and HLL
+    sketches are merge-order-independent, sums compared rounded
+    (micro-batch boundaries change IEEE addition order). Incremental:
+    two file drops + a watermark-advancing sentinel; append mode must
+    emit every finalized window exactly once across drains."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.streaming.rollup import (
+        run_rollup_available_now,
+        windowed_user_stats,
+    )
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    inp.mkdir()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kw = dict(window="1 day", watermark="2 days")
+
+    # time-ordered drops (how crawl/event files actually land): rows
+    # behind the established watermark would be DROPPED as late, so an
+    # id-interleaved split would (correctly!) lose half the data
+    split = datetime.datetime(2024, 1, 16)
+    events.filter(F.col("ts") < F.lit(split)).write.parquet(str(inp / "b0"))
+    run_rollup_available_now(spark, f"{inp}/*", str(out), str(ckpt), **kw)
+    events.filter(F.col("ts") >= F.lit(split)).write.parquet(str(inp / "b1"))
+    run_rollup_available_now(spark, f"{inp}/*", str(out), str(ckpt), **kw)
+    # sentinel far past every real window + watermark: forces the
+    # watermark beyond all real windows so they ALL finalize; its own
+    # (still-open) window stays in state and never reaches the sink
+    sentinel = spark.createDataFrame(
+        [(10**9, datetime.datetime(2025, 6, 1), 1, "sentinel", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sentinel.write.parquet(str(inp / "b2"))
+    run_rollup_available_now(spark, f"{inp}/*", str(out), str(ckpt), **kw)
+
+    got = spark.read.parquet(str(out))
+    assert got.filter(F.col("event_type") == "sentinel").count() == 0
+    key = ["win_start", "win_end", "event_type"]
+    # append-once: no window emitted twice across the three drains
+    assert got.groupBy(*key).count().filter("count > 1").count() == 0
+
+    want = windowed_user_stats(events, window="1 day")
+    a = sorted(
+        (r.win_start, r.win_end, r.event_type, r.n_events, r.n_users_approx,
+         round(r.sum_value, 6))
+        for r in got.collect()
+    )
+    b = sorted(
+        (r.win_start, r.win_end, r.event_type, r.n_events, r.n_users_approx,
+         round(r.sum_value, 6))
+        for r in want.collect()
+    )
+    assert a == b and len(a) > 10
