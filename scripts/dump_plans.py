@@ -153,6 +153,25 @@ def main() -> None:
     )
     sections.append(
         (
+            "DSIR importance weights",
+            "256-row log-ratio table broadcasts into the per-doc pass; gram "
+            "rows checkpointed once for their three consumers; integer "
+            "micro-unit sums keep the result addition-order independent. "
+            "Zero Python.",
+            plan_of(q["dsir_weights"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
+            "BM25 search",
+            "Literal query-term table broadcasts (corpus rows never shuffle "
+            "for the term join); HOF tf over the materialized token array; "
+            "WindowGroupLimit cuts the top-10 map-side.",
+            plan_of(q["bm25_search"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
             "robots.txt retro-filter",
             "Declarative parse (line explode + window-tracked User-agent "
             "blocks) feeds a host equi-join; the per-url verdict is a "
