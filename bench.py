@@ -209,8 +209,18 @@ class ForeignCpuMeter:
     def stop(self, snap: tuple[int, int, float]) -> float:
         busy0, ours0, t0 = snap
         wall = max(time.perf_counter() - t0, 1e-6)
-        foreign = _total_busy_jiffies() - busy0 - (_tree_jiffies(self._pid) - ours0)
-        return max(0.0, foreign / (self._ncpu * wall * self._clk))
+        d_busy = _total_busy_jiffies() - busy0
+        d_ours = _tree_jiffies(self._pid) - ours0
+        if d_ours < 0:
+            # Subtree CPU history vanished mid-interval: a mid-level
+            # process (e.g. the PySpark worker daemon) died and its
+            # accumulated time was reaped by init, not by our tree.
+            # The reading is invalid — report the -1 sentinel rather
+            # than a fabricated foreign share (observed: an 8.7
+            # "fraction" from exactly this). Sentinel is < 0.15, so it
+            # never triggers a spurious retry.
+            return -1.0
+        return min(1.0, max(0.0, (d_busy - d_ours) / (self._ncpu * wall * self._clk)))
 
 
 def wait_for_quiet(threshold: float, max_wait: float) -> dict:
@@ -390,6 +400,8 @@ def run_bench(sf_dir: str, cpus: int, names: list[str], passes: int = 2) -> dict
         # (minimum) pass of each entry: ~0.00-0.03 quiet; a published
         # number with >0.15 here was measured under neighbor load even
         # after the bounded retry — discount it when comparing rounds.
+        # -1.0 = measurement invalidated for that pass (process-tree
+        # CPU history lost, e.g. a worker daemon reaped by init).
         "entry_foreign_cpu": entry_foreign,
         **extras,
     }
