@@ -224,3 +224,30 @@ def extract_html(html: str) -> dict:
         "n_blocks_total": len(blocks),
         "n_blocks_kept": len(kept),
     }
+
+
+class _LinkParser(HTMLParser):
+    """Collect <a href> values in document order (outlink extraction —
+    the webgraph edge source feeding operators/graph.py pagerank_int).
+    Same stdlib parser as block extraction: version-pinned by Python,
+    lenient on malformed markup, no external deps."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[str] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
+                    break
+
+
+def extract_links(html: str) -> list[str]:
+    """All <a href> targets of an HTML document, in document order,
+    duplicates preserved (the caller decides edge multiplicity)."""
+    p = _LinkParser()
+    p.feed(html)
+    p.close()
+    return p.links

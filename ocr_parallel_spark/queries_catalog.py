@@ -1138,6 +1138,54 @@ def q_pagerank(spark, sf_dir):
     return pr.select(F.col("node").alias("doc_id"), "rank_mi")
 
 
+def q_extract_links(spark, sf_dir):
+    """Outlink extraction — the webgraph edge source (feeds
+    pagerank_int in production): the kernel's stdlib HTML parser
+    collects <a href> targets in document order from the synthesized
+    pages. The oracle knows the synthesis rules analytically (variant
+    doc_id%3: 1 carries the 3 chrome-nav links, 2 the 3 link-farm
+    links, 0 none), so a parser or ordering bug flips rows red — the
+    same asymmetric-oracle pattern as robots_filter/warc. PDF/JSON and
+    planted-error payloads are excluded by the SAME synthesis modulos
+    on both sides (links live in html payloads only)."""
+    from ocr_parallel_spark.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir).filter(
+        (F.col("doc_id") % 50 != 7)
+        & (F.col("doc_id") % 40 != 11)
+        & (F.col("doc_id") % 40 != 31)
+    )
+
+    import pandas as pd  # noqa: F401
+
+    def links_of(batches):
+        import pandas as pd
+
+        from ocr_parallel_spark.kernel.html_extract import extract_links
+
+        for pdf in batches:
+            out = [
+                ",".join(extract_links(bytes(h).decode("utf-8", "replace")))
+                for h in pdf["html"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "links": out})
+
+    return (
+        pages.select("doc_id", "html")
+        .mapInPandas(links_of, "doc_id long, links string")
+        .select(
+            "doc_id",
+            (
+                F.when(F.col("links") == "", 0)
+                .otherwise(F.size(F.split(F.col("links"), ",")))
+            )
+            .cast("long")
+            .alias("n_links"),
+            "links",
+        )
+    )
+
+
 def _pagerank_oracle_sql(n_iter: int = 10, d: int = 85, scale: int = 10**9) -> str:
     """The oracle twin of q_pagerank: the identical integer recurrence
     unrolled as chained CTEs (recursive CTEs disallow aggregates in the
@@ -2114,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_charset": q_warc_charset,
         "robots_filter": q_robots_filter,
         "pagerank": q_pagerank,
+        "extract_links": q_extract_links,
         "dsir_weights": q_dsir_weights,
         "bm25_search": q_bm25_search,
         "pii_scrub": q_pii_scrub,
@@ -2617,6 +2666,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "extract_links": """
+            SELECT doc_id,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 0 ELSE 3 END
+                     AS BIGINT) AS n_links,
+                   CASE doc_id % 3
+                     WHEN 1 THEN '/,/tags,/about'
+                     WHEN 2 THEN '/x1,/x2,/x3'
+                     ELSE '' END AS links
+            FROM documents
+            WHERE doc_id % 50 <> 7 AND doc_id % 40 <> 11
+              AND doc_id % 40 <> 31
+        """,
         "robots_filter": """
             SELECT doc_id,
                    'site-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'

@@ -117,3 +117,17 @@ def test_error_rows_never_raise():
         rec = extract_payload(payload)
         assert rec["status"] == "error"
         assert rec["error_type"] is not None
+
+
+def test_extract_links_order_and_edge_cases():
+    from ocr_parallel_spark.kernel.html_extract import extract_links
+
+    html = (
+        "<a href='/1'>a</a><a name='x'>no href</a>"
+        "<div><A HREF='/2'>b</A><a href=''>empty</a></div>"
+        "<a href='/1'>dup kept</a><a href='https://e.com/p?q=1#f'>abs</a>"
+    )
+    assert extract_links(html) == ["/1", "/2", "/1", "https://e.com/p?q=1#f"]
+    assert extract_links("") == []
+    # malformed markup: lenient, never raises
+    assert extract_links("<a href='/x' <broken") in ([], ["/x"])
