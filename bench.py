@@ -39,6 +39,8 @@ HEADLINE = [
     "extraction_pipeline_heavy",
     "full_process_boundaries",
     "repeated_spans",
+    "winnowed_spans",
+    "pagerank_dangling",
     "ann_lsh_topk_wide",
     "curation_pipeline",
     "minhash_verified_pairs",
@@ -409,6 +411,18 @@ def run_bench(sf_dir: str, cpus: int, names: list[str], passes: int = 2) -> dict
     return out
 
 
+# Per-pass diagnostic traces go to this side file, NOT stdout: round 3's
+# single stdout line grew past the driver's capture window and BENCH_r03
+# recorded parsed:null — all per-query walls invisible to the grader.
+# The stdout line must stay compact AND be the final line printed.
+DETAIL_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
+
+# Diagnostic keys split out of the stdout line into DETAIL_FILE.
+_DETAIL_KEYS = ("pass_walls", "entry_load", "entry_foreign_cpu")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -431,7 +445,19 @@ def main() -> None:
     # headline runs only — subset runs are iteration loops, keep them fast.
     if not env_subset and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         out["scaling"] = run_scaling_block()
-    print(json.dumps(out))
+    detail = {k: out.pop(k) for k in _DETAIL_KEYS if k in out}
+    # One scalar survives on stdout: the worst foreign-CPU share over
+    # any PUBLISHED pass — >0.15 means some entry was measured under
+    # neighbor load even after the bounded retry.
+    foreign = [v for v in detail.get("entry_foreign_cpu", {}).values() if v >= 0]
+    out["max_foreign_cpu"] = max(foreign) if foreign else None
+    out["detail_file"] = os.path.basename(DETAIL_FILE)
+    try:
+        with open(DETAIL_FILE, "w", encoding="utf-8") as fh:
+            json.dump({**detail, "headline": out}, fh, indent=1)
+    except OSError:
+        pass  # diagnostics are best-effort; the headline line must print
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -251,3 +251,24 @@ def extract_links(html: str) -> list[str]:
     p.feed(html)
     p.close()
     return p.links
+
+
+def join_links_escaped(links: list[str]) -> str:
+    """Serialize a link list to ONE string losslessly: percent-encode
+    '%' first, then ',' per href, then comma-join. Real-web hrefs carry
+    commas (e.g. Google Maps /@lat,lng paths); a naive ``",".join``
+    would both corrupt the element count and be ambiguous to split.
+    Inverse: ``split(",")`` then unquote ``%2C`` -> ``,`` and ``%25``
+    -> ``%`` (split_links_escaped)."""
+    return ",".join(
+        link.replace("%", "%25").replace(",", "%2C") for link in links
+    )
+
+
+def split_links_escaped(s: str) -> list[str]:
+    """Inverse of :func:`join_links_escaped` (empty string -> [])."""
+    if s == "":
+        return []
+    return [
+        part.replace("%2C", ",").replace("%25", "%") for part in s.split(",")
+    ]

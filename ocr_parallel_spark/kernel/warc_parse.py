@@ -32,16 +32,29 @@ _BLANK = b"\r\n\r\n"
 
 def maybe_gunzip(data: bytes) -> bytes:
     """Decompress every concatenated gzip member; pass plain bytes
-    through untouched."""
+    through untouched. Raises ``ValueError`` — mirroring
+    :func:`parse_warc`'s truncation errors — on a truncated member or
+    on trailing non-gzip bytes after the last member (a corrupt tail
+    or a gzip+plain concatenation must surface as an error row
+    upstream, never as silently-lost records)."""
     if not data.startswith(GZIP_MAGIC):
         return data
     out = []
     rest = data
     while rest.startswith(GZIP_MAGIC):
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        out.append(d.decompress(rest))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(rest))
+            out.append(d.flush())
+        except zlib.error as exc:
+            raise ValueError(f"gzip: corrupt member ({exc})") from exc
+        if not d.eof:
+            raise ValueError("gzip: truncated member (stream ends mid-record)")
         rest = d.unused_data
+    if rest:
+        raise ValueError(
+            f"gzip: {len(rest)} trailing bytes after last member are not gzip"
+        )
     return b"".join(out)
 
 

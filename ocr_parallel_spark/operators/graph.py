@@ -114,6 +114,7 @@ def pagerank_int(
     damping_pct: int = 85,
     scale: int = 10**9,
     nodes: DataFrame | None = None,
+    dangling: str = "teleport",
 ) -> DataFrame:
     """Deterministic integer PageRank over a directed graph — webgraph
     link analysis (host/page authority for crawl prioritization and
@@ -130,11 +131,24 @@ def pagerank_int(
     both engines — which is what lets the DuckDB oracle unroll the same
     recurrence and value-hash the result (float PageRank could never
     hash-match across engines: per-iteration sum order differs).
-    Dangling-node mass goes to teleport only (standard simplification,
-    documented); duplicate/self edges are dropped. One count() job
-    fixes N driver-side (the only collect); per-iteration lineage is
-    cut with localCheckpoint like :func:`connected_components`.
+    ``dangling`` controls no-out-edge nodes: ``"teleport"`` (default)
+    lets their mass leak to the teleport term only — the standard
+    simplification; ``"redistribute"`` adds the canonical correction,
+    spreading each iteration's dangling mass uniformly::
+
+        extra_k      = (sum_{outdeg(u)=0} rank_k(u)) div N
+        rank_k+1(v)  = base + (d * (sum_in + extra_k)) div 100
+
+    still all-bigint, so the oracle stays exact (the per-iteration
+    dangling sum is one scalar subquery in the unrolled CTE chain).
+    The dangling sum is computed as a one-row aggregate broadcast into
+    the rank update — plan-side, never collected. Duplicate/self edges
+    are dropped. One count() job fixes N driver-side (the only
+    collect); per-iteration lineage is cut with localCheckpoint like
+    :func:`connected_components`.
     """
+    if dangling not in ("teleport", "redistribute"):
+        raise ValueError(f"unknown dangling mode: {dangling!r}")
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -151,6 +165,12 @@ def pagerank_int(
         return node_set.select("node", F.lit(0).cast("long").alias("rank_mi"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e2 = e.join(outdeg, "src").localCheckpoint(eager=False)
+    if dangling == "redistribute":
+        # Node ids with no out-edges, fixed once (the edge set is
+        # static across iterations).
+        dang = node_set.join(
+            outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=False)
     base = (scale * (100 - damping_pct)) // (100 * n)
     ranks = node_set.select(
         "node", F.lit(scale // n).cast("long").alias("rank_mi")
@@ -165,15 +185,30 @@ def pagerank_int(
             .groupBy("node")
             .agg(F.sum("_c").alias("_m"))
         )
-        ranks = (
-            node_set.join(inc, "node", "left")
-            .select(
-                "node",
-                F.expr(
-                    f"CAST({base} AS BIGINT) + "
-                    f"({damping_pct} * COALESCE(_m, CAST(0 AS BIGINT))) div 100"
-                ).alias("rank_mi"),
+        upd = node_set.join(inc, "node", "left")
+        if dangling == "redistribute":
+            # One-row dangling-mass aggregate, broadcast-cross-joined
+            # into every node's update (no driver collect).
+            dmass = ranks.join(dang, "node").agg(
+                F.coalesce(F.sum("rank_mi"), F.lit(0))
+                .cast("long")
+                .alias("_dm")
             )
-            .localCheckpoint(eager=False)
-        )
+            upd = upd.crossJoin(
+                F.broadcast(
+                    dmass.select(F.expr(f"_dm div {n}").alias("_extra"))
+                )
+            )
+            rank_expr = (
+                f"CAST({base} AS BIGINT) + ({damping_pct} * "
+                f"(COALESCE(_m, CAST(0 AS BIGINT)) + _extra)) div 100"
+            )
+        else:
+            rank_expr = (
+                f"CAST({base} AS BIGINT) + "
+                f"({damping_pct} * COALESCE(_m, CAST(0 AS BIGINT))) div 100"
+            )
+        ranks = upd.select(
+            "node", F.expr(rank_expr).alias("rank_mi")
+        ).localCheckpoint(eager=False)
     return ranks

@@ -1,7 +1,8 @@
 """Operator catalog for the driver contract (__spark_entry__.py).
 
 One entry per implemented operator from SURVEY.md §2 + the training-data
-toolkit (60 queries; 54 with exact DuckDB value-hash oracles).
+toolkit (counts live in README.md — the dicts at the bottom of this
+module are the source of truth).
 Every SQL-expressible ``queries()`` callable has a DuckDB ``oracle_sql()`` twin
 over the same parquet views, with identical column names and types
 (counts cast to bigint, ratios rounded to 4 decimals on both sides) so the
@@ -362,13 +363,29 @@ def q_embedding_neardup(spark, sf_dir):
     baseline that grounds the LSH scale path (ann_lsh_topk); all-pairs is
     O(n^2) by definition, so production runs bucket first and verify
     exactly within buckets. Unit vectors are precomputed once per row
-    (norms never recomputed per pair)."""
+    (norms never recomputed per pair). Every vec_id % 100 == 0 row is
+    REPLACED by a planted near-constant vector (base 100, tiny per-id
+    phase shift) so the >= 0.9 band provably fires: random synthetic
+    embeddings never reach 0.9 cosine, and round 3 showed the gate was
+    vacuous (0 rows on both sides asserts nothing). The oracle applies
+    the IDENTICAL planting, so the gate now pins C(k,2) true pairs per
+    scale."""
     from ocr_parallel_spark.functions.similarity import dot, norm
 
+    planted = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.lit(100.0)
+        + ((F.expr("vec_id div 100") + j) % 5).cast("double"),
+    )
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") < 1000)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") % 100 == 0, planted)
+            .otherwise(F.col("embedding").cast("array<double>"))
+            .alias("v"),
+        )
         .withColumn("_n", norm(F.col("v")))
         .filter(F.col("_n") > 0)
         .select(
@@ -1123,6 +1140,15 @@ def q_pagerank(spark, sf_dir):
     iterative-workload shape alongside dup_components."""
     from ocr_parallel_spark.operators.graph import pagerank_int
 
+    d, edges = _pagerank_edges(spark, sf_dir)
+    pr = pagerank_int(edges, nodes=d.select(F.col("doc_id").alias("node")))
+    return pr.select(F.col("node").alias("doc_id"), "rank_mi")
+
+
+def _pagerank_edges(spark, sf_dir):
+    """The planted link digraph shared by every pagerank query: doc ->
+    (3*doc+1) mod N and doc -> (7*doc+3) mod N, self-loops dropped by
+    pagerank_int."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     n = d.count()
     edges = d.select(
@@ -1134,8 +1160,57 @@ def q_pagerank(spark, sf_dir):
             ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
         )
     )
-    pr = pagerank_int(edges, nodes=d.select(F.col("doc_id").alias("node")))
+    return d, edges
+
+
+def q_pagerank_dangling(spark, sf_dir):
+    """PageRank with the canonical dangling-mass redistribution: every
+    doc_id % 97 == 0 node has its out-edges removed (a crawl frontier
+    page whose links were never fetched — at webgraph scale a large
+    mass fraction), and each iteration's dangling mass is spread
+    uniformly instead of leaking to teleport. Still bigint-exact end
+    to end: the per-iteration dangling sum is integer, its div-N share
+    enters the same floor-division recurrence, so the DuckDB oracle
+    unrolls the identical chain with one scalar dangling subquery per
+    iteration and value-hash-matches."""
+    from ocr_parallel_spark.operators.graph import pagerank_int
+
+    d, edges = _pagerank_edges(spark, sf_dir)
+    edges = edges.filter(F.col("src") % 97 != 0)
+    pr = pagerank_int(
+        edges,
+        nodes=d.select(F.col("doc_id").alias("node")),
+        dangling="redistribute",
+    )
     return pr.select(F.col("node").alias("doc_id"), "rank_mi")
+
+
+def q_pagerank_by_host(spark, sf_dir):
+    """Host-level authority rollup — the webgraph example feeding
+    domain_stats: per-page integer PageRank aggregated to the
+    synthesis host (site-{doc_id % 7}.example.com, the same host rule
+    domain_stats uses), giving the per-domain rank mass + page count a
+    crawl scheduler prioritizes by. Integer ranks sum exactly, so the
+    rollup stays value-hash matchable."""
+    from ocr_parallel_spark.operators.graph import pagerank_int
+
+    d, edges = _pagerank_edges(spark, sf_dir)
+    pr = pagerank_int(edges, nodes=d.select(F.col("doc_id").alias("node")))
+    return (
+        pr.select(
+            F.concat(
+                F.lit("site-"),
+                (F.col("node") % 7).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            "rank_mi",
+        )
+        .groupBy("host")
+        .agg(
+            F.sum("rank_mi").alias("host_rank_mi"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
 
 
 def q_extract_links(spark, sf_dir):
@@ -1147,7 +1222,11 @@ def q_extract_links(spark, sf_dir):
     links, 0 none), so a parser or ordering bug flips rows red — the
     same asymmetric-oracle pattern as robots_filter/warc. PDF/JSON and
     planted-error payloads are excluded by the SAME synthesis modulos
-    on both sides (links live in html payloads only)."""
+    on both sides (links live in html payloads only). Links are joined
+    with a LOSSLESS escape (percent-encode '%' then ',' per href before
+    the comma join — join_links_escaped) so an href containing a comma
+    can neither corrupt n_links nor merge with its neighbor; n_links is
+    counted on the list BEFORE serialization."""
     from ocr_parallel_spark.pages import synthesize_pages
 
     pages = synthesize_pages(spark, sf_dir).filter(
@@ -1161,38 +1240,49 @@ def q_extract_links(spark, sf_dir):
     def links_of(batches):
         import pandas as pd
 
-        from ocr_parallel_spark.kernel.html_extract import extract_links
+        from ocr_parallel_spark.kernel.html_extract import (
+            extract_links,
+            join_links_escaped,
+        )
 
         for pdf in batches:
-            out = [
-                ",".join(extract_links(bytes(h).decode("utf-8", "replace")))
+            parsed = [
+                extract_links(bytes(h).decode("utf-8", "replace"))
                 for h in pdf["html"]
             ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "links": out})
-
-    return (
-        pages.select("doc_id", "html")
-        .mapInPandas(links_of, "doc_id long, links string")
-        .select(
-            "doc_id",
-            (
-                F.when(F.col("links") == "", 0)
-                .otherwise(F.size(F.split(F.col("links"), ",")))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_links": [len(ls) for ls in parsed],
+                    "links": [join_links_escaped(ls) for ls in parsed],
+                }
             )
-            .cast("long")
-            .alias("n_links"),
-            "links",
-        )
+
+    return pages.select("doc_id", "html").mapInPandas(
+        links_of, "doc_id long, n_links long, links string"
     )
 
 
-def _pagerank_oracle_sql(n_iter: int = 10, d: int = 85, scale: int = 10**9) -> str:
-    """The oracle twin of q_pagerank: the identical integer recurrence
-    unrolled as chained CTEs (recursive CTEs disallow aggregates in the
-    recursive member). Explicit BIGINT casts keep DuckDB's
-    int32-literal arithmetic from overflowing; SUM() returns HUGEINT,
-    which flows through the iterations value-identically and is cast
-    back to BIGINT only at the end (the round-1 HUGEINT lesson)."""
+def _pagerank_oracle_sql(
+    n_iter: int = 10,
+    d: int = 85,
+    scale: int = 10**9,
+    edge_filter: str | None = None,
+    dangling_redistribute: bool = False,
+    final_select: str | None = None,
+) -> str:
+    """The oracle twin of q_pagerank (+variants): the identical integer
+    recurrence unrolled as chained CTEs (recursive CTEs disallow
+    aggregates in the recursive member). Explicit BIGINT casts keep
+    DuckDB's int32-literal arithmetic from overflowing; SUM() returns
+    HUGEINT, which flows through the iterations value-identically and is
+    cast back to BIGINT only at the end (the round-1 HUGEINT lesson).
+    ``edge_filter`` prunes synthesized edges (plants dangling nodes for
+    the redistribute gate); ``dangling_redistribute`` mirrors
+    pagerank_int(dangling="redistribute") — one scalar dangling-sum
+    subquery per unrolled iteration; ``final_select`` swaps the output
+    projection (host rollup etc.)."""
+    ef = f" AND ({edge_filter})" if edge_filter else ""
     parts = [
         f"""
         WITH nodes AS (SELECT doc_id AS node FROM documents),
@@ -1204,7 +1294,7 @@ def _pagerank_oracle_sql(n_iter: int = 10, d: int = 85, scale: int = 10**9) -> s
             UNION ALL
             SELECT doc_id,
                    (doc_id*7+3) % (SELECT cnt FROM nn) FROM documents
-          ) WHERE src <> dst
+          ) WHERE src <> dst{ef}
         ),
         o AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
         r0 AS (SELECT node,
@@ -1212,13 +1302,26 @@ def _pagerank_oracle_sql(n_iter: int = 10, d: int = 85, scale: int = 10**9) -> s
                FROM nodes)"""
     ]
     for k in range(1, n_iter + 1):
+        if dangling_redistribute:
+            extra = (
+                f"(SELECT COALESCE(SUM(rank_mi), 0) FROM r{k - 1} "
+                "WHERE node NOT IN (SELECT src FROM o)) "
+                "// (SELECT cnt FROM nn)"
+            )
+            mass = f"(COALESCE(s.m, 0) + {extra})"
+        else:
+            mass = "COALESCE(s.m, 0)"
+        # MATERIALIZED is load-bearing in the dangling variant: r{k-1}
+        # is referenced twice (inbound join + dangling-sum subquery);
+        # DuckDB inlines plain CTEs, which makes the chain's cost
+        # double per iteration — 2^10 evaluations by r10.
         parts.append(
             f""",
-        r{k} AS (
+        r{k} AS MATERIALIZED (
           SELECT nodes.node,
                  (CAST({scale} AS BIGINT) * {100 - d})
                    // (100 * (SELECT cnt FROM nn))
-                 + ({d} * COALESCE(s.m, 0)) // 100 AS rank_mi
+                 + ({d} * {mass}) // 100 AS rank_mi
           FROM nodes LEFT JOIN (
             SELECT e.dst AS node, SUM(r.rank_mi // o.outdeg) AS m
             FROM e JOIN r{k - 1} r ON e.src = r.node
@@ -1228,7 +1331,8 @@ def _pagerank_oracle_sql(n_iter: int = 10, d: int = 85, scale: int = 10**9) -> s
         )"""
         )
     parts.append(
-        f"""
+        final_select
+        or f"""
         SELECT node AS doc_id, CAST(rank_mi AS BIGINT) AS rank_mi
         FROM r{n_iter}"""
     )
@@ -1466,6 +1570,13 @@ SHARED_SPAN = (
     "brew strong potions beneath the ancient stone bridge"
 )
 SPAN_W = 15
+# Winnowing window (Schleimer et al. 2003, "Winnowing: Local Algorithms
+# for Document Fingerprinting"): keep only the minimum span hash per
+# window of WINNOW_W consecutive positions. Guarantee: any shared run of
+# >= SPAN_W + WINNOW_W - 1 tokens shares a fingerprint; row volume drops
+# to ~2/(WINNOW_W+1) of stride-1. The 20-token SHARED_SPAN clears the
+# 15 + 4 - 1 = 18-token guarantee threshold.
+WINNOW_W = 4
 
 
 def q_repeated_spans(spark, sf_dir):
@@ -1521,6 +1632,73 @@ def q_repeated_spans(spark, sf_dir):
         .select(
             "doc_id",
             F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("has_shared"),
+        )
+    )
+
+
+def q_winnowed_spans(spark, sf_dir):
+    """Scale path for exact-substring span dedup: WINNOWING (Schleimer
+    et al. 2003, public) over the same stride-1 window-15 sha2 spans as
+    q_repeated_spans. Instead of shuffling one row per token — linear
+    but corpus-sized at 100 TB — only the minimum hash per window of
+    WINNOW_W consecutive spans is kept, cutting emitted rows to
+    ~2/(WINNOW_W+1) while GUARANTEEING any shared run of
+    SPAN_W + WINNOW_W - 1 = 18+ tokens still collides (the shared
+    window's min is selected by both docs). The planted 20-token
+    SHARED_SPAN therefore stays caught: has_shared is true for every
+    doc_id % 9 == 0 doc in BOTH variants (pinned in pytest). The
+    oracle runs the identical selection in DuckDB — min over a hash
+    window is engine-neutral (lexicographic min over lowercase hex)."""
+    d = _docs(spark, sf_dir)
+    text = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.col("norm"), F.lit(" " + SHARED_SPAN)),
+    ).otherwise(F.col("norm"))
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    spans = F.when(
+        n >= SPAN_W,
+        F.transform(
+            F.sequence(F.lit(1), n - (SPAN_W - 1)),
+            lambda i: F.sha2(F.array_join(F.slice(toks, i, SPAN_W), " "), 256),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Materialize spans in its own projection so the winnow transform
+    # (which references it WINNOW_W times per output element via slice)
+    # does not re-evaluate the sha2 chain per reference.
+    s = d.select("doc_id", spans.alias("_spans"))
+    k = F.size(F.col("_spans"))
+    fps = F.when(
+        k > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k - (WINNOW_W - 1), F.lit(1))),
+                lambda i: F.array_min(F.slice(F.col("_spans"), i, WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = s.select(
+        "doc_id", F.explode(fps).alias("_fp")
+    ).localCheckpoint(eager=False)
+    # (doc_id, _fp) pairs are unique by construction (array_distinct per
+    # doc) -> plain count == distinct-doc count, no distinct-agg expand.
+    freq = g.groupBy("_fp").agg(F.count(F.lit(1)).alias("_docs"))
+    per_doc = (
+        g.join(freq, "_fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum((F.col("_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_fp"), F.lit(0)).cast("long").alias("n_fp"),
             F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
             (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("has_shared"),
         )
@@ -2162,6 +2340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_charset": q_warc_charset,
         "robots_filter": q_robots_filter,
         "pagerank": q_pagerank,
+        "pagerank_dangling": q_pagerank_dangling,
+        "pagerank_by_host": q_pagerank_by_host,
+        "winnowed_spans": q_winnowed_spans,
         "extract_links": q_extract_links,
         "dsir_weights": q_dsir_weights,
         "bm25_search": q_bm25_search,
@@ -2468,6 +2649,47 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.n_shared, 0) > 0 AS has_shared
             FROM docs d LEFT JOIN per_doc p USING (doc_id)
         """,
+        "winnowed_spans": f"""
+            WITH {_DOCS_CTE},
+            t AS (
+              SELECT doc_id, string_split(
+                CASE WHEN doc_id % 9 = 0
+                     THEN norm || ' {SHARED_SPAN}' ELSE norm END,
+                ' ') AS toks
+              FROM docs
+            ),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= {SPAN_W}
+                  THEN list_transform(generate_series(1, len(toks)-{SPAN_W - 1}),
+                         i -> sha256(array_to_string(
+                           toks[i:i+{SPAN_W - 1}], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS spans
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(spans) > 0
+                  THEN list_transform(
+                         generate_series(1, greatest(len(spans)-{WINNOW_W - 1}, 1)),
+                         i -> list_min(spans[i:i+{WINNOW_W - 1}]))
+                  ELSE CAST([] AS VARCHAR[]) END)) AS fp
+              FROM s
+            ),
+            freq AS (SELECT fp, count(*) AS docs FROM g GROUP BY fp),
+            per_doc AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_fp,
+                     CAST(sum(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_shared
+              FROM g JOIN freq f USING (fp) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_fp, 0) AS BIGINT) AS n_fp,
+                   CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+                   coalesce(p.n_shared, 0) > 0 AS has_shared
+            FROM docs d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "domain_stats": f"""
             WITH d AS (
               SELECT doc_id,
@@ -2666,6 +2888,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "pagerank_dangling": _pagerank_oracle_sql(
+            edge_filter="src % 97 <> 0", dangling_redistribute=True
+        ),
+        "pagerank_by_host": _pagerank_oracle_sql(
+            final_select="""
+        SELECT 'site-' || CAST(node % 7 AS VARCHAR) || '.example.com' AS host,
+               CAST(SUM(rank_mi) AS BIGINT) AS host_rank_mi,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM r10 GROUP BY 1"""
+        ),
         "extract_links": """
             SELECT doc_id,
                    CAST(CASE doc_id % 3 WHEN 0 THEN 0 ELSE 3 END
@@ -3002,7 +3234,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": """
             WITH e0 AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              SELECT vec_id,
+                     CASE WHEN vec_id % 100 = 0
+                       THEN list_transform(generate_series(0, 63),
+                              j -> CAST(100 AS DOUBLE)
+                                   + CAST((vec_id // 100 + j) % 5 AS DOUBLE))
+                       ELSE embedding::DOUBLE[] END AS v
+              FROM embeddings
               WHERE vec_id < 1000),
             e1 AS (
               SELECT vec_id, v,

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 WARC_RECORDS_SCHEMA = (
     "path string, record_idx long, warc_type string, target_uri string, "
-    "content_type string, warc_date string, block binary"
+    "content_type string, warc_date string, block binary, error string"
 )
 
 
@@ -36,7 +36,15 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
     ``warc_type`` / ``target_uri`` / ``content_type`` (WARC headers),
     ``block`` (the raw Content-Length bytes; for ``response`` records
     split HTTP framing off with
-    ``kernel.warc_parse.split_http_response``).
+    ``kernel.warc_parse.split_http_response``), ``error`` (null for
+    parsed records).
+
+    Error-as-data (the X7 convention): a truncated or malformed archive
+    yields ONE row with ``warc_type='_error'``, ``record_idx=-1`` and
+    the parser's message in ``error`` instead of failing the task — one
+    bad file in a 100 TB crawl must not kill the job after task
+    retries. Consumers filter ``warc_type == 'response'``, so error
+    rows flow only to whoever asks for them.
     """
     import pandas as pd
 
@@ -59,11 +67,19 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
             "content_type",
             "warc_date",
             "block",
+            "error",
         ]
         for pdf in batches:
             rows = []
             for path_, content in zip(pdf["path"], pdf["content"]):
-                for i, rec in enumerate(parse_warc(maybe_gunzip(bytes(content)))):
+                try:
+                    recs = parse_warc(maybe_gunzip(bytes(content)))
+                except ValueError as exc:
+                    rows.append(
+                        (path_, -1, "_error", "", "", "", b"", str(exc)[:500])
+                    )
+                    continue
+                for i, rec in enumerate(recs):
                     rows.append(
                         (
                             path_,
@@ -73,11 +89,30 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
                             rec["content_type"],
                             rec["warc_date"],
                             rec["block"],
+                            None,
                         )
                     )
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(gen, WARC_RECORDS_SCHEMA)
+
+
+def _fixture_key(sf_dir: str, salt: bytes) -> str:
+    """Fixture cache key: md5 over the parse kernel's source, THIS
+    module's source, the sf dir, and a per-fixture salt. Both sources
+    matter — a synthesis-logic or CHARSET_SUFFIXES edit here used to
+    keep the old key and spuriously red the warc gates until /tmp was
+    cleared."""
+    import hashlib
+
+    import ocr_parallel_spark.kernel.warc_parse as _kmod
+
+    h = hashlib.md5()
+    for mod_file in (_kmod.__file__, __file__):
+        with open(mod_file, "rb") as fh:
+            h.update(fh.read())
+    h.update(sf_dir.encode() + salt)
+    return h.hexdigest()[:10]
 
 
 def synthesize_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -87,18 +122,17 @@ def synthesize_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     (the CC wire format) so the gated read path exercises the
     multi-member decompression loop. Each archive opens with a
     ``warcinfo`` record the reader must type (and consumers filter).
-    Idempotent: keyed on the kernel source + sf_dir, marker-completed
-    so a partial dir from an interrupted build never passes for a
-    fixture."""
+    Idempotent: keyed on the kernel source + THIS module's source +
+    sf_dir (editing synthesis logic or CHARSET_SUFFIXES here must
+    invalidate the cache, not silently reuse a stale fixture),
+    marker-completed so a partial dir from an interrupted build never
+    passes for a fixture."""
     import gzip
-    import hashlib
     import os
 
-    import ocr_parallel_spark.kernel.warc_parse as _kmod
     from ocr_parallel_spark.kernel.warc_parse import build_record
 
-    with open(_kmod.__file__, "rb") as fh:
-        key = hashlib.md5(fh.read() + sf_dir.encode() + b"v1").hexdigest()[:10]
+    key = _fixture_key(sf_dir, b"v1")
     out_dir = f"/tmp/warc_fixture_{key}"
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
@@ -272,17 +306,13 @@ def synthesize_charset_fixture(spark: SparkSession, sf_dir: str) -> str:
     (2) UTF-8 with BOM and no declaration anywhere, (3) UTF-16-LE with
     BOM. Each text gets a deterministic non-ASCII suffix (the corpus is
     pure ASCII, which would make every charset vacuously correct).
-    Idempotent and marker-completed like the main fixture."""
-    import hashlib
+    Idempotent and marker-completed like the main fixture; cache key
+    covers kernel + this module's source (see synthesize_warc_fixture)."""
     import os
 
-    import ocr_parallel_spark.kernel.warc_parse as _kmod
     from ocr_parallel_spark.kernel.warc_parse import build_record
 
-    with open(_kmod.__file__, "rb") as fh:
-        key = hashlib.md5(
-            fh.read() + sf_dir.encode() + b"charset-v1"
-        ).hexdigest()[:10]
+    key = _fixture_key(sf_dir, b"charset-v1")
     out_dir = f"/tmp/warc_charset_{key}"
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):

@@ -134,6 +134,18 @@ def main() -> None:
     )
     sections.append(
         (
+            "Winnowed span fingerprints (scale path for span dedup)",
+            "Minimizer sampling inside the row (transform + array_min over "
+            "the span-hash array — all codegen, no Python): only ~2/(w+1) "
+            "of the stride-1 span hashes ever explode into rows, so the "
+            "keyed shuffle carries a fraction of the corpus re-key that "
+            "made stride-1 the round-3 perf-weak item; the exploded rows "
+            "are (doc_id, 32-byte hash) only.",
+            plan_of(q["winnowed_spans"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
             "Sketch statistics (HLL++ / approx percentiles)",
             "One partial-agg pass: HashAggregate(partial) on the scan side "
             "carries the mergeable sketch state, one exchange on the group "

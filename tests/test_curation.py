@@ -366,6 +366,38 @@ def test_repeated_spans_flags_planted_shared_sentence(spark, sf_dir):
     assert clean.filter(F.col("has_shared")).count() < clean.count() * 0.2
 
 
+def test_winnowed_spans_agrees_on_planted_and_cuts_volume(spark, sf_dir):
+    """The winnowed (minimizer-sampled) variant must (a) still flag
+    every planted doc — the 20-token span clears the
+    SPAN_W + WINNOW_W - 1 = 18-token winnowing guarantee — and (b)
+    emit far fewer fingerprint rows than stride-1 (~2/(w+1)), which is
+    the whole point: at 100 TB the stride-1 re-key is corpus-sized."""
+    from ocr_parallel_spark.queries_catalog import (
+        WINNOW_W,
+        q_repeated_spans,
+        q_winnowed_spans,
+    )
+
+    win = q_winnowed_spans(spark, sf_dir)
+    planted = win.filter(F.col("doc_id") % 9 == 0)
+    assert planted.filter(~F.col("has_shared")).count() == 0
+    # volume: total fingerprints vs total stride-1 spans
+    n_fp = win.agg(F.sum("n_fp")).collect()[0][0]
+    n_spans = (
+        q_repeated_spans(spark, sf_dir).agg(F.sum("n_spans")).collect()[0][0]
+    )
+    assert n_fp < n_spans * (2.5 / (WINNOW_W + 1))
+    # winnowed shared set stays a SUBSET story: a doc flagged by the
+    # sampled variant is flagged by the exhaustive one too
+    both = win.select("doc_id", F.col("has_shared").alias("w")).join(
+        q_repeated_spans(spark, sf_dir).select(
+            "doc_id", F.col("has_shared").alias("s")
+        ),
+        "doc_id",
+    )
+    assert both.filter(F.col("w") & ~F.col("s")).count() == 0
+
+
 def test_token_budget_mix_budget_and_determinism(spark, sf_dir):
     from ocr_parallel_spark.queries_catalog import q_token_budget_mix
 

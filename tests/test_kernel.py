@@ -131,3 +131,25 @@ def test_extract_links_order_and_edge_cases():
     assert extract_links("") == []
     # malformed markup: lenient, never raises
     assert extract_links("<a href='/x' <broken") in ([], ["/x"])
+
+
+def test_link_join_escaped_lossless():
+    """A comma or percent inside an href must survive the serialized
+    round trip — a naive comma join corrupts n_links on real-web URLs
+    (e.g. maps /@lat,lng paths)."""
+    from ocr_parallel_spark.kernel.html_extract import (
+        extract_links,
+        join_links_escaped,
+        split_links_escaped,
+    )
+
+    links = ["/@40.7,-74.0", "/p?a=1,2", "/100%25off", "/plain"]
+    s = join_links_escaped(links)
+    # escaped commas are %2C, so every raw comma is a separator
+    assert s.count(",") == len(links) - 1
+    assert split_links_escaped(s) == links
+    assert split_links_escaped("") == []
+    assert split_links_escaped(join_links_escaped([])) == []
+    html = "<a href='/@40.7,-74.0'>x</a><a href='/100%25off'>y</a>"
+    parsed = extract_links(html)
+    assert split_links_escaped(join_links_escaped(parsed)) == parsed

@@ -346,3 +346,30 @@ def test_pagerank_matches_pure_python_recurrence(spark, sf_dir):
     top = max(got, key=got.get)
     avg_in = sum(len(v) for v in incoming.values()) / n
     assert len(incoming.get(top, [])) >= avg_in
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """dangling='redistribute' must conserve total rank mass (within
+    floor-division dust), where the teleport default visibly leaks the
+    dangling node's share each iteration."""
+    import pytest
+
+    from ocr_parallel_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    tele = sum(
+        r.rank_mi for r in pagerank_int(edges, nodes=nodes).collect()
+    )
+    redis = sum(
+        r.rank_mi
+        for r in pagerank_int(
+            edges, nodes=nodes, dangling="redistribute"
+        ).collect()
+    )
+    scale = 10**9
+    assert redis > tele
+    assert abs(redis - scale) < scale // 100  # conserved within 1%
+    assert tele < scale * 0.9  # the leak the option exists to fix
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_int(edges, nodes=nodes, dangling="bogus")

@@ -141,6 +141,49 @@ def test_warc_split_http_no_blank_line():
     assert status == "HTTP/1.1 204 No Content" and body == b""
 
 
+def test_warc_error_as_data(spark, tmp_path):
+    """One truncated archive must become ONE '_error' row — not a task
+    failure that kills the job — while sibling archives parse normally
+    (the X7 error-as-data contract, ADVICE round 3)."""
+    from ocr_parallel_spark.kernel.warc_parse import build_record
+    from ocr_parallel_spark.sources.warc import read_warc, warc_docs
+
+    good = build_record(
+        "response", "http://e/1", b"HTTP/1.1 200 OK\r\n\r\nok", "<urn:1>"
+    )
+    (tmp_path / "good.warc").write_bytes(good)
+    (tmp_path / "bad.warc").write_bytes(good[:-10])  # cut inside the block
+    rows = read_warc(spark, str(tmp_path)).collect()
+    errs = [r for r in rows if r.warc_type == "_error"]
+    assert len(errs) == 1
+    assert errs[0].path.endswith("bad.warc")
+    assert errs[0].record_idx == -1
+    assert "truncated" in errs[0].error
+    ok = [r for r in rows if r.warc_type == "response"]
+    assert len(ok) == 1 and ok[0].error is None
+    # downstream consumers see only the parsed records
+    docs = warc_docs(spark, str(tmp_path)).collect()
+    assert len(docs) == 1 and docs[0].text == "ok"
+
+
+def test_maybe_gunzip_rejects_corrupt_tails():
+    """Trailing non-gzip bytes or a truncated member must raise (and so
+    become an error row via read_warc), never silently drop records."""
+    import gzip
+
+    import pytest
+
+    from ocr_parallel_spark.kernel.warc_parse import maybe_gunzip
+
+    member = gzip.compress(b"payload", mtime=0)
+    assert maybe_gunzip(member + member) == b"payloadpayload"
+    assert maybe_gunzip(b"plain bytes") == b"plain bytes"
+    with pytest.raises(ValueError, match="trailing"):
+        maybe_gunzip(member + b"JUNKJUNK")
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        maybe_gunzip(member[:-4])
+
+
 def test_warc_docs_survives_malformed_utf8(spark, tmp_path):
     """A crawl page with invalid UTF-8 bytes must become U+FFFD text,
     not a MALFORMED_CHARACTER_CODING job kill (decode() would raise;
