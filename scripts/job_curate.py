@@ -29,20 +29,37 @@ def build_output(
     min_line_count: int = 5,
     line_tokens: int = 8,
     robots_df=None,
+    near_dup: bool = False,
+    near_dup_threshold: float = 0.5,
 ):
     """The batch curation composition; returns one verdict row per doc.
 
     ``blocked_hosts``: DataFrame with a ``host`` column (empty screen if
     None). ``bench_docs``: DataFrame with a ``text`` column whose word
     8-grams define the decontamination set (stage skipped if None).
+    ``near_dup=True`` adds the fuzzy-dedup stage after exact dedup:
+    MinHash-LSH candidates over the cleaned text -> exact-Jaccard
+    verify >= ``near_dup_threshold`` -> connected components -> every
+    non-canonical cluster member (canonical = min doc_id) dropped as
+    ``near_dup`` — the composition the ``minhash_clusters`` catalog
+    gate pins, wired into the production job. A real 100 TB curation
+    run leads with this stage; it is opt-in here because the LSH
+    banding pass is the job's most expensive stage.
+
+    INVARIANT: every input doc_id yields exactly one verdict row — a
+    NULL-text doc flows through as ``boilerplate`` (text is coalesced
+    to '' and the lines join is a left join), never silently lost and
+    re-selected as TODO forever (ADVICE round 3).
 
     Resume scope note: under run_resumable the corpus-global signals
-    (line frequencies, the dup window) see only the never-committed
-    TODO slice of each run — a line must repeat within a run to be
-    dropped. That is the standard incremental-curation tension; the
-    arbiter is a periodic full-corpus recompute over the committed
-    table, exactly the streaming-ingest / batch-compaction split the
-    rest of the engine uses (streaming/curation.py docstring)."""
+    (line frequencies, the dup window+components) see only the
+    never-committed TODO slice of each run — a line must repeat within
+    a run to be dropped, a near-dup pair split across runs is missed.
+    That is the standard incremental-curation tension; the arbiter is
+    ``--recompute``: re-run THIS composition over the full input and
+    overwrite the committed verdicts (main below), exactly the
+    streaming-ingest / batch-compaction split the rest of the engine
+    uses (streaming/curation.py docstring)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -102,19 +119,36 @@ def build_output(
     # \r?\n, not \n: CRLF docs would otherwise carry a trailing \r per
     # line, splitting every banner's frequency count across the two
     # line-ending variants (and splitting dup hashes the same way).
-    norm = normalize_col("text")
-    has_nl = F.instr(F.col("text"), "\n") > 0
-    lines_arr = F.when(has_nl, F.split(F.col("text"), r"\r?\n")).otherwise(
+    # NULL text would make every expression below NULL: the [null] line
+    # key is dropped by dedup_lines' frequency equi-join, the doc
+    # vanishes from `lined`, and an inner screens<->lined join would
+    # silently drop its verdict row — the doc then re-selected as TODO
+    # on every resume run. Coalesce first; belt-and-braces, the join
+    # below is ALSO a left join with defaults.
+    text_nn = F.coalesce(F.col("text"), F.lit(""))
+    norm = normalize_col(text_nn)
+    has_nl = F.instr(text_nn, "\n") > 0
+    lines_arr = F.when(has_nl, F.split(text_nn, r"\r?\n")).otherwise(
         word_lines(F.split(norm, " "), line_tokens)
     )
+    # Empty lines (blank separators in real web text, the single ''
+    # line an empty/NULL doc synthesizes) carry no content: they would
+    # only pollute the frequency table (and give empty docs a phantom
+    # kept line), so they are dropped before counting.
     lines = docs.select(
         "doc_id", F.posexplode(lines_arr).alias("line_no", "line")
-    )
+    ).filter(F.col("line") != "")
     lined = dedup_lines(lines, min_count=min_line_count).select(
         "doc_id", F.col("n_kept").alias("n_kept_lines"), "kept_text"
     )
 
-    j = screens.join(lined, "doc_id")
+    j = (
+        screens.join(lined, "doc_id", "left")
+        .withColumn(
+            "n_kept_lines", F.coalesce(F.col("n_kept_lines"), F.lit(0))
+        )
+        .withColumn("kept_text", F.coalesce(F.col("kept_text"), F.lit("")))
+    )
 
     if bench_docs is not None:
         grams = word_ngrams(F.split(normalize_col("text"), " "), 8)
@@ -158,11 +192,81 @@ def build_output(
         "_dup", F.coalesce(F.col("_dup"), F.lit(False))
     )
 
+    if near_dup:
+        # Fuzzy near-dup consolidation over the exact-dedup survivors
+        # (the minhash_clusters catalog composition, production-wired):
+        # LSH candidates -> exact-Jaccard verify -> connected
+        # components -> only the min-doc_id member of each cluster
+        # keeps its slot. Exact verification touches candidates only;
+        # the component labeling is O(log diameter) rounds. Runs over
+        # kept_text so boilerplate stripping cannot hide near-dups
+        # behind differing chrome.
+        from ocr_parallel_spark.operators.graph import connected_components
+        from ocr_parallel_spark.operators.neardup import minhash_candidate_pairs
+
+        survivors = j.filter(
+            F.col("drop_reason").isNull()
+            & (F.col("n_kept_lines") > 0)
+            & ~F.col("contaminated")
+            & ~F.col("_dup")
+        ).select("doc_id", "kept_text")
+        # the banding kernel's Arrow schema types the id as string;
+        # cast through it and back so component labels stay NUMERIC
+        # (canonical member = min doc_id, not min lexicographic string)
+        cands = minhash_candidate_pairs(
+            survivors.withColumn("doc_id", F.col("doc_id").cast("string")),
+            "kept_text",
+            "doc_id",
+        ).select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        toks = survivors.select(
+            "doc_id",
+            F.array_distinct(F.split(F.col("kept_text"), " ")).alias("toks"),
+        )
+        pairs = (
+            cands.join(
+                toks.select(
+                    F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")
+                ),
+                "id_a",
+            )
+            .join(
+                toks.select(
+                    F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "_inter",
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("double"),
+            )
+            .filter(
+                F.col("_inter")
+                / (F.size("toks_a") + F.size("toks_b") - F.col("_inter"))
+                >= near_dup_threshold
+            )
+            .select("id_a", "id_b")
+        )
+        cc = connected_components(pairs, src="id_a", dst="id_b")
+        near = (
+            cc.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("doc_id"))
+            .withColumn("_near", F.lit(True))
+        )
+        j = j.join(near, "doc_id", "left").withColumn(
+            "_near", F.coalesce(F.col("_near"), F.lit(False))
+        )
+    else:
+        j = j.withColumn("_near", F.lit(False))
+
     reason = F.coalesce(
         F.col("drop_reason"),
         F.when(F.col("n_kept_lines") == 0, F.lit("boilerplate"))
         .when(F.col("contaminated"), F.lit("contaminated"))
-        .when(F.col("_dup"), F.lit("dup")),
+        .when(F.col("_dup"), F.lit("dup"))
+        .when(F.col("_near"), F.lit("near_dup")),
     )
     return j.select(
         "doc_id",
@@ -201,6 +305,24 @@ def main() -> None:
     )
     ap.add_argument("--bench", help="parquet of eval docs (text column)")
     ap.add_argument("--min-line-count", type=int, default=5)
+    ap.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="add the fuzzy-dedup stage (MinHash LSH -> exact-Jaccard "
+        "verify -> connected components; non-canonical cluster members "
+        "dropped as near_dup)",
+    )
+    ap.add_argument("--near-dup-threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--recompute",
+        action="store_true",
+        help="full-corpus arbiter for the incremental-resume tension: "
+        "re-run the whole composition over ALL input docs (no TODO "
+        "anti-join) and OVERWRITE the committed verdicts in one new "
+        "snapshot — corpus-global signals (line frequencies, dup "
+        "ranking, near-dup components) are re-derived from corpus "
+        "truth. Time travel to the pre-recompute snapshots remains.",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -223,16 +345,35 @@ def main() -> None:
     bench = spark.read.parquet(args.bench) if args.bench else None
     robots = spark.read.parquet(args.robots) if args.robots else None
     table = SnapshotTable(args.output)
-    snap = run_resumable(
-        docs,
-        table,
-        spark,
-        lambda todo: build_output(
-            spark, todo, blocked, bench, args.min_line_count, robots_df=robots
-        ),
-        key_col="doc_id",
-        lineage={"input": args.input},
-    )
+
+    def transform(d):
+        return build_output(
+            spark,
+            d,
+            blocked,
+            bench,
+            args.min_line_count,
+            robots_df=robots,
+            near_dup=args.near_dup,
+            near_dup_threshold=args.near_dup_threshold,
+        )
+
+    if args.recompute:
+        # Full-corpus arbiter: corpus-global verdicts recomputed over
+        # the entire input and committed as an overwrite snapshot.
+        snap = table.overwrite(
+            transform(docs),
+            lineage={"input": args.input, "mode": "recompute"},
+        )
+    else:
+        snap = run_resumable(
+            docs,
+            table,
+            spark,
+            transform,
+            key_col="doc_id",
+            lineage={"input": args.input},
+        )
     print(json.dumps(snap))
     spark.stop()
 

@@ -69,6 +69,17 @@ def main() -> None:
         type=int,
         help="boilerplate line-frequency threshold (curate job only)",
     )
+    ap.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="curate job: add the MinHash->verify->components fuzzy-dedup stage",
+    )
+    ap.add_argument(
+        "--recompute",
+        action="store_true",
+        help="curate job: full-corpus arbiter — recompute every verdict "
+        "over ALL input and overwrite the committed table",
+    )
     ap.add_argument("--targets", help="targets CSV (full-process job only)")
     ap.add_argument(
         "--start-marker",
@@ -119,6 +130,10 @@ def main() -> None:
             cmd += ["--bench", args.bench]
         if args.min_line_count is not None:
             cmd += ["--min-line-count", str(args.min_line_count)]
+        if args.near_dup:
+            cmd += ["--near-dup"]
+        if args.recompute:
+            cmd += ["--recompute"]
     if args.job == "full-process":
         cmd += ["--targets", args.targets]
         for m in args.start_marker or []:

@@ -126,6 +126,131 @@ def test_curate_job_real_newline_docs_use_line_granularity(spark):
         assert got[i]["n_kept_lines"] == 1
 
 
+def test_null_text_doc_yields_exactly_one_verdict_row(spark, tmp_path):
+    """A NULL-text doc must flow through as a verdict row (boilerplate),
+    never vanish from the output and be re-selected as TODO forever
+    (round-3 ADVICE: the [null] line key was dropped by dedup_lines'
+    equi-join and the inner screens<->lined join lost the doc)."""
+    body = "plenty of unique content words here for the screen " * 4
+    rows = [
+        (1, "https://ok.org/a", body, "en", "s"),
+        (2, "https://ok.org/null", None, "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string, source string"
+    )
+    got = {r["doc_id"]: r for r in job.build_output(spark, docs, None, None).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["kept"]
+    assert not got[2]["kept"]
+    assert got[2]["n_kept_lines"] == 0
+    # resume: both ids commit on run 1, run 2 is a true no-op
+    table = SnapshotTable(str(tmp_path / "verdicts"))
+    snap1 = run_resumable(
+        docs, table, spark,
+        lambda todo: job.build_output(spark, todo, None, None),
+        key_col="doc_id",
+    )
+    assert snap1["lineage"]["rows_written"] == 2
+    snap2 = run_resumable(
+        docs, table, spark,
+        lambda todo: job.build_output(spark, todo, None, None),
+        key_col="doc_id",
+    )
+    assert snap2.get("noop") is True
+
+
+def test_near_dup_stage_drops_non_canonical_cluster_members(spark):
+    """--near-dup: near-identical (but not byte-identical) cleaned texts
+    collapse to one canonical keeper (min doc_id); the rest drop as
+    'near_dup'. Without the flag nothing is marked."""
+    base = "plenty of unique content words here for the screen " * 4
+    rows = [
+        (10, "https://ok.org/a", base + "alpha", "en", "s"),
+        (11, "https://ok.org/b", base + "bravo", "en", "s"),
+        (12, "https://ok.org/c", base + "charlie", "en", "s"),
+        # an unrelated doc that must stay kept
+        (
+            20,
+            "https://ok.org/d",
+            "totally different subject matter entirely about gardens "
+            "and orchards with apples pears plums cherries apricots "
+            "figs and many other fruit trees growing happily in rows "
+            "beside the old farm house where the gardener tends them "
+            "every single morning before the sun rises over the hill",
+            "en",
+            "s",
+        ),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string, source string"
+    )
+    off = {r["doc_id"]: r for r in job.build_output(spark, docs, None, None).collect()}
+    assert all(r["drop_reason"] != "near_dup" for r in off.values())
+    got = {
+        r["doc_id"]: r
+        for r in job.build_output(spark, docs, None, None, near_dup=True).collect()
+    }
+    assert got[10]["kept"] and got[10]["drop_reason"] is None
+    assert got[11]["drop_reason"] == "near_dup"
+    assert got[12]["drop_reason"] == "near_dup"
+    assert got[20]["kept"]
+
+
+def test_recompute_arbiter_applies_corpus_global_truth(spark, tmp_path):
+    """The --recompute mode closes the documented incremental-resume
+    tension: a banner line spread across TWO runs (3+3 docs, never >= 5
+    within one run) survives both incremental commits, then is dropped
+    as boilerplate once the arbiter re-runs the composition over the
+    full corpus and overwrites the verdicts."""
+
+    def mk(ids):
+        body = "plenty of unique content words here for the screen " * 4
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    f"https://h{i}.org/x",
+                    f"COOKIE BANNER SHARED LINE\n{body}tail{i}",
+                    "en",
+                    "s",
+                )
+                for i in ids
+            ],
+            "doc_id long, url string, text string, lang string, source string",
+        )
+
+    table = SnapshotTable(str(tmp_path / "verdicts"))
+    run_resumable(
+        mk(range(3)), table, spark,
+        lambda todo: job.build_output(spark, todo, None, None),
+        key_col="doc_id",
+    )
+    all_docs = mk(range(6))
+    run_resumable(
+        all_docs, table, spark,
+        lambda todo: job.build_output(spark, todo, None, None),
+        key_col="doc_id",
+    )
+    committed = {r["doc_id"]: r for r in table.read(spark).collect()}
+    assert len(committed) == 6
+    # per-run slices each saw the banner only 3x -> kept everywhere
+    assert all(r["n_kept_lines"] == 2 for r in committed.values())
+
+    # arbiter: full-corpus recompute, one overwrite snapshot
+    snap = table.overwrite(
+        job.build_output(spark, all_docs, None, None),
+        lineage={"mode": "recompute"},
+    )
+    after = {r["doc_id"]: r for r in table.read(spark).collect()}
+    assert len(after) == 6
+    # corpus truth: banner in 6 docs >= min_line_count -> boilerplate line dropped
+    assert all(r["n_kept_lines"] == 1 for r in after.values())
+    # pre-recompute state remains time-travelable
+    before = table.read(spark, ordinal=snap["ordinal"] - 1)
+    assert before.count() == 6
+
+
 def test_warc_input_feeds_curation(spark, sf_dir, tmp_path):
     """--input-format warc: the WARC fixture round-trips into the docs
     shape (text byte-identical to the documents table, stable hashed
