@@ -1484,6 +1484,52 @@ def q_token_budget_mix(spark, sf_dir):
     )
 
 
+# Context-window length for sequence packing (tokens). Small enough that
+# sf0.001 docs split windows, large enough that most don't — both
+# branches of is_split exercised at every scale.
+PACK_WINDOW = 512
+
+
+def q_sequence_pack(spark, sf_dir):
+    """GPT-style sequence packing (concat-and-split): training pipelines
+    concatenate tokenized docs in a deterministic order and cut every
+    PACK_WINDOW tokens, so each doc lands at a byte-exact offset in the
+    packed token stream. Emits per doc: its token count, start offset,
+    first/last window ids, windows spanned, and whether it straddles a
+    window boundary (the attention-masking case). One window-function
+    pass PARTITIONED BY source — the deployment shape packs per shard,
+    never a global single-partition order; the cumsum is exact bigint,
+    so the DuckDB twin value-hash-matches."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("norm"), " ")).cast("long")
+    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("long")
+        .alias("tok_offset"),
+    )
+    win_start = F.expr(f"tok_offset div {PACK_WINDOW}")
+    win_end = F.expr(f"(tok_offset + n_tokens - 1) div {PACK_WINDOW}")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "tok_offset",
+        win_start.cast("long").alias("win_start"),
+        win_end.cast("long").alias("win_end"),
+        (win_end - win_start + 1).cast("long").alias("n_windows"),
+        (win_end > win_start).alias("is_split"),
+    )
+
+
 BLOCKED_HOSTS = ["site-3.example.com", "site-5.example.com"]
 
 
@@ -2343,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dangling": q_pagerank_dangling,
         "pagerank_by_host": q_pagerank_by_host,
         "winnowed_spans": q_winnowed_spans,
+        "sequence_pack": q_sequence_pack,
         "extract_links": q_extract_links,
         "dsir_weights": q_dsir_weights,
         "bm25_search": q_bm25_search,
@@ -2689,6 +2736,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
                    coalesce(p.n_shared, 0) > 0 AS has_shared
             FROM docs d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "sequence_pack": f"""
+            WITH {_DOCS_CTE},
+            t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+              FROM docs
+            ),
+            o AS (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tokens AS tok_offset
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(tok_offset AS BIGINT) AS tok_offset,
+                   CAST(tok_offset // {PACK_WINDOW} AS BIGINT) AS win_start,
+                   CAST((tok_offset + n_tokens - 1) // {PACK_WINDOW} AS BIGINT)
+                     AS win_end,
+                   CAST((tok_offset + n_tokens - 1) // {PACK_WINDOW}
+                        - tok_offset // {PACK_WINDOW} + 1 AS BIGINT) AS n_windows,
+                   (tok_offset + n_tokens - 1) // {PACK_WINDOW}
+                     > tok_offset // {PACK_WINDOW} AS is_split
+            FROM o
         """,
         "domain_stats": f"""
             WITH d AS (

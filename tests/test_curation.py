@@ -398,6 +398,35 @@ def test_winnowed_spans_agrees_on_planted_and_cuts_volume(spark, sf_dir):
     assert both.filter(F.col("w") & ~F.col("s")).count() == 0
 
 
+def test_sequence_pack_offsets_contiguous_and_windows_consistent(spark, sf_dir):
+    """Packing invariants: per source the packed stream is gapless
+    (offset = sum of preceding docs' tokens), window ids follow from
+    offset arithmetic, and a doc splits iff its span crosses a
+    PACK_WINDOW boundary."""
+    from ocr_parallel_spark.queries_catalog import PACK_WINDOW, q_sequence_pack
+
+    rows = q_sequence_pack(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    n_split = 0
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in rs:
+            assert r.tok_offset == expect_off, (src, r.doc_id)
+            assert r.win_start == r.tok_offset // PACK_WINDOW
+            assert r.win_end == (r.tok_offset + r.n_tokens - 1) // PACK_WINDOW
+            assert r.n_windows == r.win_end - r.win_start + 1 >= 1
+            assert r.is_split == (r.n_windows > 1)
+            expect_off += r.n_tokens
+        # last doc's end window covers the whole stream
+        assert rs[-1].win_end == (expect_off - 1) // PACK_WINDOW
+        n_split += sum(1 for r in rs if r.is_split)
+    # the window size is chosen so both branches occur at every sf
+    assert 0 < n_split < len(rows)
+
+
 def test_token_budget_mix_budget_and_determinism(spark, sf_dir):
     from ocr_parallel_spark.queries_catalog import q_token_budget_mix
 
