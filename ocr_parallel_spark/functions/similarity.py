@@ -303,6 +303,40 @@ def kmeans_centroids(
     return np.round(C, 6).tolist()
 
 
+def centroids_to_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """Serialize IVF centroids as a ``(cell, centroid)`` table so an
+    index survives the session — the build-once/query-many deployment
+    shape (snapshot-append the result next to ``build_ivf_index``'s
+    assignment rows)."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+
+
+def centroids_from_df(df: DataFrame) -> list[list[float]]:
+    """Inverse of :func:`centroids_to_df` (cell order restored — the
+    cell ids in a persisted assignment index are positional)."""
+    rows = df.select("cell", "centroid").collect()
+    return [list(map(float, r.centroid)) for r in sorted(rows, key=lambda r: r.cell)]
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-side IVF index: ``(id, cell)`` rows — the nearest-centroid
+    assignment amortized across query batches, exactly like
+    ``build_lsh_index``'s bucket rows. Persist together with
+    ``centroids_to_df`` (queries still need the centroids to pick probe
+    cells) and pass back via ``ivf_topk(index=...)``."""
+    return ivf_assign(vectors.select(id_col, vec_col), centroids, vec_col, 1).select(
+        id_col, F.element_at("ivf_cells", 1).alias("cell")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -312,22 +346,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     nprobe: int = 2,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: vectors live in their nearest cell (nprobe=1),
     queries probe their ``nprobe`` nearest cells; exact cosine ranks within
     the probed cells. The candidate join is a cell-equi-join — cost follows
-    cell occupancy, the standard IVF trade."""
+    cell occupancy, the standard IVF trade. Pass a persisted
+    ``build_ivf_index`` result via ``index`` to skip re-assigning the
+    corpus (queries are still assigned inline — they are tiny)."""
     from pyspark.sql import Window
 
+    if index is not None:
+        assigned = vectors.select(id_col, vec_col).join(
+            index.select(id_col, "cell"), id_col
+        )
+    else:
+        assigned = ivf_assign(
+            vectors.select(id_col, vec_col), centroids, vec_col, 1
+        ).select(id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell"))
     # drop the raw vectors after prep: only the double-cast copy + norm
     # cross the broadcast/join (no dead array bytes per candidate row)
-    vc = _prep_vec(
-        ivf_assign(vectors.select(id_col, vec_col), centroids, vec_col, 1).select(
-            id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell")
-        ),
-        vec_col,
-        "_v",
-    ).drop(vec_col)
+    vc = _prep_vec(assigned, vec_col, "_v").drop(vec_col)
     qc = _prep_vec(
         ivf_assign(
             queries.select(query_id_col, F.col(vec_col).alias("_q")),

@@ -197,6 +197,39 @@ def test_near_dup_stage_drops_non_canonical_cluster_members(spark):
     assert got[20]["kept"]
 
 
+def test_near_dup_resume_noop(spark, tmp_path):
+    """--near-dup composed with run_resumable: first run commits every
+    verdict (incl. the near_dup drops), second run over the same input
+    is a true no-op — the fuzzy stage must not disturb the one-row-per-
+    doc_id resume invariant."""
+    base = "plenty of unique content words here for the screen " * 4
+    docs = spark.createDataFrame(
+        [
+            (10, "https://ok.org/a", base + "alpha", "en", "s"),
+            (11, "https://ok.org/b", base + "bravo", "en", "s"),
+            (12, "https://ok.org/c", base + "charlie", "en", "s"),
+        ],
+        "doc_id long, url string, text string, lang string, source string",
+    )
+    table = SnapshotTable(str(tmp_path / "verdicts"))
+    snap1 = run_resumable(
+        docs, table, spark,
+        lambda todo: job.build_output(spark, todo, None, None, near_dup=True),
+        key_col="doc_id",
+    )
+    assert snap1["lineage"]["rows_written"] == 3
+    committed = {r["doc_id"]: r for r in table.read(spark).collect()}
+    assert committed[10]["kept"]
+    assert committed[11]["drop_reason"] == "near_dup"
+    assert committed[12]["drop_reason"] == "near_dup"
+    snap2 = run_resumable(
+        docs, table, spark,
+        lambda todo: job.build_output(spark, todo, None, None, near_dup=True),
+        key_col="doc_id",
+    )
+    assert snap2.get("noop") is True
+
+
 def test_recompute_arbiter_applies_corpus_global_truth(spark, tmp_path):
     """The --recompute mode closes the documented incremental-resume
     tension: a banner line spread across TWO runs (3+3 docs, never >= 5

@@ -367,3 +367,47 @@ def test_lsh_persisted_index_round_trip(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, from_index.collect()))
     b = sorted(map(tuple, inline.collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_persisted_index_round_trip(spark, sf_dir, tmp_path):
+    """IVF build-once / query-many: centroids serialized to a (cell,
+    centroid) table + the (id, cell) assignment rows snapshot-committed
+    in two appends; read back, the centroid list round-trips exactly
+    and ivf_topk(index=...) returns EXACTLY the inline result."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.functions.similarity import (
+        build_ivf_index,
+        centroids_from_df,
+        centroids_to_df,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from ocr_parallel_spark.io.snapshot import SnapshotTable
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(emb, n_cells=8)
+
+    ctable = SnapshotTable(str(tmp_path / "ivf_centroids"))
+    ctable.append(centroids_to_df(spark, cents))
+    assert centroids_from_df(ctable.read(spark)) == cents
+
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    itable = SnapshotTable(str(tmp_path / "ivf_index"))
+    itable.append(build_ivf_index(first, cents))
+    itable.append(build_ivf_index(second, cents))
+    stored = itable.read(spark)
+    assert stored.count() == emb.count()  # one cell row per vector
+
+    restored = centroids_from_df(ctable.read(spark))
+    from_index = ivf_topk(
+        emb, queries, restored, k=5, nprobe=4, index=stored
+    )
+    inline = ivf_topk(emb, queries, cents, k=5, nprobe=4)
+    a = sorted(map(tuple, from_index.collect()))
+    b = sorted(map(tuple, inline.collect()))
+    assert a == b and len(a) > 0
