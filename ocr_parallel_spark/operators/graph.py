@@ -165,19 +165,34 @@ def pagerank_int(
         return node_set.select("node", F.lit(0).cast("long").alias("rank_mi"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e2 = e.join(outdeg, "src").localCheckpoint(eager=False)
-    if dangling == "redistribute":
-        # Node ids with no out-edges, fixed once (the edge set is
-        # static across iterations).
-        dang = node_set.join(
-            outdeg.select(F.col("src").alias("node")), "node", "left_anti"
-        ).localCheckpoint(eager=False)
     base = (scale * (100 - damping_pct)) // (100 * n)
+    if dangling == "redistribute":
+        # Tag dangling nodes ONCE and carry the flag inside the ranks
+        # frame across iterations: the per-iteration dangling sum is
+        # then a filter + one-row aggregate instead of an extra join
+        # per round (10 joins saved on the default iteration count).
+        node_set = (
+            node_set.join(
+                outdeg.select(
+                    F.col("src").alias("node"), F.lit(True).alias("_has_out")
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("_has_out"), F.lit(False)).alias("_has_out"),
+            )
+            .localCheckpoint(eager=False)
+        )
     ranks = node_set.select(
-        "node", F.lit(scale // n).cast("long").alias("rank_mi")
+        "*", F.lit(scale // n).cast("long").alias("rank_mi")
     )
     for _ in range(n_iter):
         inc = (
-            e2.join(ranks.withColumnRenamed("node", "src"), "src")
+            e2.join(
+                ranks.select(F.col("node").alias("src"), "rank_mi"), "src"
+            )
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_mi div outdeg").alias("_c"),
@@ -189,7 +204,7 @@ def pagerank_int(
         if dangling == "redistribute":
             # One-row dangling-mass aggregate, broadcast-cross-joined
             # into every node's update (no driver collect).
-            dmass = ranks.join(dang, "node").agg(
+            dmass = ranks.filter(~F.col("_has_out")).agg(
                 F.coalesce(F.sum("rank_mi"), F.lit(0))
                 .cast("long")
                 .alias("_dm")
@@ -209,6 +224,6 @@ def pagerank_int(
                 f"({damping_pct} * COALESCE(_m, CAST(0 AS BIGINT))) div 100"
             )
         ranks = upd.select(
-            "node", F.expr(rank_expr).alias("rank_mi")
+            *node_set.columns, F.expr(rank_expr).alias("rank_mi")
         ).localCheckpoint(eager=False)
-    return ranks
+    return ranks.select("node", "rank_mi")
