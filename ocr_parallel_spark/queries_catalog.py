@@ -1484,6 +1484,63 @@ def q_token_budget_mix(spark, sf_dir):
     )
 
 
+# Hashed-feature bucket count + weight formula for the linear quality
+# classifier: weights are a DETERMINISTIC stand-in for a trained model's
+# (Knuth multiplicative constant spreads buckets over [-500, 499] in
+# integer milli-units) — the operator pins the APPLICATION plumbing
+# (hashed bag-of-words -> broadcast weight table -> integer-exact sum),
+# which is what a real fastText-style filter (DCLM / FineWeb-Edu
+# quality classifiers, public) needs at corpus scale.
+QC_BUCKETS = 256
+QC_WEIGHT_MULT = 2654435761
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering plumbing: a linear classifier over
+    hashed bag-of-words features (the public fastText shape). Every
+    token hashes to one of QC_BUCKETS buckets (same sha2-prefix
+    derivation as dsir_weights), the broadcast weight table maps bucket
+    -> integer milli-unit weight, and the doc's score is the exact
+    bigint SUM of its token weights — duplicates counted, order
+    irrelevant. keep = score_mi >= 0 compares the raw sum (a mean
+    threshold is the linear comparison score_mi >= thr * n_tokens —
+    never a division: Spark's div truncates toward zero while DuckDB's
+    // floors, and score sums go negative). Plan shape: one explode,
+    one broadcast-hash join, one keyed partial-agg shuffle — scan-bound
+    at any corpus size."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("norm"), " ")).alias("_tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("_tok"), 256), 1, 4), 16, 10)
+        .cast("long")
+        % QC_BUCKETS
+    )
+    weights = spark.range(QC_BUCKETS).select(
+        F.col("id").cast("long").alias("_bucket"),
+        ((F.col("id") * QC_WEIGHT_MULT) % 1000 - 500)
+        .cast("long")
+        .alias("_wt"),
+    )
+    j = toks.select("doc_id", bucket.alias("_bucket")).join(
+        F.broadcast(weights), "_bucket"
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_wt").alias("score_mi"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("score_mi").cast("long").alias("score_mi"),
+            (F.col("score_mi") >= 0).alias("keep"),
+        )
+    )
+
+
 # Context-window length for sequence packing (tokens). Small enough that
 # sf0.001 docs split windows, large enough that most don't — both
 # branches of is_split exercised at every scale.
@@ -2390,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_by_host": q_pagerank_by_host,
         "winnowed_spans": q_winnowed_spans,
         "sequence_pack": q_sequence_pack,
+        "quality_classifier": q_quality_classifier,
         "extract_links": q_extract_links,
         "dsir_weights": q_dsir_weights,
         "bm25_search": q_bm25_search,
@@ -2736,6 +2794,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
                    coalesce(p.n_shared, 0) > 0 AS has_shared
             FROM docs d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "quality_classifier": f"""
+            WITH {_DOCS_CTE},
+            w AS (
+              SELECT CAST(i AS BIGINT) AS bucket,
+                     CAST((i * {QC_WEIGHT_MULT}) % 1000 - 500 AS BIGINT) AS wt
+              FROM generate_series(0, {QC_BUCKETS - 1}) t(i)
+            ),
+            t AS (
+              SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM docs
+            ),
+            b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(sha256(tok), 1, 4))::UBIGINT
+                          % {QC_BUCKETS} AS BIGINT) AS bucket
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(w.wt) AS BIGINT) AS score_mi,
+                   SUM(w.wt) >= 0 AS keep
+            FROM b JOIN w USING (bucket)
+            GROUP BY doc_id
         """,
         "sequence_pack": f"""
             WITH {_DOCS_CTE},

@@ -398,6 +398,43 @@ def test_winnowed_spans_agrees_on_planted_and_cuts_volume(spark, sf_dir):
     assert both.filter(F.col("w") & ~F.col("s")).count() == 0
 
 
+def test_quality_classifier_scores_deterministic_and_discriminative(spark, sf_dir):
+    """The hashed-linear scorer must (a) be bit-deterministic across
+    evaluations (broadcast weight table + integer sums), (b) split the
+    corpus (both verdicts occur — a degenerate all-keep filter pins
+    nothing), and (c) agree with a driver-side recomputation on a
+    sampled doc."""
+    import hashlib
+
+    from ocr_parallel_spark.queries_catalog import (
+        QC_BUCKETS,
+        QC_WEIGHT_MULT,
+        q_quality_classifier,
+    )
+
+    out = q_quality_classifier(spark, sf_dir)
+    rows = {r.doc_id: r for r in out.collect()}
+    again = {r.doc_id: r for r in q_quality_classifier(spark, sf_dir).collect()}
+    assert rows == again
+    kept = sum(1 for r in rows.values() if r.keep)
+    assert 0 < kept < len(rows)
+    # driver-side recomputation for one doc
+    from ocr_parallel_spark.operators.classify import normalize_col
+
+    doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") == 7)
+        .select(normalize_col("text").alias("norm"))
+        .collect()[0]
+    )
+    score = 0
+    toks = doc.norm.split(" ")
+    for tok in toks:
+        b = int(hashlib.sha256(tok.encode()).hexdigest()[:4], 16) % QC_BUCKETS
+        score += (b * QC_WEIGHT_MULT) % 1000 - 500
+    assert rows[7].score_mi == score and rows[7].n_tokens == len(toks)
+
+
 def test_sequence_pack_offsets_contiguous_and_windows_consistent(spark, sf_dir):
     """Packing invariants: per source the packed stream is gapless
     (offset = sum of preceding docs' tokens), window ids follow from
