@@ -68,6 +68,8 @@ HEADLINE = [
     "sessionize",
     "sketch_stats",
     "weighted_sample",
+    "sequence_pack",
+    "quality_classifier",
     "topk_per_group",
     "salted_rollup",
     "media_meta",

@@ -156,6 +156,27 @@ def main() -> None:
     )
     sections.append(
         (
+            "Hashed linear quality classifier (model application shape)",
+            "One explode + one BroadcastHashJoin against the 256-row weight "
+            "table + one keyed partial-agg shuffle carrying (doc_id, bigint "
+            "sum) — applying a trained linear filter is scan-bound at any "
+            "corpus size; no Python, no division (cross-engine floor/trunc "
+            "mismatch documented in the operator).",
+            plan_of(q["quality_classifier"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
+            "Sequence packing (concat-and-split)",
+            "One window-function pass partitioned by source (the per-shard "
+            "packing shape — never a global single-partition order); offsets "
+            "are exact bigint cumsums, window ids pure arithmetic in "
+            "codegen.",
+            plan_of(q["sequence_pack"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
             "Weighted reservoir sample (Efraimidis-Spirakis)",
             "Deterministic sha2-uniform key built in codegen; one keyed "
             "window shuffle with WindowGroupLimit cutting non-top rows "
