@@ -253,6 +253,56 @@ def extract_links(html: str) -> list[str]:
     return p.links
 
 
+class _AnchorParser(HTMLParser):
+    """Collect (href, anchor text) pairs in document order — the anchor
+    text a page uses to describe its outlink target, the classic
+    webgraph relevance/quality signal (inbound anchor aggregation).
+    Text is everything between <a href=...> and </a> (nested markup
+    flattened), whitespace-normalized; nested <a> is treated as the
+    HTML5 parser does — the open anchor closes implicitly."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            text = " ".join("".join(self._buf).split())
+            self.pairs.append((self._href, text))
+        self._href, self._buf = None, []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag == "a":
+            self._flush()  # implicit close of a nested/unclosed anchor
+            for k, v in attrs:
+                if k == "href" and v:
+                    self._href = v
+                    break
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):  # noqa: D102
+        if self._href is not None:
+            self._buf.append(data)
+
+    def close(self) -> None:  # noqa: D102 — flush an unclosed trailing anchor
+        super().close()
+        self._flush()
+
+
+def extract_links_with_anchors(html: str) -> list[tuple[str, str]]:
+    """(href, anchor text) pairs in document order, duplicates
+    preserved. The href set equals :func:`extract_links`' output."""
+    p = _AnchorParser()
+    p.feed(html)
+    p.close()
+    return p.pairs
+
+
 def join_links_escaped(links: list[str]) -> str:
     """Serialize a link list to ONE string losslessly: percent-encode
     '%' first, then ',' per href, then comma-join. Real-web hrefs carry

@@ -1263,6 +1263,68 @@ def q_extract_links(spark, sf_dir):
     )
 
 
+def q_anchor_text(spark, sf_dir):
+    """Inbound anchor-text aggregation — the classic webgraph
+    relevance/quality signal (search engines and LLM-data pipelines
+    score a target URL by what OTHER pages' links call it): per target
+    href, the inbound-link count and the distinct anchor texts
+    (escaped-joined, sorted). Same synthesis exclusions as
+    extract_links; the oracle knows each variant's (href, anchor)
+    pairs analytically and re-derives the counts with one filtered
+    aggregate, so a parser or aggregation bug flips rows red. Scale
+    shape: one mapInPandas on the scan partitions emits (doc_id, href,
+    anchor) rows; the only exchange is the keyed agg on href — at
+    webgraph scale that key is skewed (home pages), which is what AQE
+    skew handling + the salted-rollup pattern are for (documented, not
+    needed at gate scale)."""
+    from ocr_parallel_spark.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir).filter(
+        (F.col("doc_id") % 50 != 7)
+        & (F.col("doc_id") % 40 != 11)
+        & (F.col("doc_id") % 40 != 31)
+    )
+
+    import pandas as pd  # noqa: F401
+
+    def anchors_of(batches):
+        import pandas as pd
+
+        from ocr_parallel_spark.kernel.html_extract import (
+            extract_links_with_anchors,
+        )
+
+        for pdf in batches:
+            ids, hrefs, anchors = [], [], []
+            for doc_id, h in zip(pdf["doc_id"], pdf["html"]):
+                for href, text in extract_links_with_anchors(
+                    bytes(h).decode("utf-8", "replace")
+                ):
+                    ids.append(doc_id)
+                    hrefs.append(href)
+                    anchors.append(text)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "href": pd.array(hrefs, dtype=str),
+                    "anchor": pd.array(anchors, dtype=str),
+                }
+            )
+
+    links = pages.select("doc_id", "html").mapInPandas(
+        anchors_of, "doc_id long, href string, anchor string"
+    )
+    esc = lambda a: F.regexp_replace(  # noqa: E731 — lossless , escape
+        F.regexp_replace(a, "%", "%25"), ",", "%2C"
+    )
+    return links.groupBy("href").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+        F.concat_ws(
+            ",", F.array_sort(F.transform(F.collect_set("anchor"), esc))
+        ).alias("anchor_texts"),
+    )
+
+
 def _pagerank_oracle_sql(
     n_iter: int = 10,
     d: int = 85,
@@ -2448,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowed_spans": q_winnowed_spans,
         "sequence_pack": q_sequence_pack,
         "quality_classifier": q_quality_classifier,
+        "anchor_text": q_anchor_text,
         "extract_links": q_extract_links,
         "dsir_weights": q_dsir_weights,
         "bm25_search": q_bm25_search,
@@ -3063,6 +3126,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 50 <> 7 AND doc_id % 40 <> 11
               AND doc_id % 40 <> 31
+        """,
+        "anchor_text": """
+            WITH eligible AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id % 50 <> 7 AND doc_id % 40 <> 11
+                AND doc_id % 40 <> 31
+            ),
+            counts AS (
+              SELECT CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nav,
+                     CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS farm
+              FROM eligible
+            )
+            SELECT href, n_inlinks, anchor_texts FROM (
+              SELECT '/' AS href, nav AS n_inlinks,
+                     'Home' AS anchor_texts FROM counts
+              UNION ALL SELECT '/tags', nav, 'Tags' FROM counts
+              UNION ALL SELECT '/about', nav, 'About' FROM counts
+              UNION ALL SELECT '/x1', farm, 'cheap deals now' FROM counts
+              UNION ALL SELECT '/x2', farm, 'best offers today' FROM counts
+              UNION ALL SELECT '/x3', farm, 'click here fast' FROM counts
+            ) WHERE n_inlinks > 0
         """,
         "robots_filter": """
             SELECT doc_id,

@@ -133,6 +133,32 @@ def test_extract_links_order_and_edge_cases():
     assert extract_links("<a href='/x' <broken") in ([], ["/x"])
 
 
+def test_extract_links_with_anchors():
+    from ocr_parallel_spark.kernel.html_extract import (
+        extract_links,
+        extract_links_with_anchors,
+    )
+
+    html = (
+        "<a href='/1'>plain</a>"
+        "<a href='/2'><b>nested</b> markup &amp; entity</a>"
+        "<a href='/3'>first<a href='/4'>implicit close</a>"
+        "<a href='/5'>unclosed trailing"
+    )
+    pairs = extract_links_with_anchors(html)
+    assert pairs == [
+        ("/1", "plain"),
+        ("/2", "nested markup & entity"),
+        ("/3", "first"),
+        ("/4", "implicit close"),
+        ("/5", "unclosed trailing"),
+    ]
+    # href set parity with the plain link extractor
+    assert [h for h, _ in pairs] == extract_links(html)
+    assert extract_links_with_anchors("") == []
+    assert extract_links_with_anchors("<a name='x'>no href</a>") == []
+
+
 def test_link_join_escaped_lossless():
     """A comma or percent inside an href must survive the serialized
     round trip — a naive comma join corrupts n_links on real-web URLs
