@@ -182,3 +182,65 @@ def test_split_http_response_total(block):
     assert isinstance(status, str) and isinstance(body, bytes)
     assert body2 == body and status2 == status
     assert all(isinstance(k, str) and isinstance(v, str) for k, v in headers.items())
+
+
+# ---- winnowing fingerprint scheme (queries_catalog.q_winnowed_spans) ----
+#
+# Pure-Python mirror of the Spark expressions (hashlib sha256 hex ==
+# Spark sha2(...,256) — pinned elsewhere); the Spark implementation
+# itself is value-hash-pinned by the winnowed_spans oracle. These pin
+# the SCHEME's laws over random inputs the gate corpus can't sweep.
+
+TOKENS = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=0, max_size=60
+)
+
+
+def _span_hashes(toks):
+    import hashlib
+
+    from ocr_parallel_spark.queries_catalog import SPAN_W
+
+    if len(toks) < SPAN_W:
+        return []
+    return [
+        hashlib.sha256(" ".join(toks[i : i + SPAN_W]).encode()).hexdigest()
+        for i in range(len(toks) - SPAN_W + 1)
+    ]
+
+
+def _winnow_fps(spans):
+    from ocr_parallel_spark.queries_catalog import WINNOW_W
+
+    if not spans:
+        return set()
+    m = max(len(spans) - WINNOW_W + 1, 1)
+    return {min(spans[i : i + WINNOW_W]) for i in range(m)}
+
+
+@settings(max_examples=120, deadline=None)
+@given(TOKENS)
+def test_winnow_fingerprints_subset_of_spans(toks):
+    spans = _span_hashes(toks)
+    fps = _winnow_fps(spans)
+    assert fps <= set(spans)
+    # every window of WINNOW_W consecutive spans contributed its min
+    if spans:
+        assert len(fps) >= 1
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=1, max_size=3), max_size=30),
+    st.lists(st.text(alphabet="efgh", min_size=1, max_size=3), max_size=30),
+    st.lists(st.text(alphabet="ijkl", min_size=1, max_size=3), min_size=18, max_size=40),
+)
+def test_winnow_shared_run_guarantee(prefix, suffix, shared):
+    """The winnowing guarantee (Schleimer et al. Thm.): two docs sharing
+    a contiguous run of >= SPAN_W + WINNOW_W - 1 tokens share at least
+    one fingerprint — regardless of the surrounding context."""
+    a = prefix + shared
+    b = shared + suffix
+    fa = _winnow_fps(_span_hashes(a))
+    fb = _winnow_fps(_span_hashes(b))
+    assert fa & fb
