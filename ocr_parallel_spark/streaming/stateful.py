@@ -81,3 +81,74 @@ def running_user_counts(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming sequence packer
+
+_PACK_OUT_SCHEMA = (
+    "doc_id bigint, source string, n_tokens bigint, tok_offset bigint, "
+    "win_start bigint, win_end bigint, n_windows bigint, is_split boolean"
+)
+_PACK_STATE_SCHEMA = "next_offset bigint"
+
+
+def _make_pack_fn(window_tokens: int):
+    def pack(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        parts = [p for p in pdfs if len(p)]
+        off = state.get[0] if state.exists else 0
+        if not parts:
+            state.update((off,))
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values("doc_id")
+        n = pdf["n_tokens"].to_numpy()
+        starts = n.cumsum() - n + off
+        ends = starts + n - 1
+        ws, we = starts // window_tokens, ends // window_tokens
+        state.update((int(off + n.sum()),))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "source": key[0],
+                "n_tokens": n,
+                "tok_offset": starts,
+                "win_start": ws,
+                "win_end": we,
+                "n_windows": we - ws + 1,
+                "is_split": we > ws,
+            }
+        )
+
+    return pack
+
+
+def streaming_sequence_pack(
+    docs_stream: DataFrame, window_tokens: int = 512
+) -> DataFrame:
+    """Streaming GPT-style sequence packing — the stateful twin of the
+    batch ``q_sequence_pack``: per source, the next pack offset lives in
+    the state store, so docs arriving across micro-batches (and across
+    restarts, via the checkpoint) land at exactly the offsets a batch
+    run over the concatenated arrivals would give. Within a micro-batch
+    docs pack in doc_id order; across batches, in arrival order — the
+    streaming contract (a global order does not exist on an unbounded
+    stream). Equivalence with the batch operator on identical, ordered
+    input is pinned in pytest. Append operator mode: emitted rows are
+    final."""
+    from ocr_parallel_spark.operators.classify import normalize_col
+
+    toks = docs_stream.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_col("text"), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return toks.groupBy("source").applyInPandasWithState(
+        _make_pack_fn(window_tokens),
+        outputStructType=_PACK_OUT_SCHEMA,
+        stateStructType=_PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -95,3 +95,57 @@ def test_stateful_running_counts_survive_restart(spark, tmp_path):
     assert latest[1] == (3, 2)  # 2 events in run 1 + 1 in run 2
     assert latest[2] == (1, 1)
     assert latest[3] == (1, 1)
+
+
+def test_streaming_sequence_pack_matches_batch_and_survives_restart(
+    spark, sf_dir, tmp_path
+):
+    """The stateful packer must (a) reproduce the batch q_sequence_pack
+    offsets exactly when the stream delivers the same docs in the same
+    order, and (b) continue offsets across a restart — the second run
+    picks up each source's next_offset from the checkpoint."""
+    from ocr_parallel_spark.queries_catalog import PACK_WINDOW, q_sequence_pack
+    from ocr_parallel_spark.streaming.stateful import streaming_sequence_pack
+
+    inp, out, ckpt = (
+        str(tmp_path / "pin"),
+        str(tmp_path / "pout"),
+        str(tmp_path / "pck"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    mid = 250
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id bigint, source string, text string"
+        ).parquet(inp)
+        q = (
+            streaming_sequence_pack(stream, PACK_WINDOW)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: first half (one file -> one micro-batch, doc_id-sorted inside)
+    docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode("append").parquet(inp)
+    run()
+    # run 2: second half appended; offsets must CONTINUE from the checkpoint
+    docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode("append").parquet(inp)
+    run()
+
+    got = {
+        r.doc_id: (r.n_tokens, r.tok_offset, r.win_start, r.win_end, r.is_split)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.tok_offset, r.win_start, r.win_end, r.is_split)
+        for r in q_sequence_pack(spark, sf_dir).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
