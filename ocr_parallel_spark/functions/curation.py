@@ -123,3 +123,46 @@ def scrub_pii(text: Column) -> Column:
     for kind in ("email", "phone", "ip"):
         out = F.regexp_replace(out, PII_PATTERNS[kind], PII_TOKENS[kind])
     return out
+
+
+# Hashed-linear quality classifier (fastText application shape). The
+# weight formula is a deterministic stand-in for trained weights — the
+# pinned part is the PLUMBING: hashed bag-of-words, broadcast weight
+# table, integer-exact milli-unit sum (never a division: Spark's div
+# truncates toward zero, DuckDB's // floors, and score sums go
+# negative). Shared verbatim by queries_catalog.q_quality_classifier
+# (the oracle gate) and scripts/job_curate.py --quality-filter so the
+# two cannot drift.
+QC_BUCKETS = 256
+QC_WEIGHT_MULT = 2654435761
+
+
+def hashed_quality_scores(
+    docs, norm_col: str = "norm", id_col: str = "doc_id"
+):
+    """Per-doc hashed-linear quality score: ``(id_col, n_tokens,
+    score_mi)`` — exact bigint milli-unit sum of per-token bucket
+    weights. One explode + one broadcast join + one keyed partial-agg
+    shuffle; scan-bound at any corpus size."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(norm_col), " ")).alias("_tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("_tok"), 256), 1, 4), 16, 10)
+        .cast("long")
+        % QC_BUCKETS
+    )
+    weights = spark.range(QC_BUCKETS).select(
+        F.col("id").cast("long").alias("_bucket"),
+        ((F.col("id") * QC_WEIGHT_MULT) % 1000 - 500).cast("long").alias("_wt"),
+    )
+    return (
+        toks.select(id_col, bucket.alias("_bucket"))
+        .join(F.broadcast(weights), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_wt").cast("long").alias("score_mi"),
+        )
+    )

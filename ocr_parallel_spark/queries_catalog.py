@@ -1546,15 +1546,13 @@ def q_token_budget_mix(spark, sf_dir):
     )
 
 
-# Hashed-feature bucket count + weight formula for the linear quality
-# classifier: weights are a DETERMINISTIC stand-in for a trained model's
-# (Knuth multiplicative constant spreads buckets over [-500, 499] in
-# integer milli-units) — the operator pins the APPLICATION plumbing
-# (hashed bag-of-words -> broadcast weight table -> integer-exact sum),
-# which is what a real fastText-style filter (DCLM / FineWeb-Edu
-# quality classifiers, public) needs at corpus scale.
-QC_BUCKETS = 256
-QC_WEIGHT_MULT = 2654435761
+# Re-exported from functions/curation.py (one definition shared with
+# the production job's --quality-filter screen).
+from ocr_parallel_spark.functions.curation import (  # noqa: E402
+    QC_BUCKETS,
+    QC_WEIGHT_MULT,
+    hashed_quality_scores,
+)
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -1564,42 +1562,19 @@ def q_quality_classifier(spark, sf_dir):
     derivation as dsir_weights), the broadcast weight table maps bucket
     -> integer milli-unit weight, and the doc's score is the exact
     bigint SUM of its token weights — duplicates counted, order
-    irrelevant. keep = score_mi >= 0 compares the raw sum (a mean
-    threshold is the linear comparison score_mi >= thr * n_tokens —
-    never a division: Spark's div truncates toward zero while DuckDB's
-    // floors, and score sums go negative). Plan shape: one explode,
-    one broadcast-hash join, one keyed partial-agg shuffle — scan-bound
-    at any corpus size."""
-    d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.col("norm"), " ")).alias("_tok")
-    )
-    bucket = (
-        F.conv(F.substring(F.sha2(F.col("_tok"), 256), 1, 4), 16, 10)
-        .cast("long")
-        % QC_BUCKETS
-    )
-    weights = spark.range(QC_BUCKETS).select(
-        F.col("id").cast("long").alias("_bucket"),
-        ((F.col("id") * QC_WEIGHT_MULT) % 1000 - 500)
-        .cast("long")
-        .alias("_wt"),
-    )
-    j = toks.select("doc_id", bucket.alias("_bucket")).join(
-        F.broadcast(weights), "_bucket"
-    )
-    return (
-        j.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("_wt").alias("score_mi"),
-        )
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.col("score_mi").cast("long").alias("score_mi"),
-            (F.col("score_mi") >= 0).alias("keep"),
-        )
+    irrelevant (functions/curation.py hashed_quality_scores, shared
+    verbatim with job_curate --quality-filter). keep = score_mi >= 0
+    compares the raw sum (a mean threshold is the linear comparison
+    score_mi >= thr * n_tokens — never a division: Spark's div
+    truncates toward zero while DuckDB's // floors, and score sums go
+    negative). Plan shape: one explode, one broadcast-hash join, one
+    keyed partial-agg shuffle — scan-bound at any corpus size."""
+    s = hashed_quality_scores(_docs(spark, sf_dir), "norm", "doc_id")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "score_mi",
+        (F.col("score_mi") >= 0).alias("keep"),
     )
 
 

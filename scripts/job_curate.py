@@ -31,8 +31,16 @@ def build_output(
     robots_df=None,
     near_dup: bool = False,
     near_dup_threshold: float = 0.5,
+    quality_filter: bool = False,
 ):
     """The batch curation composition; returns one verdict row per doc.
+
+    ``quality_filter=True`` adds the hashed-linear classifier screen
+    (functions/curation.py hashed_quality_scores — the same definition
+    the quality_classifier oracle gate pins): docs whose milli-unit
+    score sum is negative drop as ``low_quality``, folded in before
+    the content stages like robots so a low-quality doc can never
+    claim a dup-canonical slot.
 
     ``blocked_hosts``: DataFrame with a ``host`` column (empty screen if
     None). ``bench_docs``: DataFrame with a ``text`` column whose word
@@ -119,6 +127,30 @@ def build_output(
     # \r?\n, not \n: CRLF docs would otherwise carry a trailing \r per
     # line, splitting every banner's frequency count across the two
     # line-ending variants (and splitting dup hashes the same way).
+    if quality_filter:
+        from ocr_parallel_spark.functions.curation import hashed_quality_scores
+
+        qs = hashed_quality_scores(
+            docs.select("doc_id", normalize_col("text").alias("norm")),
+            "norm",
+            "doc_id",
+        ).select("doc_id", (F.col("score_mi") < 0).alias("_lowq"))
+        screens = (
+            screens.join(qs, "doc_id", "left")
+            .withColumn(
+                "drop_reason",
+                F.coalesce(
+                    F.col("drop_reason"),
+                    F.when(
+                        F.coalesce(F.col("_lowq"), F.lit(False)),
+                        F.lit("low_quality"),
+                    ),
+                ),
+            )
+            .withColumn("kept", F.col("drop_reason").isNull())
+            .drop("_lowq")
+        )
+
     # NULL text would make every expression below NULL: the [null] line
     # key is dropped by dedup_lines' frequency equi-join, the doc
     # vanishes from `lined`, and an inner screens<->lined join would
@@ -314,6 +346,12 @@ def main() -> None:
     )
     ap.add_argument("--near-dup-threshold", type=float, default=0.5)
     ap.add_argument(
+        "--quality-filter",
+        action="store_true",
+        help="add the hashed-linear classifier screen (docs with a "
+        "negative milli-unit score drop as low_quality)",
+    )
+    ap.add_argument(
         "--recompute",
         action="store_true",
         help="full-corpus arbiter for the incremental-resume tension: "
@@ -356,6 +394,7 @@ def main() -> None:
             robots_df=robots,
             near_dup=args.near_dup,
             near_dup_threshold=args.near_dup_threshold,
+            quality_filter=args.quality_filter,
         )
 
     if args.recompute:

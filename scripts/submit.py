@@ -80,6 +80,11 @@ def main() -> None:
         help="curate job: full-corpus arbiter — recompute every verdict "
         "over ALL input and overwrite the committed table",
     )
+    ap.add_argument(
+        "--quality-filter",
+        action="store_true",
+        help="curate job: hashed-linear classifier screen (low_quality)",
+    )
     ap.add_argument("--targets", help="targets CSV (full-process job only)")
     ap.add_argument(
         "--start-marker",
@@ -134,6 +139,8 @@ def main() -> None:
             cmd += ["--near-dup"]
         if args.recompute:
             cmd += ["--recompute"]
+        if args.quality_filter:
+            cmd += ["--quality-filter"]
     if args.job == "full-process":
         cmd += ["--targets", args.targets]
         for m in args.start_marker or []:

@@ -197,6 +197,36 @@ def test_near_dup_stage_drops_non_canonical_cluster_members(spark):
     assert got[20]["kept"]
 
 
+def test_quality_filter_screen(spark, sf_dir):
+    """--quality-filter: the job's verdicts agree doc-by-doc with the
+    oracle-gated q_quality_classifier — a negative-score doc that
+    passes every other screen drops as low_quality; without the flag
+    the reason never appears."""
+    from ocr_parallel_spark.queries_catalog import q_quality_classifier
+
+    docs = _docs(spark, sf_dir)
+    off = {r.doc_id: r for r in job.build_output(spark, docs, None, None).collect()}
+    assert all(r.drop_reason != "low_quality" for r in off.values())
+    got = {
+        r.doc_id: r
+        for r in job.build_output(
+            spark, docs, None, None, quality_filter=True
+        ).collect()
+    }
+    scores = {
+        r.doc_id: r.keep for r in q_quality_classifier(spark, sf_dir).collect()
+    }
+    n_lowq = 0
+    for doc_id, r in got.items():
+        if r.drop_reason == "low_quality":
+            n_lowq += 1
+            assert not scores[doc_id]
+        elif off[doc_id].drop_reason is None and not scores[doc_id]:
+            # passed every earlier screen but scored negative -> must drop
+            raise AssertionError(f"doc {doc_id} escaped the quality screen")
+    assert n_lowq > 0
+
+
 def test_near_dup_resume_noop(spark, tmp_path):
     """--near-dup composed with run_resumable: first run commits every
     verdict (incl. the near_dup drops), second run over the same input
