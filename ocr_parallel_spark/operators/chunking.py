@@ -118,3 +118,67 @@ def ordered_concat(
         ).alias("concat_text"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window_tokens: int = 512,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    norm_col: str = "norm",
+    base_offsets: DataFrame | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-split sequence packing (the batch core
+    behind queries_catalog.q_sequence_pack and scripts/job_pack.py):
+    docs concatenate per source in ``id_col`` order; every doc gets its
+    exact bigint start offset in the packed token stream plus the
+    first/last window ids and the straddle flag training pipelines
+    mask attention on. One window-function pass PARTITIONED BY source —
+    the deployment shape packs per shard, never a global
+    single-partition order.
+
+    ``base_offsets`` (``source_col``, ``base_offset``) shifts each
+    source's stream start — the resume hook: an incremental run packs
+    its new docs CONTINUING from the committed stream end, exactly like
+    the streaming packer's state store."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.col(norm_col), " ")).cast("long")
+    t = docs.select(id_col, source_col, n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.select(
+        id_col,
+        source_col,
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("long")
+        .alias("tok_offset"),
+    )
+    if base_offsets is not None:
+        t = t.join(F.broadcast(base_offsets), source_col, "left").select(
+            id_col,
+            source_col,
+            "n_tokens",
+            (
+                F.col("tok_offset")
+                + F.coalesce(F.col("base_offset"), F.lit(0))
+            )
+            .cast("long")
+            .alias("tok_offset"),
+        )
+    win_start = F.expr(f"tok_offset div {window_tokens}")
+    win_end = F.expr(f"(tok_offset + n_tokens - 1) div {window_tokens}")
+    return t.select(
+        id_col,
+        source_col,
+        "n_tokens",
+        "tok_offset",
+        win_start.cast("long").alias("win_start"),
+        win_end.cast("long").alias("win_end"),
+        (win_end - win_start + 1).cast("long").alias("n_windows"),
+        (win_end > win_start).alias("is_split"),
+    )

@@ -1593,35 +1593,11 @@ def q_sequence_pack(spark, sf_dir):
     window boundary (the attention-masking case). One window-function
     pass PARTITIONED BY source — the deployment shape packs per shard,
     never a global single-partition order; the cumsum is exact bigint,
-    so the DuckDB twin value-hash-matches."""
-    d = _docs(spark, sf_dir)
-    n_tok = F.size(F.split(F.col("norm"), " ")).cast("long")
-    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    t = t.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-        .cast("long")
-        .alias("tok_offset"),
-    )
-    win_start = F.expr(f"tok_offset div {PACK_WINDOW}")
-    win_end = F.expr(f"(tok_offset + n_tokens - 1) div {PACK_WINDOW}")
-    return t.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        "tok_offset",
-        win_start.cast("long").alias("win_start"),
-        win_end.cast("long").alias("win_end"),
-        (win_end - win_start + 1).cast("long").alias("n_windows"),
-        (win_end > win_start).alias("is_split"),
-    )
+    so the DuckDB twin value-hash-matches. Core shared verbatim with
+    scripts/job_pack.py (operators/chunking.py pack_sequences)."""
+    from ocr_parallel_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), PACK_WINDOW)
 
 
 BLOCKED_HOSTS = ["site-3.example.com", "site-5.example.com"]

@@ -45,9 +45,16 @@ def main() -> None:
     ap.add_argument("--run", action="store_true", help="exec spark-submit")
     ap.add_argument(
         "--job",
-        choices=["extract", "full-process", "curate"],
+        choices=["extract", "full-process", "curate", "pack"],
         default="extract",
         help="which batch job to submit",
+    )
+    ap.add_argument(
+        "--verdicts",
+        help="pack job: curation-verdicts table (only kept docs pack)",
+    )
+    ap.add_argument(
+        "--window-tokens", type=int, help="pack job: context window length"
     )
     ap.add_argument(
         "--input-format",
@@ -117,6 +124,7 @@ def main() -> None:
                 "extract": "job_extract.py",
                 "full-process": "job_full_process.py",
                 "curate": "job_curate.py",
+                "pack": "job_pack.py",
             }[args.job]
         ),
         "--input", args.input,
@@ -141,6 +149,11 @@ def main() -> None:
             cmd += ["--recompute"]
         if args.quality_filter:
             cmd += ["--quality-filter"]
+    if args.job == "pack":
+        if args.verdicts:
+            cmd += ["--verdicts", args.verdicts]
+        if args.window_tokens is not None:
+            cmd += ["--window-tokens", str(args.window_tokens)]
     if args.job == "full-process":
         cmd += ["--targets", args.targets]
         for m in args.start_marker or []:

@@ -1,0 +1,83 @@
+"""Sequence-packing batch job: kept-doc filter, snapshot commit, and
+resume with OFFSET CONTINUATION (the batch analog of the streaming
+packer's state store)."""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+from pyspark.sql import functions as F
+
+from ocr_parallel_spark.io.snapshot import SnapshotTable, run_resumable
+
+_spec = importlib.util.spec_from_file_location(
+    "job_pack",
+    pathlib.Path(__file__).resolve().parent.parent / "scripts" / "job_pack.py",
+)
+job = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(job)
+
+
+def _run(spark, docs, table, window_tokens=512):
+    base = job.committed_base_offsets(spark, table)
+    return run_resumable(
+        docs,
+        table,
+        spark,
+        lambda todo: job.build_output(spark, todo, window_tokens, base),
+        key_col="doc_id",
+    )
+
+
+def test_incremental_pack_equals_batch_pack(spark, sf_dir, tmp_path):
+    """Two incremental runs (first half, then the rest) must commit the
+    EXACT per-doc offsets one batch q_sequence_pack run gives — each
+    source's second-run stream continues at the committed stream end."""
+    from ocr_parallel_spark.queries_catalog import PACK_WINDOW, q_sequence_pack
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    table = SnapshotTable(str(tmp_path / "packs"))
+    snap1 = _run(spark, docs.filter(F.col("doc_id") < 250), table, PACK_WINDOW)
+    assert snap1["lineage"]["rows_written"] == 250
+    snap2 = _run(spark, docs, table, PACK_WINDOW)
+    assert snap2["lineage"]["rows_written"] == docs.count() - 250
+
+    got = {
+        r.doc_id: (r.n_tokens, r.tok_offset, r.win_start, r.win_end, r.is_split)
+        for r in table.read(spark).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.tok_offset, r.win_start, r.win_end, r.is_split)
+        for r in q_sequence_pack(spark, sf_dir).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+
+    # third run over the same input: true no-op
+    snap3 = _run(spark, docs, table, PACK_WINDOW)
+    assert snap3.get("noop") is True
+
+
+def test_pack_respects_kept_verdicts(spark, tmp_path):
+    """The --verdicts semi-join: only kept docs pack, and offsets are
+    contiguous over the kept subset (dropped docs leave no hole)."""
+    docs = spark.createDataFrame(
+        [(i, "s", "one two three four") for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    verdicts = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(6)], "doc_id long, kept boolean"
+    )
+    kept_docs = docs.join(
+        verdicts.filter("kept").select("doc_id"), "doc_id", "semi"
+    )
+    table = SnapshotTable(str(tmp_path / "packs"))
+    _run(spark, kept_docs, table, window_tokens=6)
+    rows = sorted(table.read(spark).collect(), key=lambda r: r.doc_id)
+    assert [r.doc_id for r in rows] == [0, 2, 4]
+    assert [r.tok_offset for r in rows] == [0, 4, 8]
+    # doc 2 spans tokens 4..7 across the 6-token window boundary
+    assert [r.is_split for r in rows] == [False, True, False]
