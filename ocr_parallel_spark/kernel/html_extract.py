@@ -303,6 +303,19 @@ def extract_links_with_anchors(html: str) -> list[tuple[str, str]]:
     return p.pairs
 
 
+def resolve_links(base_url: str, hrefs: list[str]) -> list[str]:
+    """Resolve extracted hrefs against the page's base URL (RFC 3986
+    via stdlib ``urljoin`` — deterministic, version-pinned by Python):
+    the step between outlink extraction (relative hrefs) and the
+    webgraph (absolute node ids for pagerank/host rollups). Handles
+    root-relative, relative, dot-segment, query/fragment-only,
+    protocol-relative, and absolute targets; order and duplicates
+    preserved."""
+    from urllib.parse import urljoin
+
+    return [urljoin(base_url, h) for h in hrefs]
+
+
 def join_links_escaped(links: list[str]) -> str:
     """Serialize a link list to ONE string losslessly: percent-encode
     '%' first, then ',' per href, then comma-join. Real-web hrefs carry

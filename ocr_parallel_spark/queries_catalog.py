@@ -1325,6 +1325,58 @@ def q_anchor_text(spark, sf_dir):
     )
 
 
+def q_resolve_links(spark, sf_dir):
+    """Outlink RESOLUTION — the step that turns extract_links' relative
+    hrefs into absolute webgraph node ids (kernel resolve_links, RFC
+    3986 urljoin): per page, the resolved targets against the page's
+    own url. Closes the extract -> resolve -> pagerank/host-rollup
+    loop. The oracle re-derives each absolute url analytically from the
+    synthesis rules (domain = hot vs site-{url_id % 97}, url dups reuse
+    doc_id - 9's url), so a resolution bug — dropped host, kept
+    relative path, wrong dup base — flips rows red. Same scan shape as
+    extract_links: one mapInPandas on scan partitions, nothing else."""
+    from ocr_parallel_spark.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir).filter(
+        (F.col("doc_id") % 50 != 7)
+        & (F.col("doc_id") % 40 != 11)
+        & (F.col("doc_id") % 40 != 31)
+    )
+
+    import pandas as pd  # noqa: F401
+
+    def resolved_of(batches):
+        import pandas as pd
+
+        from ocr_parallel_spark.kernel.html_extract import (
+            extract_links,
+            join_links_escaped,
+            resolve_links,
+        )
+
+        for pdf in batches:
+            ids, outs, ns = [], [], []
+            for doc_id, url, h in zip(pdf["doc_id"], pdf["url"], pdf["html"]):
+                links = resolve_links(
+                    url,
+                    extract_links(bytes(h).decode("utf-8", "replace")),
+                )
+                ids.append(doc_id)
+                ns.append(len(links))
+                outs.append(join_links_escaped(links))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "n_links": pd.array(ns, dtype="int64"),
+                    "resolved": pd.array(outs, dtype=str),
+                }
+            )
+
+    return pages.select("doc_id", "url", "html").mapInPandas(
+        resolved_of, "doc_id long, n_links long, resolved string"
+    )
+
+
 def _pagerank_oracle_sql(
     n_iter: int = 10,
     d: int = 85,
@@ -2462,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "quality_classifier": q_quality_classifier,
         "anchor_text": q_anchor_text,
+        "resolve_links": q_resolve_links,
         "extract_links": q_extract_links,
         "dsir_weights": q_dsir_weights,
         "bm25_search": q_bm25_search,
@@ -3077,6 +3130,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 50 <> 7 AND doc_id % 40 <> 11
               AND doc_id % 40 <> 31
+        """,
+        "resolve_links": """
+            WITH b AS (
+              SELECT doc_id,
+                     'https://' || CASE
+                       WHEN (CASE WHEN doc_id % 10 = 9 THEN doc_id - 9
+                                  ELSE doc_id END) % 5 < 2
+                       THEN 'hot.example.com'
+                       ELSE 'site-' || CAST((CASE WHEN doc_id % 10 = 9
+                                 THEN doc_id - 9 ELSE doc_id END) % 97
+                              AS VARCHAR) || '.example.com'
+                     END AS base
+              FROM documents
+              WHERE doc_id % 50 <> 7 AND doc_id % 40 <> 11
+                AND doc_id % 40 <> 31
+            )
+            SELECT doc_id,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 0 ELSE 3 END
+                     AS BIGINT) AS n_links,
+                   CASE doc_id % 3
+                     WHEN 1 THEN base || '/,' || base || '/tags,'
+                                 || base || '/about'
+                     WHEN 2 THEN base || '/x1,' || base || '/x2,'
+                                 || base || '/x3'
+                     ELSE '' END AS resolved
+            FROM b
         """,
         "anchor_text": """
             WITH eligible AS (

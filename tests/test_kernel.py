@@ -159,6 +159,30 @@ def test_extract_links_with_anchors():
     assert extract_links_with_anchors("<a name='x'>no href</a>") == []
 
 
+def test_resolve_links_rfc3986_cases():
+    from ocr_parallel_spark.kernel.html_extract import resolve_links
+
+    base = "https://h.example.com/a/b/page.html?x=1"
+    assert resolve_links(base, [
+        "/root",                      # root-relative
+        "sibling",                    # relative
+        "../up",                      # dot segments
+        "?q=2",                       # query-only
+        "#frag",                      # fragment-only
+        "//cdn.example.net/lib.js",   # protocol-relative
+        "https://other.org/p",        # absolute
+    ]) == [
+        "https://h.example.com/root",
+        "https://h.example.com/a/b/sibling",
+        "https://h.example.com/a/up",
+        "https://h.example.com/a/b/page.html?q=2",
+        "https://h.example.com/a/b/page.html?x=1#frag",
+        "https://cdn.example.net/lib.js",
+        "https://other.org/p",
+    ]
+    assert resolve_links(base, []) == []
+
+
 def test_link_join_escaped_lossless():
     """A comma or percent inside an href must survive the serialized
     round trip — a naive comma join corrupts n_links on real-web URLs
