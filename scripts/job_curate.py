@@ -32,6 +32,7 @@ def build_output(
     near_dup: bool = False,
     near_dup_threshold: float = 0.5,
     quality_filter: bool = False,
+    prior_kept_hashes=None,
 ):
     """The batch curation composition; returns one verdict row per doc.
 
@@ -59,8 +60,16 @@ def build_output(
     to '' and the lines join is a left join), never silently lost and
     re-selected as TODO forever (ADVICE round 3).
 
-    Resume scope note: under run_resumable the corpus-global signals
-    (line frequencies, the dup window+components) see only the
+    ``prior_kept_hashes`` (one ``content_sha`` column — main() feeds
+    the committed KEPT docs' hashes here on incremental runs): a new
+    doc whose cleaned text matches an already-committed kept doc drops
+    as ``dup`` immediately, so exact dedup is CORRECT across runs, not
+    just within a run slice. Only kept hashes qualify — a doc whose
+    committed twin was screened out must still get its own canonical
+    slot (the round-2 canonical-slot rule, extended across runs).
+
+    Resume scope note: under run_resumable the remaining corpus-global
+    signals (line frequencies, the near-dup components) see only the
     never-committed TODO slice of each run — a line must repeat within
     a run to be dropped, a near-dup pair split across runs is missed.
     That is the standard incremental-curation tension; the arbiter is
@@ -209,11 +218,23 @@ def build_output(
     # subset also keeps the all-boilerplate kept_text='' mass out of the
     # window — at scale that constant key would otherwise funnel
     # millions of rows into one straggler task.
+    j = j.withColumn("content_sha", F.sha2(F.col("kept_text"), 256))
     eligible = j.filter(
         F.col("drop_reason").isNull()
         & (F.col("n_kept_lines") > 0)
         & ~F.col("contaminated")
-    ).select("doc_id", F.sha2(F.col("kept_text"), 256).alias("_kh"))
+    ).select("doc_id", F.col("content_sha").alias("_kh"))
+    if prior_kept_hashes is not None:
+        # Cross-run exact dedup: a hash already committed KEPT owns its
+        # canonical slot forever — new twins drop as dup and are also
+        # excluded from this run's canonical window.
+        prior = prior_kept_hashes.select(
+            F.col("content_sha").alias("_kh")
+        ).distinct()
+        prior_dups = eligible.join(prior, "_kh", "semi").select(
+            "doc_id", F.lit(True).alias("_pd")
+        )
+        eligible = eligible.join(prior_dups, "doc_id", "left_anti")
     w = Window.partitionBy("_kh").orderBy("doc_id")
     dups = (
         eligible.withColumn("_rn", F.row_number().over(w))
@@ -223,6 +244,10 @@ def build_output(
     j = j.join(dups, "doc_id", "left").withColumn(
         "_dup", F.coalesce(F.col("_dup"), F.lit(False))
     )
+    if prior_kept_hashes is not None:
+        j = j.join(prior_dups, "doc_id", "left").withColumn(
+            "_dup", F.col("_dup") | F.coalesce(F.col("_pd"), F.lit(False))
+        ).drop("_pd")
 
     if near_dup:
         # Fuzzy near-dup consolidation over the exact-dedup survivors
@@ -308,6 +333,7 @@ def build_output(
         "n_pii",
         "n_kept_lines",
         "contaminated",
+        "content_sha",
         reason.isNull().alias("kept"),
         reason.alias("drop_reason"),
     )
@@ -384,6 +410,14 @@ def main() -> None:
     robots = spark.read.parquet(args.robots) if args.robots else None
     table = SnapshotTable(args.output)
 
+    # Committed kept-doc hashes make exact dedup cross-run correct on
+    # incremental runs (recompute re-derives everything, so none there).
+    prior_hashes = None
+    if not args.recompute:
+        committed = table.read(spark)
+        if committed is not None and "content_sha" in committed.columns:
+            prior_hashes = committed.filter("kept").select("content_sha")
+
     def transform(d):
         return build_output(
             spark,
@@ -395,6 +429,7 @@ def main() -> None:
             near_dup=args.near_dup,
             near_dup_threshold=args.near_dup_threshold,
             quality_filter=args.quality_filter,
+            prior_kept_hashes=prior_hashes,
         )
 
     if args.recompute:

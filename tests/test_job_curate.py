@@ -260,6 +260,61 @@ def test_near_dup_resume_noop(spark, tmp_path):
     assert snap2.get("noop") is True
 
 
+def test_cross_run_exact_dedup_against_committed_kept_hashes(spark, tmp_path):
+    """Incremental exact dedup must be corpus-correct, not slice-local:
+    a run-2 doc whose cleaned text was already committed KEPT in run 1
+    drops as 'dup' (no within-run twin needed); a doc whose committed
+    twin was screened out still gets its own canonical slot."""
+    body_a = "plenty of unique content words here for the screen " * 4
+    body_b = (
+        "totally different subject matter entirely about gardens and "
+        "orchards with apples pears plums cherries apricots figs and "
+        "many other fruit trees growing happily in rows beside the old "
+        "farm house where the gardener tends them every single morning "
+    )
+    blocked = spark.createDataFrame([("blocked.org",)], "host string")
+    run1 = spark.createDataFrame(
+        [
+            (1, "https://ok.org/a", body_a, "en", "s"),
+            (2, "https://blocked.org/b", body_b, "en", "s"),
+        ],
+        "doc_id long, url string, text string, lang string, source string",
+    )
+    run2_new = [
+        (5, "https://ok.org/c", body_a, "en", "s"),  # twin of KEPT doc 1
+        (6, "https://ok.org/d", body_b, "en", "s"),  # twin of BLOCKED doc 2
+    ]
+    all_docs = run1.union(
+        spark.createDataFrame(
+            run2_new,
+            "doc_id long, url string, text string, lang string, source string",
+        )
+    )
+    table = SnapshotTable(str(tmp_path / "verdicts"))
+    run_resumable(
+        run1, table, spark,
+        lambda todo: job.build_output(spark, todo, blocked, None),
+        key_col="doc_id",
+    )
+    committed = table.read(spark)
+    prior = committed.filter("kept").select("content_sha")
+    run_resumable(
+        all_docs, table, spark,
+        lambda todo: job.build_output(
+            spark, todo, blocked, None, prior_kept_hashes=prior
+        ),
+        key_col="doc_id",
+    )
+    got = {r.doc_id: r for r in table.read(spark).collect()}
+    assert len(got) == 4
+    assert got[1].kept
+    assert got[2].drop_reason == "blocked"
+    # doc 5's text is committed-kept under doc 1 -> cross-run dup
+    assert got[5].drop_reason == "dup"
+    # doc 6's committed twin was screened out -> doc 6 claims the slot
+    assert got[6].kept, got[6]
+
+
 def test_recompute_arbiter_applies_corpus_global_truth(spark, tmp_path):
     """The --recompute mode closes the documented incremental-resume
     tension: a banner line spread across TWO runs (3+3 docs, never >= 5
