@@ -325,9 +325,16 @@ def build_output(
         .when(F.col("_dup"), F.lit("dup"))
         .when(F.col("_near"), F.lit("near_dup")),
     )
-    return j.select(
+    # The verdict table doubles as the CURATED CORPUS: kept docs carry
+    # their cleaned text (dropped docs carry NULL — at 100 TB the
+    # drop-fraction's bytes are the dominant storage cost and their
+    # text is reproducible from input + reason), plus the source tag
+    # the packer stratifies on. job_pack --from-verdicts consumes this
+    # directly — curate -> pack with no second read of the raw corpus.
+    return j.join(docs.select("doc_id", "source"), "doc_id").select(
         "doc_id",
         "host",
+        "source",
         "pred_lang",
         "n_tokens",
         "n_pii",
@@ -336,6 +343,7 @@ def build_output(
         "content_sha",
         reason.isNull().alias("kept"),
         reason.alias("drop_reason"),
+        F.when(reason.isNull(), F.col("kept_text")).alias("kept_text"),
     )
 
 

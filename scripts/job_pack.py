@@ -56,11 +56,17 @@ def build_output(spark, docs, window_tokens, base_offsets=None):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="docs parquet (doc_id, text, source)")
+    ap.add_argument("--input", help="docs parquet (doc_id, text, source)")
     ap.add_argument("--output", required=True, help="pack-manifest snapshot table root")
     ap.add_argument(
         "--verdicts",
         help="curation-verdicts snapshot table: only docs with kept=true pack",
+    )
+    ap.add_argument(
+        "--from-verdicts",
+        help="pack the CURATED CORPUS directly: read kept docs' cleaned "
+        "text (kept_text) out of this verdicts snapshot table — no "
+        "second read of the raw corpus (job_curate emits the column)",
     )
     ap.add_argument("--window-tokens", type=int, default=512)
     args = ap.parse_args()
@@ -71,14 +77,24 @@ def main() -> None:
 
     from ocr_parallel_spark.io.snapshot import SnapshotTable, run_resumable
 
-    docs = spark.read.parquet(args.input)
-    if args.verdicts:
-        verdicts = SnapshotTable(args.verdicts).read(spark)
+    if bool(args.input) == bool(args.from_verdicts):
+        raise SystemExit("exactly one of --input / --from-verdicts required")
+    if args.from_verdicts:
+        verdicts = SnapshotTable(args.from_verdicts).read(spark)
         if verdicts is None:
-            raise SystemExit("--verdicts table is empty; run job_curate first")
-        docs = docs.join(
-            verdicts.filter("kept").select("doc_id"), "doc_id", "semi"
+            raise SystemExit("--from-verdicts table is empty; run job_curate first")
+        docs = verdicts.filter("kept").select(
+            "doc_id", "source", verdicts["kept_text"].alias("text")
         )
+    else:
+        docs = spark.read.parquet(args.input)
+        if args.verdicts:
+            verdicts = SnapshotTable(args.verdicts).read(spark)
+            if verdicts is None:
+                raise SystemExit("--verdicts table is empty; run job_curate first")
+            docs = docs.join(
+                verdicts.filter("kept").select("doc_id"), "doc_id", "semi"
+            )
     table = SnapshotTable(args.output)
     base = committed_base_offsets(spark, table)
     snap = run_resumable(
@@ -87,7 +103,8 @@ def main() -> None:
         spark,
         lambda todo: build_output(spark, todo, args.window_tokens, base),
         key_col="doc_id",
-        lineage={"input": args.input, "window_tokens": args.window_tokens},
+        lineage={"input": args.input or args.from_verdicts,
+                 "window_tokens": args.window_tokens},
     )
     print(json.dumps(snap))
     spark.stop()

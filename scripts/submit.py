@@ -37,7 +37,7 @@ def build_zip(dest: pathlib.Path) -> pathlib.Path:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="pages table/parquet dir")
+    ap.add_argument("--input", help="pages table/parquet dir (optional for --job pack --from-verdicts)")
     ap.add_argument("--output", required=True, help="snapshot table root")
     ap.add_argument("--master", default="local[*]")
     ap.add_argument("--zip", default="/tmp/ocr_parallel_spark.zip")
@@ -52,6 +52,11 @@ def main() -> None:
     ap.add_argument(
         "--verdicts",
         help="pack job: curation-verdicts table (only kept docs pack)",
+    )
+    ap.add_argument(
+        "--from-verdicts",
+        help="pack job: pack the curated corpus (kept_text) straight "
+        "out of this verdicts table — no raw-corpus --input needed",
     )
     ap.add_argument(
         "--window-tokens", type=int, help="pack job: context window length"
@@ -105,6 +110,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.job == "full-process" and not args.targets:
         ap.error("--job full-process requires --targets")
+    if not args.input and not (args.job == "pack" and args.from_verdicts):
+        ap.error("--input is required (except --job pack --from-verdicts)")
 
     zip_path = build_zip(pathlib.Path(args.zip))
     cmd = [
@@ -127,9 +134,10 @@ def main() -> None:
                 "pack": "job_pack.py",
             }[args.job]
         ),
-        "--input", args.input,
         "--output", args.output,
     ]
+    if args.input:
+        cmd += ["--input", args.input]
     if args.input_format and args.job in ("extract", "curate"):
         cmd += ["--input-format", args.input_format]
     if args.job == "curate":
@@ -152,6 +160,8 @@ def main() -> None:
     if args.job == "pack":
         if args.verdicts:
             cmd += ["--verdicts", args.verdicts]
+        if args.from_verdicts:
+            cmd += ["--from-verdicts", args.from_verdicts]
         if args.window_tokens is not None:
             cmd += ["--window-tokens", str(args.window_tokens)]
     if args.job == "full-process":

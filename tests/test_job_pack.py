@@ -81,3 +81,52 @@ def test_pack_respects_kept_verdicts(spark, tmp_path):
     assert [r.tok_offset for r in rows] == [0, 4, 8]
     # doc 2 spans tokens 4..7 across the 6-token window boundary
     assert [r.is_split for r in rows] == [False, True, False]
+
+
+def test_pack_from_curated_corpus_chain(spark, tmp_path):
+    """The curate -> pack chain over the verdicts table itself: job_curate
+    emits kept docs' cleaned text (kept_text) + source, job_pack's
+    --from-verdicts mode packs exactly those docs with token counts
+    computed from the CLEANED text (boilerplate lines gone), no second
+    read of the raw corpus."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "job_curate_for_pack",
+        pathlib.Path(__file__).resolve().parent.parent / "scripts" / "job_curate.py",
+    )
+    curate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curate)
+
+    body = "plenty of unique content words here for the screen " * 4
+    docs = spark.createDataFrame(
+        [
+            (i, f"https://h{i}.org/x", f"COOKIE BANNER SHARED LINE\n{body}tail{i}", "en", "s")
+            for i in range(6)
+        ]
+        + [(9, "https://h9.org/x", "tiny", "en", "s")],  # screened out
+        "doc_id long, url string, text string, lang string, source string",
+    )
+    vtable = SnapshotTable(str(tmp_path / "verdicts"))
+    run_resumable(
+        docs, vtable, spark,
+        lambda todo: curate.build_output(spark, todo, None, None),
+        key_col="doc_id",
+    )
+    verdicts = vtable.read(spark)
+    kept = verdicts.filter("kept")
+    assert kept.count() == 6  # banner (6 >= min_count 5) stripped, content kept
+    assert kept.filter(F.col("kept_text").contains("COOKIE BANNER")).count() == 0
+    assert verdicts.filter("NOT kept").filter(
+        F.col("kept_text").isNotNull()
+    ).count() == 0  # dropped docs carry no text bytes
+
+    curated = kept.select("doc_id", "source", F.col("kept_text").alias("text"))
+    ptable = SnapshotTable(str(tmp_path / "packs"))
+    _run(spark, curated, ptable, window_tokens=64)
+    packed = {r.doc_id: r for r in ptable.read(spark).collect()}
+    assert set(packed) == {0, 1, 2, 3, 4, 5}
+    for r in kept.collect():
+        # token counts come from the CLEANED text
+        assert packed[r.doc_id].n_tokens == len(r.kept_text.split(" "))
