@@ -186,17 +186,16 @@ def with_minhash_bands(
     return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
 
 
-def minhash_candidate_pairs(
-    df: DataFrame,
-    text_col: str = "text",
+def pairs_from_banded(
+    banded: DataFrame,
     id_col: str = "url",
     max_bucket: int = MAX_BAND_BUCKET,
 ) -> DataFrame:
-    """Candidate near-dup pairs via MinHash LSH: explode band buckets,
-    self-join on (band position, bucket hash). Returns distinct id pairs
-    (a < b) for downstream exact-Jaccard verification. Buckets wider than
-    ``max_bucket`` are skipped (degenerate content; see MAX_BAND_BUCKET)."""
-    banded = with_minhash_bands(df, text_col, id_col)
+    """Candidate pairs from a precomputed ``with_minhash_bands`` frame
+    (``id_col``, ``bands``): explode band buckets, self-join on (band
+    position, bucket hash). Split out of :func:`minhash_candidate_pairs`
+    so a caller that persisted band signatures (the curation job's
+    verdicts table) reuses the identical bucket-cap + join logic."""
     exploded = banded.select(
         F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
     )
@@ -221,4 +220,19 @@ def minhash_candidate_pairs(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    max_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH: explode band buckets,
+    self-join on (band position, bucket hash). Returns distinct id pairs
+    (a < b) for downstream exact-Jaccard verification. Buckets wider than
+    ``max_bucket`` are skipped (degenerate content; see MAX_BAND_BUCKET)."""
+    return pairs_from_banded(
+        with_minhash_bands(df, text_col, id_col), id_col, max_bucket
     )

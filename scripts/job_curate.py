@@ -33,6 +33,7 @@ def build_output(
     near_dup_threshold: float = 0.5,
     quality_filter: bool = False,
     prior_kept_hashes=None,
+    prior_kept_neardup=None,
 ):
     """The batch curation composition; returns one verdict row per doc.
 
@@ -68,9 +69,19 @@ def build_output(
     committed twin was screened out must still get its own canonical
     slot (the round-2 canonical-slot rule, extended across runs).
 
+    ``prior_kept_neardup`` (``doc_id``, ``kept_text``,
+    ``minhash_bands`` of committed KEPT docs — main() feeds it on
+    incremental ``--near-dup`` runs): new docs band-join against the
+    COMMITTED signatures and verify exact Jaccard against the committed
+    cleaned text, so a near-dup pair split across runs drops too — the
+    committed doc keeps its slot, arrival order canonical, mirroring
+    the cross-run exact rule. Kept docs' band signatures persist in the
+    verdicts table to make this one band-explode join, not a re-hash of
+    the committed corpus.
+
     Resume scope note: under run_resumable the remaining corpus-global
-    signals (line frequencies, the near-dup components) see only the
-    never-committed TODO slice of each run — a line must repeat within
+    signals (line frequencies, the within-run near-dup components) see
+    only the never-committed TODO slice of each run — a line must repeat within
     a run to be dropped, a near-dup pair split across runs is missed.
     That is the standard incremental-curation tension; the arbiter is
     ``--recompute``: re-run THIS composition over the full input and
@@ -259,7 +270,10 @@ def build_output(
         # kept_text so boilerplate stripping cannot hide near-dups
         # behind differing chrome.
         from ocr_parallel_spark.operators.graph import connected_components
-        from ocr_parallel_spark.operators.neardup import minhash_candidate_pairs
+        from ocr_parallel_spark.operators.neardup import (
+            pairs_from_banded,
+            with_minhash_bands,
+        )
 
         survivors = j.filter(
             F.col("drop_reason").isNull()
@@ -268,16 +282,21 @@ def build_output(
             & ~F.col("_dup")
         ).select("doc_id", "kept_text")
         # the banding kernel's Arrow schema types the id as string;
-        # cast through it and back so component labels stay NUMERIC
-        # (canonical member = min doc_id, not min lexicographic string)
-        cands = minhash_candidate_pairs(
-            survivors.withColumn("doc_id", F.col("doc_id").cast("string")),
-            "kept_text",
-            "doc_id",
-        ).select(
-            F.col("id_a").cast("long").alias("id_a"),
-            F.col("id_b").cast("long").alias("id_b"),
+        # cast through it and back so downstream labels stay NUMERIC
+        # (canonical member = min doc_id, not min lexicographic string).
+        # Bands are computed ONCE and reused three ways: within-run
+        # candidate pairs, the cross-run join against committed
+        # signatures, and persistence into the verdict row.
+        banded = (
+            with_minhash_bands(
+                survivors.withColumn("doc_id", F.col("doc_id").cast("string")),
+                "kept_text",
+                "doc_id",
+            )
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "bands")
+            .localCheckpoint(eager=False)
         )
+        cands = pairs_from_banded(banded, "doc_id")
         toks = survivors.select(
             "doc_id",
             F.array_distinct(F.split(F.col("kept_text"), " ")).alias("toks"),
@@ -312,11 +331,59 @@ def build_output(
             .select(F.col("node").alias("doc_id"))
             .withColumn("_near", F.lit(True))
         )
+        if prior_kept_neardup is not None:
+            # Cross-run near-dup: committed kept signatures (no cap —
+            # the committed side was bucket-capped at its own commit
+            # time and holds only cluster canonicals) band-join the new
+            # docs; exact Jaccard verifies against the committed
+            # cleaned text. The committed doc keeps its slot.
+            prior = prior_kept_neardup.filter(
+                F.col("minhash_bands").isNotNull()
+            ).select(
+                F.col("doc_id").alias("_p_id"),
+                F.col("kept_text").alias("_p_text"),
+                F.col("minhash_bands").alias("_p_bands"),
+            )
+            pex = prior.select(
+                "_p_id", F.posexplode("_p_bands").alias("band_idx", "band_hash")
+            )
+            nex = banded.select(
+                "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+            )
+            cross = (
+                nex.join(pex, ["band_idx", "band_hash"])
+                .select("doc_id", "_p_id")
+                .distinct()
+            )
+            ptoks = prior.select(
+                "_p_id",
+                F.array_distinct(F.split(F.col("_p_text"), " ")).alias("_p_toks"),
+            )
+            inter2 = F.size(F.array_intersect("toks", "_p_toks")).cast("double")
+            cross_hit = (
+                cross.join(toks, "doc_id")
+                .join(ptoks, "_p_id")
+                .withColumn("_i2", inter2)
+                .filter(
+                    F.col("_i2")
+                    / (F.size("toks") + F.size("_p_toks") - F.col("_i2"))
+                    >= near_dup_threshold
+                )
+                .select("doc_id")
+                .distinct()
+                .withColumn("_near", F.lit(True))
+            )
+            near = near.unionByName(cross_hit).distinct()
         j = j.join(near, "doc_id", "left").withColumn(
             "_near", F.coalesce(F.col("_near"), F.lit(False))
         )
+        j = j.join(
+            banded.withColumnRenamed("bands", "minhash_bands"), "doc_id", "left"
+        )
     else:
-        j = j.withColumn("_near", F.lit(False))
+        j = j.withColumn("_near", F.lit(False)).withColumn(
+            "minhash_bands", F.lit(None).cast("array<bigint>")
+        )
 
     reason = F.coalesce(
         F.col("drop_reason"),
@@ -344,6 +411,7 @@ def build_output(
         reason.isNull().alias("kept"),
         reason.alias("drop_reason"),
         F.when(reason.isNull(), F.col("kept_text")).alias("kept_text"),
+        F.when(reason.isNull(), F.col("minhash_bands")).alias("minhash_bands"),
     )
 
 
@@ -421,10 +489,19 @@ def main() -> None:
     # Committed kept-doc hashes make exact dedup cross-run correct on
     # incremental runs (recompute re-derives everything, so none there).
     prior_hashes = None
+    prior_neardup = None
     if not args.recompute:
         committed = table.read(spark)
         if committed is not None and "content_sha" in committed.columns:
             prior_hashes = committed.filter("kept").select("content_sha")
+            if (
+                args.near_dup
+                and "minhash_bands" in committed.columns
+                and "kept_text" in committed.columns
+            ):
+                prior_neardup = committed.filter("kept").select(
+                    "doc_id", "kept_text", "minhash_bands"
+                )
 
     def transform(d):
         return build_output(
@@ -438,6 +515,7 @@ def main() -> None:
             near_dup_threshold=args.near_dup_threshold,
             quality_filter=args.quality_filter,
             prior_kept_hashes=prior_hashes,
+            prior_kept_neardup=prior_neardup,
         )
 
     if args.recompute:

@@ -315,6 +315,61 @@ def test_cross_run_exact_dedup_against_committed_kept_hashes(spark, tmp_path):
     assert got[6].kept, got[6]
 
 
+def test_cross_run_near_dup_against_committed_signatures(spark, tmp_path):
+    """Incremental --near-dup must catch pairs SPLIT ACROSS RUNS: the
+    committed kept doc's persisted minhash bands + cleaned text let a
+    run-2 near-twin drop as 'near_dup' with no within-run partner,
+    while an unrelated run-2 doc stays kept."""
+    base = "plenty of unique content words here for the screen " * 4
+    other = (
+        "totally different subject matter entirely about gardens and "
+        "orchards with apples pears plums cherries apricots figs and "
+        "many other fruit trees growing happily in rows beside the old "
+        "farm house where the gardener tends them every single morning "
+    )
+    run1 = spark.createDataFrame(
+        [(10, "https://ok.org/a", base + "alpha", "en", "s")],
+        "doc_id long, url string, text string, lang string, source string",
+    )
+    all_docs = run1.union(
+        spark.createDataFrame(
+            [
+                (20, "https://ok.org/b", base + "bravo", "en", "s"),
+                (21, "https://ok.org/c", other, "en", "s"),
+            ],
+            "doc_id long, url string, text string, lang string, source string",
+        )
+    )
+    table = SnapshotTable(str(tmp_path / "verdicts"))
+
+    def run(docs):
+        committed = table.read(spark)
+        prior_h = prior_nd = None
+        if committed is not None:
+            prior_h = committed.filter("kept").select("content_sha")
+            prior_nd = committed.filter("kept").select(
+                "doc_id", "kept_text", "minhash_bands"
+            )
+        return run_resumable(
+            docs, table, spark,
+            lambda todo: job.build_output(
+                spark, todo, None, None, near_dup=True,
+                prior_kept_hashes=prior_h, prior_kept_neardup=prior_nd,
+            ),
+            key_col="doc_id",
+        )
+
+    run(run1)
+    first = {r.doc_id: r for r in table.read(spark).collect()}
+    assert first[10].kept and first[10].minhash_bands is not None
+    run(all_docs)
+    got = {r.doc_id: r for r in table.read(spark).collect()}
+    assert len(got) == 3
+    assert got[10].kept
+    assert got[20].drop_reason == "near_dup", got[20]
+    assert got[21].kept, got[21]
+
+
 def test_recompute_arbiter_applies_corpus_global_truth(spark, tmp_path):
     """The --recompute mode closes the documented incremental-resume
     tension: a banner line spread across TWO runs (3+3 docs, never >= 5
