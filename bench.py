@@ -453,9 +453,12 @@ def main() -> None:
     # neighbor load even after the bounded retry.
     foreign = [v for v in detail.get("entry_foreign_cpu", {}).values() if v >= 0]
     out["max_foreign_cpu"] = max(foreign) if foreign else None
-    out["detail_file"] = os.path.basename(DETAIL_FILE)
+    # Subset runs (SPARK_GRAFT_BENCH_QUERIES) are iteration loops: their
+    # partial detail must not clobber the committed full-run file.
+    detail_path = DETAIL_FILE if not env_subset else "/tmp/BENCH_DETAIL_subset.json"
+    out["detail_file"] = os.path.basename(detail_path)
     try:
-        with open(DETAIL_FILE, "w", encoding="utf-8") as fh:
+        with open(detail_path, "w", encoding="utf-8") as fh:
             json.dump({**detail, "headline": out}, fh, indent=1)
     except OSError:
         pass  # diagnostics are best-effort; the headline line must print

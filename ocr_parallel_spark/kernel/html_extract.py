@@ -323,9 +323,14 @@ def join_links_escaped(links: list[str]) -> str:
     would both corrupt the element count and be ambiguous to split.
     Inverse: ``split(",")`` then unquote ``%2C`` -> ``,`` and ``%25``
     -> ``%`` (split_links_escaped)."""
-    return ",".join(
-        link.replace("%", "%25").replace(",", "%2C") for link in links
-    )
+    return ",".join(escape_link(link) for link in links)
+
+
+def escape_link(s: str) -> str:
+    """The ONE lossless comma-escape used by every serialized link/anchor
+    list (% -> %25 first, then , -> %2C); a second implementation of
+    this rule anywhere is a drift bug."""
+    return s.replace("%", "%25").replace(",", "%2C")
 
 
 def split_links_escaped(s: str) -> list[str]:

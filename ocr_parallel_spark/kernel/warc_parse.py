@@ -36,7 +36,10 @@ def maybe_gunzip(data: bytes) -> bytes:
     :func:`parse_warc`'s truncation errors — on a truncated member or
     on trailing non-gzip bytes after the last member (a corrupt tail
     or a gzip+plain concatenation must surface as an error row
-    upstream, never as silently-lost records)."""
+    upstream, never as silently-lost records). Exception: an all-NUL
+    tail is benign block-alignment padding (some archivers pad .gz
+    shards to a block size) — rejecting it would turn a fully
+    readable archive into one error row."""
     if not data.startswith(GZIP_MAGIC):
         return data
     out = []
@@ -51,7 +54,7 @@ def maybe_gunzip(data: bytes) -> bytes:
         if not d.eof:
             raise ValueError("gzip: truncated member (stream ends mid-record)")
         rest = d.unused_data
-    if rest:
+    if rest and rest.strip(b"\x00"):
         raise ValueError(
             f"gzip: {len(rest)} trailing bytes after last member are not gzip"
         )

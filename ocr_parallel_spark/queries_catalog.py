@@ -1291,6 +1291,7 @@ def q_anchor_text(spark, sf_dir):
         import pandas as pd
 
         from ocr_parallel_spark.kernel.html_extract import (
+            escape_link,
             extract_links_with_anchors,
         )
 
@@ -1302,7 +1303,9 @@ def q_anchor_text(spark, sf_dir):
                 ):
                     ids.append(doc_id)
                     hrefs.append(href)
-                    anchors.append(text)
+                    # the kernel's ONE escape rule, applied at emit time
+                    # so the agg side is a plain sort + comma join
+                    anchors.append(escape_link(text))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(ids, dtype="int64"),
@@ -1314,14 +1317,11 @@ def q_anchor_text(spark, sf_dir):
     links = pages.select("doc_id", "html").mapInPandas(
         anchors_of, "doc_id long, href string, anchor string"
     )
-    esc = lambda a: F.regexp_replace(  # noqa: E731 — lossless , escape
-        F.regexp_replace(a, "%", "%25"), ",", "%2C"
-    )
     return links.groupBy("href").agg(
         F.count(F.lit(1)).cast("long").alias("n_inlinks"),
-        F.concat_ws(
-            ",", F.array_sort(F.transform(F.collect_set("anchor"), esc))
-        ).alias("anchor_texts"),
+        F.concat_ws(",", F.array_sort(F.collect_set("anchor"))).alias(
+            "anchor_texts"
+        ),
     )
 
 

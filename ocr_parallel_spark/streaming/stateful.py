@@ -138,10 +138,14 @@ def streaming_sequence_pack(
     final."""
     from ocr_parallel_spark.operators.classify import normalize_col
 
+    # Coalesce NULL text like the batch twin (job_pack.build_output):
+    # size(split(NULL)) is NULL -> NaN in the pandas batch -> cumsum
+    # poisons every later offset and int(NaN) kills the query.
+    text_nn = F.coalesce(F.col("text"), F.lit(""))
     toks = docs_stream.select(
         "doc_id",
         "source",
-        F.size(F.split(normalize_col("text"), " "))
+        F.size(F.split(normalize_col(text_nn), " "))
         .cast("long")
         .alias("n_tokens"),
     )

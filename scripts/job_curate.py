@@ -332,11 +332,26 @@ def build_output(
             .withColumn("_near", F.lit(True))
         )
         if prior_kept_neardup is not None:
-            # Cross-run near-dup: committed kept signatures (no cap —
-            # the committed side was bucket-capped at its own commit
-            # time and holds only cluster canonicals) band-join the new
-            # docs; exact Jaccard verifies against the committed
-            # cleaned text. The committed doc keeps its slot.
+            # Cross-run near-dup: committed kept signatures band-join
+            # the new docs; exact Jaccard verifies against the
+            # committed cleaned text. The committed doc keeps its
+            # slot. BOTH sides get the same MAX_BAND_BUCKET cap the
+            # within-run path applies (canonicals of different
+            # clusters can still share a degenerate-boilerplate band
+            # bucket; uncapped, a hot bucket accumulated over many
+            # runs is a |new| x |committed| quadratic straggler).
+            from ocr_parallel_spark.operators.neardup import MAX_BAND_BUCKET
+
+            def _capped(ex):
+                sizes = ex.groupBy("band_idx", "band_hash").agg(
+                    F.count(F.lit(1)).alias("_n")
+                )
+                return (
+                    ex.join(sizes, ["band_idx", "band_hash"])
+                    .filter(F.col("_n") <= MAX_BAND_BUCKET)
+                    .drop("_n")
+                )
+
             prior = prior_kept_neardup.filter(
                 F.col("minhash_bands").isNotNull()
             ).select(
@@ -344,11 +359,17 @@ def build_output(
                 F.col("kept_text").alias("_p_text"),
                 F.col("minhash_bands").alias("_p_bands"),
             )
-            pex = prior.select(
-                "_p_id", F.posexplode("_p_bands").alias("band_idx", "band_hash")
+            pex = _capped(
+                prior.select(
+                    "_p_id",
+                    F.posexplode("_p_bands").alias("band_idx", "band_hash"),
+                )
             )
-            nex = banded.select(
-                "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+            nex = _capped(
+                banded.select(
+                    "doc_id",
+                    F.posexplode("bands").alias("band_idx", "band_hash"),
+                )
             )
             cross = (
                 nex.join(pex, ["band_idx", "band_hash"])

@@ -83,6 +83,22 @@ def main() -> None:
         verdicts = SnapshotTable(args.from_verdicts).read(spark)
         if verdicts is None:
             raise SystemExit("--from-verdicts table is empty; run job_curate first")
+        if "kept_text" not in verdicts.columns or "source" not in verdicts.columns:
+            raise SystemExit(
+                "--from-verdicts table predates the curated-corpus schema "
+                "(no kept_text/source columns); re-run job_curate "
+                "--recompute to materialize it"
+            )
+        # A kept row with NULL kept_text is a pre-upgrade commit read
+        # through mergeSchema — packing it would inject a phantom
+        # 1-token doc at a wrong offset. Refuse loudly instead.
+        n_stale = verdicts.filter("kept AND kept_text IS NULL").count()
+        if n_stale:
+            raise SystemExit(
+                f"--from-verdicts: {n_stale} kept rows have no kept_text "
+                "(committed before the curated-corpus schema); run "
+                "job_curate --recompute first"
+            )
         docs = verdicts.filter("kept").select(
             "doc_id", "source", verdicts["kept_text"].alias("text")
         )

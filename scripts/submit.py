@@ -87,6 +87,11 @@ def main() -> None:
         help="curate job: add the MinHash->verify->components fuzzy-dedup stage",
     )
     ap.add_argument(
+        "--near-dup-threshold",
+        type=float,
+        help="curate job: exact-Jaccard verify threshold (default 0.5)",
+    )
+    ap.add_argument(
         "--recompute",
         action="store_true",
         help="curate job: full-corpus arbiter — recompute every verdict "
@@ -153,6 +158,8 @@ def main() -> None:
             cmd += ["--min-line-count", str(args.min_line_count)]
         if args.near_dup:
             cmd += ["--near-dup"]
+        if args.near_dup_threshold is not None:
+            cmd += ["--near-dup-threshold", str(args.near_dup_threshold)]
         if args.recompute:
             cmd += ["--recompute"]
         if args.quality_filter:

@@ -178,8 +178,12 @@ def test_maybe_gunzip_rejects_corrupt_tails():
     member = gzip.compress(b"payload", mtime=0)
     assert maybe_gunzip(member + member) == b"payloadpayload"
     assert maybe_gunzip(b"plain bytes") == b"plain bytes"
+    # all-NUL tail = benign block-alignment padding, records preserved
+    assert maybe_gunzip(member + b"\x00" * 512) == b"payload"
     with pytest.raises(ValueError, match="trailing"):
         maybe_gunzip(member + b"JUNKJUNK")
+    with pytest.raises(ValueError, match="trailing"):
+        maybe_gunzip(member + b"\x00" * 8 + b"X")
     with pytest.raises(ValueError, match="truncated|corrupt"):
         maybe_gunzip(member[:-4])
 

@@ -149,3 +149,38 @@ def test_streaming_sequence_pack_matches_batch_and_survives_restart(
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_streaming_sequence_pack_survives_null_text(spark, tmp_path):
+    """A NULL-text doc must pack as an empty-text doc (1 token after the
+    coalesce, matching the batch twin) instead of NaN-poisoning every
+    later offset in the micro-batch and killing the query."""
+    from ocr_parallel_spark.streaming.stateful import streaming_sequence_pack
+
+    inp, out, ckpt = (
+        str(tmp_path / "nin"),
+        str(tmp_path / "nout"),
+        str(tmp_path / "nck"),
+    )
+    spark.createDataFrame(
+        [(1, "s", "one two three"), (2, "s", None), (3, "s", "four five")],
+        "doc_id long, source string, text string",
+    ).coalesce(1).write.parquet(inp)
+    q = (
+        streaming_sequence_pack(
+            spark.readStream.schema(
+                "doc_id bigint, source string, text string"
+            ).parquet(inp),
+            8,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[2].n_tokens == 1 and rows[2].tok_offset == 3
+    assert rows[3].tok_offset == 4
