@@ -1630,6 +1630,42 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_pack_windows(spark, sf_dir):
+    """The packed corpus from the WINDOW side — the view a training
+    loader actually consumes: for every (source, context window), how
+    many docs contribute, how many tokens land in it, and whether it is
+    full (every window except each source's last must be). Derived from
+    q_sequence_pack's per-doc offsets by exploding each doc over the
+    windows it spans and clipping its token interval to the window —
+    all exact bigint interval arithmetic (least/greatest agree across
+    engines), one explode + one keyed agg."""
+    from ocr_parallel_spark.operators.chunking import pack_sequences
+
+    p = pack_sequences(_docs(spark, sf_dir), PACK_WINDOW)
+    e = p.select(
+        "source",
+        "n_tokens",
+        "tok_offset",
+        F.explode(F.sequence(F.col("win_start"), F.col("win_end"))).alias(
+            "win_id"
+        ),
+    )
+    lo = F.greatest(F.col("tok_offset"), F.col("win_id") * PACK_WINDOW)
+    hi = F.least(
+        F.col("tok_offset") + F.col("n_tokens") - 1,
+        F.col("win_id") * PACK_WINDOW + (PACK_WINDOW - 1),
+    )
+    return (
+        e.withColumn("_contrib", hi - lo + 1)
+        .groupBy("source", "win_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_contrib").cast("long").alias("fill_tokens"),
+        )
+        .withColumn("is_full", F.col("fill_tokens") == PACK_WINDOW)
+    )
+
+
 # Context-window length for sequence packing (tokens). Small enough that
 # sf0.001 docs split windows, large enough that most don't — both
 # branches of is_split exercised at every scale.
@@ -2512,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_by_host": q_pagerank_by_host,
         "winnowed_spans": q_winnowed_spans,
         "sequence_pack": q_sequence_pack,
+        "pack_windows": q_pack_windows,
         "quality_classifier": q_quality_classifier,
         "anchor_text": q_anchor_text,
         "resolve_links": q_resolve_links,
@@ -2884,6 +2921,40 @@ def oracle_sql() -> dict[str, str]:
                    SUM(w.wt) >= 0 AS keep
             FROM b JOIN w USING (bucket)
             GROUP BY doc_id
+        """,
+        "pack_windows": f"""
+            WITH {_DOCS_CTE},
+            t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+              FROM docs
+            ),
+            o AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tokens AS BIGINT) AS tok_offset
+              FROM t
+            ),
+            e AS (
+              SELECT source, n_tokens, tok_offset,
+                     unnest(generate_series(tok_offset // {PACK_WINDOW},
+                       (tok_offset + n_tokens - 1) // {PACK_WINDOW})) AS win_id
+              FROM o
+            )
+            SELECT source, CAST(win_id AS BIGINT) AS win_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(
+                     least(tok_offset + n_tokens - 1,
+                           win_id * {PACK_WINDOW} + {PACK_WINDOW - 1})
+                     - greatest(tok_offset, win_id * {PACK_WINDOW}) + 1
+                   ) AS BIGINT) AS fill_tokens,
+                   SUM(least(tok_offset + n_tokens - 1,
+                             win_id * {PACK_WINDOW} + {PACK_WINDOW - 1})
+                       - greatest(tok_offset, win_id * {PACK_WINDOW}) + 1)
+                     = {PACK_WINDOW} AS is_full
+            FROM e GROUP BY source, win_id
         """,
         "sequence_pack": f"""
             WITH {_DOCS_CTE},

@@ -464,6 +464,33 @@ def test_sequence_pack_offsets_contiguous_and_windows_consistent(spark, sf_dir):
     assert 0 < n_split < len(rows)
 
 
+def test_pack_windows_fill_laws(spark, sf_dir):
+    """Window-view invariants: per source every window except the last
+    is exactly full, window ids are gapless from 0, and total fill
+    equals the packed token total from the doc view."""
+    from ocr_parallel_spark.queries_catalog import (
+        PACK_WINDOW,
+        q_pack_windows,
+        q_sequence_pack,
+    )
+
+    rows = q_pack_windows(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.win_id)
+        assert [r.win_id for r in rs] == list(range(len(rs))), src
+        for r in rs[:-1]:
+            assert r.is_full and r.fill_tokens == PACK_WINDOW, (src, r)
+        assert 0 < rs[-1].fill_tokens <= PACK_WINDOW
+    total_fill = sum(r.fill_tokens for r in rows)
+    total_tokens = (
+        q_sequence_pack(spark, sf_dir).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert total_fill == total_tokens
+
+
 def test_token_budget_mix_budget_and_determinism(spark, sf_dir):
     from ocr_parallel_spark.queries_catalog import q_token_budget_mix
 
