@@ -30,47 +30,71 @@ _CRLF = b"\r\n"
 _BLANK = b"\r\n\r\n"
 
 
-def maybe_gunzip(data: bytes) -> bytes:
-    """Decompress every concatenated gzip member; pass plain bytes
-    through untouched. Raises ``ValueError`` — mirroring
-    :func:`parse_warc`'s truncation errors — on a truncated member or
-    on trailing non-gzip bytes after the last member (a corrupt tail
-    or a gzip+plain concatenation must surface as an error row
-    upstream, never as silently-lost records). Exception: an all-NUL
-    tail is benign block-alignment padding (some archivers pad .gz
-    shards to a block size) — rejecting it would turn a fully
-    readable archive into one error row."""
+def gunzip_salvage(data: bytes) -> tuple[bytes, str | None]:
+    """Decompress every concatenated gzip member, salvaging the good
+    prefix of a damaged archive: returns ``(decompressed_bytes,
+    error)`` where ``error`` is ``None`` for a clean file and a
+    message for a corrupt/truncated member or non-gzip trailing bytes.
+    Bytes from complete members BEFORE the damage are always returned —
+    at CC scale damaged archive tails are routine, and one bad tail
+    must not discard a gigabyte of good records (VERDICT r4 #4 /
+    ADVICE r4). A truncated final member still contributes what it
+    decompressed (it may end mid-record; the WARC splitter reports
+    that precisely). An all-NUL tail is benign block-alignment padding
+    (some archivers pad .gz shards), not an error. Plain bytes pass
+    through untouched."""
     if not data.startswith(GZIP_MAGIC):
-        return data
+        return data, None
     out = []
     rest = data
     while rest.startswith(GZIP_MAGIC):
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
         try:
-            out.append(d.decompress(rest))
-            out.append(d.flush())
+            chunk = d.decompress(rest) + d.flush()
         except zlib.error as exc:
-            raise ValueError(f"gzip: corrupt member ({exc})") from exc
+            return b"".join(out), f"gzip: corrupt member ({exc})"
+        out.append(chunk)
         if not d.eof:
-            raise ValueError("gzip: truncated member (stream ends mid-record)")
+            return (
+                b"".join(out),
+                "gzip: truncated member (stream ends mid-record)",
+            )
         rest = d.unused_data
     if rest and rest.strip(b"\x00"):
-        raise ValueError(
-            f"gzip: {len(rest)} trailing bytes after last member are not gzip"
+        return (
+            b"".join(out),
+            f"gzip: {len(rest)} trailing bytes after last member are not gzip",
         )
-    return b"".join(out)
+    return b"".join(out), None
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """Split a (decompressed) WARC file into records.
+def maybe_gunzip(data: bytes) -> bytes:
+    """Strict twin of :func:`gunzip_salvage`: identical decoding, but
+    raises ``ValueError`` instead of returning a partial prefix — for
+    callers (fixtures, property tests) where ANY damage is a bug."""
+    out, err = gunzip_salvage(data)
+    if err is not None:
+        raise ValueError(err)
+    return out
 
-    Returns one dict per record: ``warc_type``, ``target_uri``,
-    ``record_id``, ``content_type`` (the WARC block's type, e.g.
-    ``application/http; msgtype=response``), and ``block`` (the raw
-    ``Content-Length`` bytes). Raises ``ValueError`` on a malformed
-    version line or a missing/short block — a truncated crawl file
-    should surface as an error row upstream, not as silent loss.
-    """
+
+def parse_warc_salvage(data: bytes) -> tuple[list[dict], str | None]:
+    """Split a (decompressed) WARC file into records, salvaging the
+    good prefix of a damaged file.
+
+    Returns ``(records, error)``: one dict per record — ``warc_type``,
+    ``target_uri``, ``record_id``, ``content_type`` (the WARC block's
+    type, e.g. ``application/http; msgtype=response``), ``warc_date``
+    and ``block`` (the raw ``Content-Length`` bytes) — plus ``None``
+    for a clean file or an error message locating the first malformed
+    record. Everything length-parsed BEFORE the damage is always
+    returned: one truncated record in a 1 GB archive must cost the
+    corrupt region, not thousands of good pages (VERDICT r4 #4).
+    Parsing stops at the first error because record framing is
+    length-driven — past a bad Content-Length there is no trustworthy
+    resync point (scanning for ``WARC/1.0`` would split payloads that
+    merely contain that string, the exact trap the module docstring
+    describes)."""
     records: list[dict] = []
     pos, n = 0, len(data)
     while pos < n:
@@ -78,18 +102,22 @@ def parse_warc(data: bytes) -> list[dict]:
             pos += 2
         if pos >= n:
             break
+        rec_start = pos
         eol = data.find(_CRLF, pos)
         if eol < 0:
-            raise ValueError(f"warc: unterminated version line at byte {pos}")
+            return records, f"warc: unterminated version line at byte {pos}"
         version = data[pos:eol]
         if not version.startswith(b"WARC/"):
-            raise ValueError(f"warc: expected WARC/ version line at byte {pos}, got {version[:20]!r}")
+            return (
+                records,
+                f"warc: expected WARC/ version line at byte {pos}, got {version[:20]!r}",
+            )
         pos = eol + 2
         headers: dict[str, str] = {}
         while True:
             eol = data.find(_CRLF, pos)
             if eol < 0:
-                raise ValueError("warc: unterminated header block")
+                return records, f"warc: unterminated header block in record at byte {rec_start}"
             line = data[pos:eol]
             pos = eol + 2
             if not line:
@@ -100,12 +128,13 @@ def parse_warc(data: bytes) -> list[dict]:
             )
         try:
             length = int(headers["content-length"])
-        except (KeyError, ValueError) as exc:
-            raise ValueError(f"warc: bad Content-Length in record at byte {pos}") from exc
+        except (KeyError, ValueError):
+            return records, f"warc: bad Content-Length in record at byte {rec_start}"
         block = data[pos : pos + length]
         if len(block) != length:
-            raise ValueError(
-                f"warc: truncated block (want {length} bytes, file ends {length - len(block)} short)"
+            return (
+                records,
+                f"warc: truncated block (want {length} bytes, file ends {length - len(block)} short)",
             )
         pos += length
         records.append(
@@ -118,6 +147,17 @@ def parse_warc(data: bytes) -> list[dict]:
                 "block": block,
             }
         )
+    return records, None
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Strict twin of :func:`parse_warc_salvage`: identical parsing,
+    but raises ``ValueError`` on any malformed record instead of
+    returning the salvaged prefix — for fixtures and round-trip tests
+    where damage means a bug, not data."""
+    records, err = parse_warc_salvage(data)
+    if err is not None:
+        raise ValueError(err)
     return records
 
 

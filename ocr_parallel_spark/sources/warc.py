@@ -39,12 +39,16 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
     ``kernel.warc_parse.split_http_response``), ``error`` (null for
     parsed records).
 
-    Error-as-data (the X7 convention): a truncated or malformed archive
-    yields ONE row with ``warc_type='_error'``, ``record_idx=-1`` and
-    the parser's message in ``error`` instead of failing the task — one
-    bad file in a 100 TB crawl must not kill the job after task
-    retries. Consumers filter ``warc_type == 'response'``, so error
-    rows flow only to whoever asks for them.
+    Error-as-data with SALVAGE (the X7 convention, VERDICT r4 #4): a
+    damaged archive yields every record parsed before the corruption
+    point PLUS one row with ``warc_type='_error'`` whose
+    ``record_idx`` is the index the failed record would have had (0
+    for a file that is corrupt from the first record) and the parser's
+    message in ``error``. At CC scale damaged archive tails are
+    routine; one truncated record in a 1 GB archive costs the corrupt
+    region, never the thousands of good pages before it — and the task
+    never fails. Consumers filter ``warc_type == 'response'``, so
+    error rows flow only to whoever asks for them.
     """
     import pandas as pd
 
@@ -57,7 +61,10 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
     )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        from ocr_parallel_spark.kernel.warc_parse import maybe_gunzip, parse_warc
+        from ocr_parallel_spark.kernel.warc_parse import (
+            gunzip_salvage,
+            parse_warc_salvage,
+        )
 
         cols = [
             "path",
@@ -72,13 +79,8 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
         for pdf in batches:
             rows = []
             for path_, content in zip(pdf["path"], pdf["content"]):
-                try:
-                    recs = parse_warc(maybe_gunzip(bytes(content)))
-                except ValueError as exc:
-                    rows.append(
-                        (path_, -1, "_error", "", "", "", b"", str(exc)[:500])
-                    )
-                    continue
+                data, gz_err = gunzip_salvage(bytes(content))
+                recs, parse_err = parse_warc_salvage(data)
                 for i, rec in enumerate(recs):
                     rows.append(
                         (
@@ -91,6 +93,14 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
                             rec["block"],
                             None,
                         )
+                    )
+                if gz_err or parse_err:
+                    # A gzip-truncated tail usually ALSO ends mid-record;
+                    # report both causes in one error row at the index the
+                    # lost record would have occupied.
+                    msg = "; ".join(m for m in (parse_err, gz_err) if m)
+                    rows.append(
+                        (path_, len(recs), "_error", "", "", "", b"", msg[:500])
                     )
             yield pd.DataFrame(rows, columns=cols)
 

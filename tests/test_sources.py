@@ -142,9 +142,11 @@ def test_warc_split_http_no_blank_line():
 
 
 def test_warc_error_as_data(spark, tmp_path):
-    """One truncated archive must become ONE '_error' row — not a task
+    """A truncated archive must become an '_error' row — not a task
     failure that kills the job — while sibling archives parse normally
-    (the X7 error-as-data contract, ADVICE round 3)."""
+    (the X7 error-as-data contract, ADVICE round 3). The error row
+    lands at the failed record's index (0 here: the file is corrupt
+    from its only record)."""
     from ocr_parallel_spark.kernel.warc_parse import build_record
     from ocr_parallel_spark.sources.warc import read_warc, warc_docs
 
@@ -157,13 +159,84 @@ def test_warc_error_as_data(spark, tmp_path):
     errs = [r for r in rows if r.warc_type == "_error"]
     assert len(errs) == 1
     assert errs[0].path.endswith("bad.warc")
-    assert errs[0].record_idx == -1
+    assert errs[0].record_idx == 0
     assert "truncated" in errs[0].error
     ok = [r for r in rows if r.warc_type == "response"]
     assert len(ok) == 1 and ok[0].error is None
     # downstream consumers see only the parsed records
     docs = warc_docs(spark, str(tmp_path)).collect()
     assert len(docs) == 1 and docs[0].text == "ok"
+
+
+def test_warc_salvages_good_prefix(spark, tmp_path):
+    """An archive whose LAST record is corrupt must still yield every
+    record before it, plus ONE error row at the failure index — a
+    damaged tail costs the corrupt region, not the whole archive
+    (VERDICT r4 #4)."""
+    from ocr_parallel_spark.kernel.warc_parse import build_record
+    from ocr_parallel_spark.sources.warc import read_warc, warc_docs
+
+    recs = [
+        build_record(
+            "response",
+            f"http://e/{i}",
+            b"HTTP/1.1 200 OK\r\n\r\n" + f"page {i}".encode(),
+            f"<urn:{i}>",
+        )
+        for i in range(5)
+    ]
+    (tmp_path / "tail.warc").write_bytes(b"".join(recs[:4]) + recs[4][:-10])
+    rows = sorted(read_warc(spark, str(tmp_path)).collect(), key=lambda r: r.record_idx)
+    assert [r.warc_type for r in rows] == ["response"] * 4 + ["_error"]
+    assert rows[-1].record_idx == 4 and "truncated" in rows[-1].error
+    docs = sorted(warc_docs(spark, str(tmp_path)).collect(), key=lambda r: r.url)
+    assert [d.text for d in docs] == [f"page {i}" for i in range(4)]
+
+
+def test_warc_gz_salvages_complete_members(spark, tmp_path):
+    """A .warc.gz whose tail member is truncated (or followed by junk)
+    must still yield the records from every complete member, with the
+    error row reporting the gzip cause."""
+    import gzip
+
+    from ocr_parallel_spark.kernel.warc_parse import build_record
+    from ocr_parallel_spark.sources.warc import read_warc
+
+    recs = [
+        build_record(
+            "response",
+            f"http://e/{i}",
+            b"HTTP/1.1 200 OK\r\n\r\n" + f"page {i}".encode(),
+            f"<urn:{i}>",
+        )
+        for i in range(3)
+    ]
+    members = [gzip.compress(r, mtime=0) for r in recs]
+    (tmp_path / "trunc.warc.gz").write_bytes(
+        members[0] + members[1] + members[2][: len(members[2]) // 2]
+    )
+    rows = sorted(
+        read_warc(spark, str(tmp_path)).collect(), key=lambda r: r.record_idx
+    )
+    assert [r.warc_type for r in rows] == ["response", "response", "_error"]
+    assert rows[-1].record_idx == 2
+    assert "gzip" in rows[-1].error
+
+
+def test_gunzip_salvage_kernel():
+    """gunzip_salvage keeps complete members' bytes on a damaged tail;
+    maybe_gunzip stays the strict raising twin."""
+    import gzip
+
+    from ocr_parallel_spark.kernel.warc_parse import gunzip_salvage
+
+    member = gzip.compress(b"payload", mtime=0)
+    assert gunzip_salvage(member + member) == (b"payloadpayload", None)
+    assert gunzip_salvage(b"plain") == (b"plain", None)
+    out, err = gunzip_salvage(member + b"JUNKJUNK")
+    assert out == b"payload" and "trailing" in err
+    out, err = gunzip_salvage(member + member[:-4])
+    assert out.startswith(b"payload") and err and ("truncated" in err or "corrupt" in err)
 
 
 def test_maybe_gunzip_rejects_corrupt_tails():
