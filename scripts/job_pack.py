@@ -43,15 +43,26 @@ def committed_base_offsets(spark, table):
     )
 
 
-def build_output(spark, docs, window_tokens, base_offsets=None):
-    """The packing transform over one run's TODO slice."""
+def build_output(spark, docs, window_tokens, base_offsets=None, n_tokens_col=None):
+    """The packing transform over one run's TODO slice.
+
+    ``n_tokens_col`` names a column already on the docs table carrying
+    a real tokenizer's counts (e.g. a BPE pass landed them upstream);
+    offsets/window ids then match deployment tokenization exactly.
+    Default: the whitespace counter inside pack_sequences (the oracle
+    twin)."""
     from pyspark.sql import functions as F
 
     from ocr_parallel_spark.operators.chunking import pack_sequences
     from ocr_parallel_spark.operators.classify import normalize_col
 
     withnorm = docs.withColumn("norm", normalize_col(F.coalesce(F.col("text"), F.lit(""))))
-    return pack_sequences(withnorm, window_tokens, base_offsets=base_offsets)
+    return pack_sequences(
+        withnorm,
+        window_tokens,
+        base_offsets=base_offsets,
+        n_tokens_col=n_tokens_col,
+    )
 
 
 def main() -> None:
@@ -69,6 +80,11 @@ def main() -> None:
         "second read of the raw corpus (job_curate emits the column)",
     )
     ap.add_argument("--window-tokens", type=int, default=512)
+    ap.add_argument(
+        "--n-tokens-col",
+        help="column on the input docs holding precomputed (tokenizer-"
+        "faithful) token counts; default counts whitespace tokens",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -99,8 +115,9 @@ def main() -> None:
                 "(committed before the curated-corpus schema); run "
                 "job_curate --recompute first"
             )
+        pass_cols = [args.n_tokens_col] if args.n_tokens_col else []
         docs = verdicts.filter("kept").select(
-            "doc_id", "source", verdicts["kept_text"].alias("text")
+            "doc_id", "source", verdicts["kept_text"].alias("text"), *pass_cols
         )
     else:
         docs = spark.read.parquet(args.input)
@@ -117,7 +134,9 @@ def main() -> None:
         docs,
         table,
         spark,
-        lambda todo: build_output(spark, todo, args.window_tokens, base),
+        lambda todo: build_output(
+            spark, todo, args.window_tokens, base, args.n_tokens_col
+        ),
         key_col="doc_id",
         lineage={"input": args.input or args.from_verdicts,
                  "window_tokens": args.window_tokens},

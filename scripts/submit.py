@@ -62,6 +62,10 @@ def main() -> None:
         "--window-tokens", type=int, help="pack job: context window length"
     )
     ap.add_argument(
+        "--n-tokens-col",
+        help="pack job: docs column with precomputed tokenizer counts",
+    )
+    ap.add_argument(
         "--input-format",
         choices=["parquet", "warc"],
         help="extract/curate jobs: read --input as raw WARC archives",
@@ -171,6 +175,8 @@ def main() -> None:
             cmd += ["--from-verdicts", args.from_verdicts]
         if args.window_tokens is not None:
             cmd += ["--window-tokens", str(args.window_tokens)]
+        if args.n_tokens_col:
+            cmd += ["--n-tokens-col", args.n_tokens_col]
     if args.job == "full-process":
         cmd += ["--targets", args.targets]
         for m in args.start_marker or []:

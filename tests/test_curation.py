@@ -491,6 +491,101 @@ def test_pack_windows_fill_laws(spark, sf_dir):
     assert total_fill == total_tokens
 
 
+def test_pack_two_level_equals_window(spark, sf_dir):
+    """The distributed two-level prefix sum must be byte-identical to
+    the single-window-per-source twin (VERDICT r4 #2's done-criterion:
+    semantics pinned, only the physical shape changes)."""
+    from ocr_parallel_spark.operators.chunking import pack_sequences
+    from ocr_parallel_spark.operators.classify import normalize_col
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", normalize_col("text").alias("norm"))
+    )
+    cols = ["source", "doc_id"]
+    fast = sorted(
+        pack_sequences(docs, 64, distributed=True).collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    slow = sorted(
+        pack_sequences(docs, 64, distributed=False).collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    assert fast == slow and len(fast) > 0
+
+
+def test_pack_two_level_spans_multiple_tasks(spark):
+    """The scale claim itself: on a 2-source corpus the two-level
+    offsets computation must place each source across >1 range
+    partition (the single-window twin provably cannot), while the
+    offsets stay the exact per-source exclusive prefix sums."""
+    from ocr_parallel_spark.operators.chunking import _two_level_offsets
+
+    n = 400
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "cc").otherwise("books").alias("source"),
+        (F.col("id") % 7 + 1).cast("long").alias("n_tokens"),
+    )
+    out = _two_level_offsets(docs, "doc_id", "source", num_parts=8).collect()
+    pids: dict = {}
+    offsets: dict = {}
+    for r in out:
+        pids.setdefault(r.source, set()).add(r["_pack_pid"])
+        offsets[(r.source, r.doc_id)] = r.tok_offset
+    assert all(len(p) > 1 for p in pids.values()), {
+        s: len(p) for s, p in pids.items()
+    }
+    # exact exclusive prefix sums per source in doc_id order
+    for src in ("cc", "books"):
+        ids = sorted(i for s, i in offsets if s == src)
+        expect = 0
+        for i in ids:
+            assert offsets[(src, i)] == expect, (src, i)
+            expect += i % 7 + 1
+
+
+def test_pack_custom_token_counter(spark):
+    """Tokenizer-faithful packing (VERDICT r4 #5): a precomputed
+    n_tokens column (here: byte length div 4, a BPE-ish stand-in)
+    drives offsets/window ids exactly; NULL text under the default
+    whitespace counter counts as one empty token instead of
+    corrupting every later offset with size(NULL) = -1 (ADVICE r4)."""
+    from ocr_parallel_spark.operators.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "s", "alpha beta gamma delta"),
+            (1, "s", None),
+            (2, "s", "x " * 40),
+            (3, "s", "tail words here"),
+        ],
+        "doc_id long, source string, norm string",
+    )
+    # pluggable counter: byte length div 4
+    counted = docs.withColumn(
+        "bpe_tokens", (F.length(F.coalesce("norm", F.lit(""))) / 4).cast("long")
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(
+            counted, 8, n_tokens_col="bpe_tokens"
+        ).collect()
+    }
+    lens = {0: 22 // 4, 1: 0, 2: 80 // 4, 3: 15 // 4}
+    expect_off = 0
+    for i in range(4):
+        assert rows[i].n_tokens == lens[i]
+        assert rows[i].tok_offset == expect_off
+        assert rows[i].win_start == expect_off // 8
+        expect_off += lens[i]
+    # default whitespace counter: NULL behaves as '' (one token)
+    rows2 = {r.doc_id: r for r in pack_sequences(docs, 8).collect()}
+    assert rows2[1].n_tokens == 1
+    assert rows2[2].tok_offset == rows2[1].tok_offset + 1
+    assert all(r.tok_offset >= 0 for r in rows2.values())
+
+
 def test_token_budget_mix_budget_and_determinism(spark, sf_dir):
     from ocr_parallel_spark.queries_catalog import q_token_budget_mix
 
