@@ -1603,8 +1603,18 @@ def q_token_budget_mix(spark, sf_dir):
 from ocr_parallel_spark.functions.curation import (  # noqa: E402
     QC_BUCKETS,
     QC_WEIGHT_MULT,
+    QT_BUCKETS,
+    QT_MIN_PROB_DEN,
+    QT_RATIO,
+    QT_TAINTS,
     hashed_quality_scores,
 )
+
+# Taint literals inlined into the quality_trained oracle SQL (no quotes
+# in the token sets, so direct f-string embedding is safe).
+_QT_MOJI = QT_TAINTS["mojibake"]
+_QT_LOREM = QT_TAINTS["lorem"]
+_QT_PII = QT_TAINTS["pii"]
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -1627,6 +1637,74 @@ def q_quality_classifier(spark, sf_dir):
         "n_tokens",
         "score_mi",
         (F.col("score_mi") >= 0).alias("keep"),
+    )
+
+
+def q_quality_trained(spark, sf_dir):
+    """TRAINED quality classifier benchmark (VERDICT r4 #3): plant the
+    three real web-corpus failure modes (mojibake runs, lorem/boiler
+    repetition, PII-dense footers — functions/curation.py QT_TAINTS) on
+    a deterministic third of docs, fit the integer count-contrast
+    weight table on the doc_id%5!=0 split (train_quality_weights — no
+    floats, no seeds), score the held-out doc_id%5==0 split, and report
+    confusion counts with the ann_recall-style integer-compare floors:
+    precision and recall must both be >= 0.9 on docs the fit never saw.
+    The oracle refits and rescores everything in SQL, so the gate pins
+    the TRAINING math, not just the application plumbing."""
+    from ocr_parallel_spark.functions.curation import (
+        QT_TAINTS,
+        train_quality_weights,
+        trained_quality_scores,
+    )
+
+    taint = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" " + QT_TAINTS["mojibake"]))
+        .when(F.col("doc_id") % 9 == 3, F.lit(" " + QT_TAINTS["lorem"]))
+        .when(F.col("doc_id") % 9 == 6, F.lit(" " + QT_TAINTS["pii"]))
+        .otherwise(F.lit(""))
+    )
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("norm"), F.lit("")), taint).alias("norm"),
+        (F.col("doc_id") % 3 == 0).alias("label_low"),
+    )
+    w = train_quality_weights(planted.filter(F.col("doc_id") % 5 != 0))
+    evald = planted.filter(F.col("doc_id") % 5 == 0)
+    ev = evald.select("doc_id", "label_low").join(
+        trained_quality_scores(evald, w), "doc_id"
+    )
+    pred = F.col("score") > 0
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("label_low") & pred, 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(~F.col("label_low") & pred, 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("label_low") & ~pred, 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    return agg.select(
+        "n_eval",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("tp * 1000 div (tp + fp)"))
+        .cast("long")
+        .alias("prec_milli"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("tp * 1000 div (tp + fn)"))
+        .cast("long")
+        .alias("rec_milli"),
+        (F.col("tp") * 10 >= (F.col("tp") + F.col("fp")) * 9).alias(
+            "precision_ok"
+        ),
+        (F.col("tp") * 10 >= (F.col("tp") + F.col("fn")) * 9).alias(
+            "recall_ok"
+        ),
     )
 
 
@@ -2498,6 +2576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only judge-mirror coverage through round 4, then the veterans whose
     # stability is already pinned by four rounds of green driver files.
     return {
+        # -- round-5 additions (newest first) -------------------------------
+        "quality_trained": q_quality_trained,
         # -- round-4 additions, never driver-recorded before round 5 --------
         "winnowed_spans": q_winnowed_spans,
         "sequence_pack": q_sequence_pack,
@@ -2907,6 +2987,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
                    coalesce(p.n_shared, 0) > 0 AS has_shared
             FROM docs d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "quality_trained": f"""
+            WITH {_DOCS_CTE},
+            planted AS (
+              SELECT doc_id,
+                     COALESCE(norm, '') || CASE
+                       WHEN doc_id % 9 = 0 THEN ' {_QT_MOJI}'
+                       WHEN doc_id % 9 = 3 THEN ' {_QT_LOREM}'
+                       WHEN doc_id % 9 = 6 THEN ' {_QT_PII}'
+                       ELSE '' END AS norm,
+                     doc_id % 3 = 0 AS label_low
+              FROM docs
+            ),
+            ttok AS (
+              SELECT label_low, unnest(string_split(norm, ' ')) AS tok
+              FROM planted WHERE doc_id % 5 <> 0
+            ),
+            counts AS (
+              SELECT CAST(('0x' || substr(sha256(tok), 1, 4))::UBIGINT
+                          % {QT_BUCKETS} AS BIGINT) AS bucket,
+                     CAST(SUM(CASE WHEN label_low THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                     CAST(SUM(CASE WHEN label_low THEN 0 ELSE 1 END) AS BIGINT) AS n_ok
+              FROM ttok GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(SUM(n_low) AS BIGINT) AS tot_low,
+                     CAST(SUM(n_ok) AS BIGINT) AS tot_ok
+              FROM counts
+            ),
+            w AS (
+              SELECT bucket, wt FROM (
+                SELECT bucket,
+                       CASE WHEN n_low * tot_ok > {QT_RATIO} * n_ok * tot_low
+                                 AND n_low * {QT_MIN_PROB_DEN} >= tot_low THEN 1
+                            WHEN n_ok * tot_low > {QT_RATIO} * n_low * tot_ok
+                                 AND n_ok * {QT_MIN_PROB_DEN} >= tot_ok THEN -1
+                            ELSE 0 END AS wt
+                FROM counts, tot
+              ) WHERE wt <> 0
+            ),
+            etok AS (
+              SELECT doc_id, label_low, unnest(string_split(norm, ' ')) AS tok
+              FROM planted WHERE doc_id % 5 = 0
+            ),
+            eb AS (
+              SELECT doc_id, label_low,
+                     CAST(('0x' || substr(sha256(tok), 1, 4))::UBIGINT
+                          % {QT_BUCKETS} AS BIGINT) AS bucket
+              FROM etok
+            ),
+            sc AS (
+              SELECT doc_id, label_low, SUM(COALESCE(w.wt, 0)) > 0 AS pred
+              FROM eb LEFT JOIN w USING (bucket)
+              GROUP BY doc_id, label_low
+            ),
+            m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+                     CAST(SUM(CASE WHEN label_low AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(SUM(CASE WHEN (NOT label_low) AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(SUM(CASE WHEN label_low AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM sc
+            )
+            SELECT n_eval, tp, fp, fn,
+                   CAST(CASE WHEN tp + fp = 0 THEN 0
+                        ELSE tp * 1000 // (tp + fp) END AS BIGINT) AS prec_milli,
+                   CAST(CASE WHEN tp + fn = 0 THEN 0
+                        ELSE tp * 1000 // (tp + fn) END AS BIGINT) AS rec_milli,
+                   tp * 10 >= (tp + fp) * 9 AS precision_ok,
+                   tp * 10 >= (tp + fn) * 9 AS recall_ok
+            FROM m
         """,
         "quality_classifier": f"""
             WITH {_DOCS_CTE},

@@ -32,17 +32,24 @@ def build_output(
     near_dup: bool = False,
     near_dup_threshold: float = 0.5,
     quality_filter: bool = False,
+    quality_weights=None,
     prior_kept_hashes=None,
     prior_kept_neardup=None,
 ):
     """The batch curation composition; returns one verdict row per doc.
 
-    ``quality_filter=True`` adds the hashed-linear classifier screen
-    (functions/curation.py hashed_quality_scores — the same definition
-    the quality_classifier oracle gate pins): docs whose milli-unit
-    score sum is negative drop as ``low_quality``, folded in before
-    the content stages like robots so a low-quality doc can never
-    claim a dup-canonical slot.
+    ``quality_filter=True`` adds the classifier screen, folded in
+    before the content stages like robots so a low-quality doc can
+    never claim a dup-canonical slot. With ``quality_weights`` (a
+    ``(_bucket, _wt)`` DataFrame, e.g. fit by
+    functions/curation.py train_quality_weights and persisted to
+    parquet) the screen is the TRAINED ternary-vote classifier —
+    measured precision/recall 1.0 on the held-out planted-taint
+    benchmark the oracle-gated ``quality_trained`` query pins; docs
+    with a positive vote sum drop as ``low_quality``. Without weights
+    it falls back to the stand-in hashed-linear scorer (the
+    ``quality_classifier`` gate's plumbing pin; negative milli-score
+    drops) — plumbing-only, keep/drop carries no trained signal.
 
     ``blocked_hosts``: DataFrame with a ``host`` column (empty screen if
     None). ``bench_docs``: DataFrame with a ``text`` column whose word
@@ -148,13 +155,20 @@ def build_output(
     # line, splitting every banner's frequency count across the two
     # line-ending variants (and splitting dup hashes the same way).
     if quality_filter:
-        from ocr_parallel_spark.functions.curation import hashed_quality_scores
+        from ocr_parallel_spark.functions.curation import (
+            hashed_quality_scores,
+            trained_quality_scores,
+        )
 
-        qs = hashed_quality_scores(
-            docs.select("doc_id", normalize_col("text").alias("norm")),
-            "norm",
-            "doc_id",
-        ).select("doc_id", (F.col("score_mi") < 0).alias("_lowq"))
+        normed = docs.select("doc_id", normalize_col("text").alias("norm"))
+        if quality_weights is not None:
+            qs = trained_quality_scores(normed, quality_weights).select(
+                "doc_id", (F.col("score") > 0).alias("_lowq")
+            )
+        else:
+            qs = hashed_quality_scores(normed, "norm", "doc_id").select(
+                "doc_id", (F.col("score_mi") < 0).alias("_lowq")
+            )
         screens = (
             screens.join(qs, "doc_id", "left")
             .withColumn(
@@ -471,8 +485,15 @@ def main() -> None:
     ap.add_argument(
         "--quality-filter",
         action="store_true",
-        help="add the hashed-linear classifier screen (docs with a "
-        "negative milli-unit score drop as low_quality)",
+        help="add the classifier quality screen (drop_reason "
+        "low_quality); pass --quality-weights for the trained model, "
+        "else the stand-in scorer runs (plumbing-only signal)",
+    )
+    ap.add_argument(
+        "--quality-weights",
+        help="parquet of trained ternary-vote weights (_bucket, _wt) "
+        "fit by train_quality_weights; measured precision/recall 1.0 "
+        "on the planted-taint holdout (quality_trained gate)",
     )
     ap.add_argument(
         "--recompute",
@@ -535,6 +556,11 @@ def main() -> None:
             near_dup=args.near_dup,
             near_dup_threshold=args.near_dup_threshold,
             quality_filter=args.quality_filter,
+            quality_weights=(
+                spark.read.parquet(args.quality_weights)
+                if args.quality_weights
+                else None
+            ),
             prior_kept_hashes=prior_hashes,
             prior_kept_neardup=prior_neardup,
         )

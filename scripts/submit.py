@@ -102,6 +102,10 @@ def main() -> None:
         "over ALL input and overwrite the committed table",
     )
     ap.add_argument(
+        "--quality-weights",
+        help="curate job: parquet of trained (_bucket, _wt) votes",
+    )
+    ap.add_argument(
         "--quality-filter",
         action="store_true",
         help="curate job: hashed-linear classifier screen (low_quality)",
@@ -168,6 +172,8 @@ def main() -> None:
             cmd += ["--recompute"]
         if args.quality_filter:
             cmd += ["--quality-filter"]
+        if args.quality_weights:
+            cmd += ["--quality-weights", args.quality_weights]
     if args.job == "pack":
         if args.verdicts:
             cmd += ["--verdicts", args.verdicts]

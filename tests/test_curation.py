@@ -435,6 +435,36 @@ def test_quality_classifier_scores_deterministic_and_discriminative(spark, sf_di
     assert rows[7].score_mi == score and rows[7].n_tokens == len(toks)
 
 
+def test_quality_trained_floors(spark, sf_dir):
+    """The trained ternary-vote classifier must clear precision AND
+    recall >= 0.9 on the held-out planted-taint split (VERDICT r4 #3
+    done-criterion; measured 1.0/1.0 on this corpus), with a non-empty
+    weight table containing only discriminative votes."""
+    from ocr_parallel_spark.functions.curation import (
+        QT_TAINTS,
+        train_quality_weights,
+    )
+    from ocr_parallel_spark.queries_catalog import q_quality_trained
+
+    r = q_quality_trained(spark, sf_dir).collect()[0]
+    assert r.precision_ok and r.recall_ok, r.asDict()
+    assert r.tp > 0 and r.n_eval > r.tp
+    # weight table: ternary, sparse, non-empty
+    from ocr_parallel_spark.queries_catalog import _docs
+
+    taint = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(" " + QT_TAINTS["mojibake"])
+    ).otherwise(F.lit(""))
+    w = train_quality_weights(
+        _docs(spark, sf_dir).select(
+            F.concat(F.col("norm"), taint).alias("norm"),
+            (F.col("doc_id") % 3 == 0).alias("label_low"),
+        )
+    ).collect()
+    assert 0 < len(w) < 1024
+    assert all(r2["_wt"] in (-1, 1) for r2 in w)
+
+
 def test_sequence_pack_offsets_contiguous_and_windows_consistent(spark, sf_dir):
     """Packing invariants: per source the packed stream is gapless
     (offset = sum of preceding docs' tokens), window ids follow from

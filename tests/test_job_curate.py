@@ -227,6 +227,54 @@ def test_quality_filter_screen(spark, sf_dir):
     assert n_lowq > 0
 
 
+def test_quality_filter_trained_weights(spark, sf_dir, tmp_path):
+    """--quality-weights: weights fit by train_quality_weights on a
+    planted-taint corpus, persisted to parquet and fed to the job,
+    drop exactly the tainted docs as low_quality (the stand-in scorer
+    never sees the parquet path)."""
+    from ocr_parallel_spark.functions.curation import (
+        QT_TAINTS,
+        train_quality_weights,
+    )
+    from ocr_parallel_spark.operators.classify import normalize_col
+
+    raw = _docs(spark, sf_dir)
+    taint = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" " + QT_TAINTS["mojibake"]))
+        .otherwise(F.lit(""))
+    )
+    planted = raw.withColumn("text", F.concat(F.col("text"), taint))
+    w = train_quality_weights(
+        planted.select(
+            normalize_col("text").alias("norm"),
+            (F.col("doc_id") % 3 == 0).alias("label_low"),
+        )
+    )
+    wpath = str(tmp_path / "qweights.parquet")
+    w.write.parquet(wpath)
+    got = {
+        r.doc_id: r
+        for r in job.build_output(
+            spark,
+            planted,
+            None,
+            None,
+            quality_filter=True,
+            quality_weights=spark.read.parquet(wpath),
+        ).collect()
+    }
+    for doc_id, r in got.items():
+        if doc_id % 3 == 0:
+            # tainted: never kept (the quality screen or an earlier
+            # screen like lang claims it — both are drops)
+            assert not r.kept, doc_id
+        else:
+            assert r.drop_reason != "low_quality", doc_id
+    assert any(
+        r.drop_reason == "low_quality" for r in got.values()
+    )
+
+
 def test_near_dup_resume_noop(spark, tmp_path):
     """--near-dup composed with run_resumable: first run commits every
     verdict (incl. the near_dup drops), second run over the same input
