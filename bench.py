@@ -72,6 +72,8 @@ HEADLINE = [
     "quality_classifier",
     "topk_per_group",
     "salted_rollup",
+    "anchor_text_salted",
+    "quality_trained",
     "media_meta",
     # warc_extract synthesizes its archive fixture on first pass; the
     # published min therefore times the READ path only.

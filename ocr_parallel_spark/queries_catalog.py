@@ -1263,20 +1263,12 @@ def q_extract_links(spark, sf_dir):
     )
 
 
-def q_anchor_text(spark, sf_dir):
-    """Inbound anchor-text aggregation — the classic webgraph
-    relevance/quality signal (search engines and LLM-data pipelines
-    score a target URL by what OTHER pages' links call it): per target
-    href, the inbound-link count and the distinct anchor texts
-    (escaped-joined, sorted). Same synthesis exclusions as
-    extract_links; the oracle knows each variant's (href, anchor)
-    pairs analytically and re-derives the counts with one filtered
-    aggregate, so a parser or aggregation bug flips rows red. Scale
-    shape: one mapInPandas on the scan partitions emits (doc_id, href,
-    anchor) rows; the only exchange is the keyed agg on href — at
-    webgraph scale that key is skewed (home pages), which is what AQE
-    skew handling + the salted-rollup pattern are for (documented, not
-    needed at gate scale)."""
+def _anchor_links(spark, sf_dir):
+    """(doc_id, href, anchor) link rows from the synthesized pages —
+    the shared front half of q_anchor_text and q_anchor_text_salted.
+    One mapInPandas on the scan partitions; anchors pass through the
+    kernel's ONE escape rule at emit time so the agg side is a plain
+    sort + comma join."""
     from ocr_parallel_spark.pages import synthesize_pages
 
     pages = synthesize_pages(spark, sf_dir).filter(
@@ -1303,8 +1295,6 @@ def q_anchor_text(spark, sf_dir):
                 ):
                     ids.append(doc_id)
                     hrefs.append(href)
-                    # the kernel's ONE escape rule, applied at emit time
-                    # so the agg side is a plain sort + comma join
                     anchors.append(escape_link(text))
             yield pd.DataFrame(
                 {
@@ -1314,14 +1304,73 @@ def q_anchor_text(spark, sf_dir):
                 }
             )
 
-    links = pages.select("doc_id", "html").mapInPandas(
+    return pages.select("doc_id", "html").mapInPandas(
         anchors_of, "doc_id long, href string, anchor string"
     )
-    return links.groupBy("href").agg(
+
+
+def q_anchor_text(spark, sf_dir):
+    """Inbound anchor-text aggregation — the classic webgraph
+    relevance/quality signal (search engines and LLM-data pipelines
+    score a target URL by what OTHER pages' links call it): per target
+    href, the inbound-link count and the distinct anchor texts
+    (escaped-joined, sorted). Same synthesis exclusions as
+    extract_links; the oracle knows each variant's (href, anchor)
+    pairs analytically and re-derives the counts with one filtered
+    aggregate, so a parser or aggregation bug flips rows red. Scale
+    shape: the only exchange is the keyed agg on href — at webgraph
+    scale that key is skewed (home pages): q_anchor_text_salted is the
+    two-phase skew-safe form, result-equal by oracle."""
+    return _anchor_links(spark, sf_dir).groupBy("href").agg(
         F.count(F.lit(1)).cast("long").alias("n_inlinks"),
         F.concat_ws(",", F.array_sort(F.collect_set("anchor"))).alias(
             "anchor_texts"
         ),
+    )
+
+
+def q_anchor_text_salted(spark, sf_dir):
+    """Skew-safe anchor-text aggregation (VERDICT r4 #6): plant the
+    home-page reality — EVERY eligible page also links "/" — so one
+    href carries a whole-corpus hot key, then aggregate it with the
+    salted two-phase rollup (operators/extraction.py salted_key
+    pattern): partial agg on (href, salt-of-doc_id) spreads the hot
+    href over 16 reducers — counts partial-sum, anchors partial
+    collect_set — and the final agg on href merges counts and
+    flatten-distincts the anchor sets. The oracle is the plain GROUP
+    BY recomputed analytically (hot rows included), so the gate proves
+    salting changes the exchange shape and NOT the result. Plan
+    pinned by tests/test_plans.py::test_anchor_salted_two_stage."""
+    links = _anchor_links(spark, sf_dir)
+    hot = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(
+            (F.col("doc_id") % 50 != 7)
+            & (F.col("doc_id") % 40 != 11)
+            & (F.col("doc_id") % 40 != 31)
+        )
+        .select(
+            "doc_id",
+            F.lit("/").alias("href"),
+            F.concat(
+                F.lit("home-"), (F.col("doc_id") % 3).cast("string")
+            ).alias("anchor"),
+        )
+    )
+    salted = links.unionByName(hot).withColumn(
+        "_salt", F.pmod(F.abs(F.hash(F.col("doc_id"), F.lit(42))), F.lit(16))
+    )
+    partial = salted.groupBy("href", "_salt").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.collect_set("anchor").alias("_an"),
+    )
+    return partial.groupBy("href").agg(
+        F.sum("_n").cast("long").alias("n_inlinks"),
+        F.concat_ws(
+            ",",
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_an")))),
+        ).alias("anchor_texts"),
     )
 
 
@@ -2578,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 additions (newest first) -------------------------------
         "quality_trained": q_quality_trained,
+        "anchor_text_salted": q_anchor_text_salted,
         # -- round-4 additions, never driver-recorded before round 5 --------
         "winnowed_spans": q_winnowed_spans,
         "sequence_pack": q_sequence_pack,
@@ -3403,6 +3453,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT href, n_inlinks, anchor_texts FROM (
               SELECT '/' AS href, nav AS n_inlinks,
                      'Home' AS anchor_texts FROM counts
+              UNION ALL SELECT '/tags', nav, 'Tags' FROM counts
+              UNION ALL SELECT '/about', nav, 'About' FROM counts
+              UNION ALL SELECT '/x1', farm, 'cheap deals now' FROM counts
+              UNION ALL SELECT '/x2', farm, 'best offers today' FROM counts
+              UNION ALL SELECT '/x3', farm, 'click here fast' FROM counts
+            ) WHERE n_inlinks > 0
+        """,
+        "anchor_text_salted": """
+            WITH eligible AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id % 50 <> 7 AND doc_id % 40 <> 11
+                AND doc_id % 40 <> 31
+            ),
+            counts AS (
+              SELECT CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS nav,
+                     CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS farm,
+                     CAST(COUNT(*) AS BIGINT) AS tot
+              FROM eligible
+            )
+            SELECT href, n_inlinks, anchor_texts FROM (
+              SELECT '/' AS href, nav + tot AS n_inlinks,
+                     'Home,home-0,home-1,home-2' AS anchor_texts FROM counts
               UNION ALL SELECT '/tags', nav, 'Tags' FROM counts
               UNION ALL SELECT '/about', nav, 'About' FROM counts
               UNION ALL SELECT '/x1', farm, 'cheap deals now' FROM counts

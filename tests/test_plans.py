@@ -122,6 +122,26 @@ def test_salted_rollup_two_stage(spark, sf_dir):
     assert p.count("HashAggregate") >= 4
 
 
+def test_anchor_salted_two_stage(spark, sf_dir):
+    """Skew-safe anchor aggregation (VERDICT r4 #6): the hot-href
+    corpus must aggregate in two stages — partial count/collect_set on
+    (href, _salt) so the planted every-page '/' key spreads over 16
+    reducers, then the final merge on bare href. Both exchange keys
+    pinned."""
+    import re
+
+    from ocr_parallel_spark.queries_catalog import q_anchor_text_salted
+
+    p = plan_of(q_anchor_text_salted(spark, sf_dir), "simple")
+    assert re.search(r"ObjectHashAggregate\(keys=\[href#\d+, _salt#\d+\]", p)
+    assert re.search(r"Exchange hashpartitioning\(href#\d+, _salt#\d+", p)
+    # final stage: bare href key, merging partial sums + anchor sets
+    assert re.search(
+        r"ObjectHashAggregate\(keys=\[href#\d+\], functions=\[sum", p
+    )
+    assert re.search(r"Exchange hashpartitioning\(href#\d+, \d+\)", p)
+
+
 def test_multitable_lsh_plan_shape(spark, sf_dir):
     """ANN multi-table LSH 100 TB guarantees: zero Python anywhere, the
     query side of BOTH joins broadcasts (index probe + vector fetch), and
