@@ -1213,6 +1213,47 @@ def q_pagerank_by_host(spark, sf_dir):
     )
 
 
+def q_graph_prior(spark, sf_dir):
+    """Webgraph signal feeding curation (VERDICT r4 #7) — the
+    composition that closes the extract -> resolve -> pagerank ->
+    curate loop: per-doc host-authority prior from the
+    pagerank_by_host rollup. Each doc joins its host's total rank
+    mass (broadcast — hosts are tiny vs docs) and gets the integer
+    cross-multiplied verdict ``graph_keep`` = "my host's average
+    per-doc rank >= the corpus average" (host_rank_mi * tot_docs >=
+    tot_rank_mi * n_docs — no division, no floats). job_curate
+    --graph-prior consumes the same host table as a dup-canonical
+    tiebreaker + verdict column; the oracle re-derives the full
+    10-iteration integer PageRank AND the join, so the gate pins the
+    composition end to end."""
+    host_rank = q_pagerank_by_host(spark, sf_dir)
+    totals = host_rank.agg(
+        F.sum("host_rank_mi").cast("long").alias("_tot_rank"),
+        F.sum("n_docs").cast("long").alias("_tot_docs"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("site-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    return (
+        docs.join(F.broadcast(host_rank), "host")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "host",
+            F.col("host_rank_mi").cast("long").alias("host_rank_mi"),
+            (
+                F.col("host_rank_mi") * F.col("_tot_docs")
+                >= F.col("_tot_rank") * F.col("n_docs")
+            ).alias("graph_keep"),
+        )
+    )
+
+
 def q_extract_links(spark, sf_dir):
     """Outlink extraction — the webgraph edge source (feeds
     pagerank_int in production): the kernel's stdlib HTML parser
@@ -2628,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (newest first) -------------------------------
         "quality_trained": q_quality_trained,
         "anchor_text_salted": q_anchor_text_salted,
+        "graph_prior": q_graph_prior,
         # -- round-4 additions, never driver-recorded before round 5 --------
         "winnowed_spans": q_winnowed_spans,
         "sequence_pack": q_sequence_pack,
@@ -3398,6 +3440,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(rank_mi) AS BIGINT) AS host_rank_mi,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM r10 GROUP BY 1"""
+        ),
+        "graph_prior": _pagerank_oracle_sql(
+            final_select="""
+        SELECT d.doc_id,
+               'site-' || CAST(d.doc_id % 7 AS VARCHAR) || '.example.com'
+                 AS host,
+               h.host_rank_mi,
+               h.host_rank_mi * t.tot_docs >= t.tot_rank * h.n_docs
+                 AS graph_keep
+        FROM documents d
+        JOIN (
+          SELECT CAST(node % 7 AS BIGINT) AS hk,
+                 CAST(SUM(rank_mi) AS BIGINT) AS host_rank_mi,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM r10 GROUP BY 1
+        ) h ON h.hk = d.doc_id % 7
+        CROSS JOIN (
+          SELECT CAST(SUM(rank_mi) AS BIGINT) AS tot_rank,
+                 CAST(count(*) AS BIGINT) AS tot_docs
+          FROM r10
+        ) t"""
         ),
         "extract_links": """
             SELECT doc_id,

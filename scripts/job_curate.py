@@ -33,6 +33,7 @@ def build_output(
     near_dup_threshold: float = 0.5,
     quality_filter: bool = False,
     quality_weights=None,
+    graph_prior=None,
     prior_kept_hashes=None,
     prior_kept_neardup=None,
 ):
@@ -244,11 +245,37 @@ def build_output(
     # window — at scale that constant key would otherwise funnel
     # millions of rows into one straggler task.
     j = j.withColumn("content_sha", F.sha2(F.col("kept_text"), 256))
+
+    # Webgraph prior (--graph-prior, VERDICT r4 #7): per-host authority
+    # from the pagerank_by_host rollup (host, host_rank_mi) — broadcast
+    # (hosts are tiny vs docs), recorded as a verdict column on every
+    # row (0 for hosts absent from the graph), and used below as the
+    # exact-dup canonical TIEBREAKER: among byte-identical twins the
+    # highest-authority host keeps the slot, doc_id breaking residual
+    # ties — the composition the oracle-gated `graph_prior` catalog
+    # query pins. Near-dup canonical stays min-doc_id (cluster members
+    # are only similar, not identical; stable ids beat rank there).
+    if graph_prior is not None:
+        j = j.join(
+            F.broadcast(graph_prior.select("host", "host_rank_mi")),
+            "host",
+            "left",
+        ).withColumn(
+            "host_rank_mi", F.coalesce(F.col("host_rank_mi"), F.lit(0)).cast("long")
+        )
     eligible = j.filter(
         F.col("drop_reason").isNull()
         & (F.col("n_kept_lines") > 0)
         & ~F.col("contaminated")
-    ).select("doc_id", F.col("content_sha").alias("_kh"))
+    ).select(
+        "doc_id",
+        F.col("content_sha").alias("_kh"),
+        *(
+            [F.col("host_rank_mi").alias("_hr")]
+            if graph_prior is not None
+            else []
+        ),
+    )
     if prior_kept_hashes is not None:
         # Cross-run exact dedup: a hash already committed KEPT owns its
         # canonical slot forever — new twins drop as dup and are also
@@ -260,7 +287,13 @@ def build_output(
             "doc_id", F.lit(True).alias("_pd")
         )
         eligible = eligible.join(prior_dups, "doc_id", "left_anti")
-    w = Window.partitionBy("_kh").orderBy("doc_id")
+    w = Window.partitionBy("_kh").orderBy(
+        *(
+            [F.col("_hr").desc(), F.col("doc_id")]
+            if graph_prior is not None
+            else [F.col("doc_id")]
+        )
+    )
     dups = (
         eligible.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") > 1)
@@ -447,6 +480,7 @@ def build_output(
         reason.alias("drop_reason"),
         F.when(reason.isNull(), F.col("kept_text")).alias("kept_text"),
         F.when(reason.isNull(), F.col("minhash_bands")).alias("minhash_bands"),
+        *(["host_rank_mi"] if graph_prior is not None else []),
     )
 
 
@@ -494,6 +528,13 @@ def main() -> None:
         help="parquet of trained ternary-vote weights (_bucket, _wt) "
         "fit by train_quality_weights; measured precision/recall 1.0 "
         "on the planted-taint holdout (quality_trained gate)",
+    )
+    ap.add_argument(
+        "--graph-prior",
+        help="parquet of per-host authority (host, host_rank_mi) — "
+        "e.g. a persisted pagerank_by_host rollup; recorded as a "
+        "verdict column and used as the exact-dup canonical "
+        "tiebreaker (highest host rank keeps the slot)",
     )
     ap.add_argument(
         "--recompute",
@@ -559,6 +600,11 @@ def main() -> None:
             quality_weights=(
                 spark.read.parquet(args.quality_weights)
                 if args.quality_weights
+                else None
+            ),
+            graph_prior=(
+                spark.read.parquet(args.graph_prior)
+                if args.graph_prior
                 else None
             ),
             prior_kept_hashes=prior_hashes,

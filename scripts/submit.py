@@ -106,6 +106,11 @@ def main() -> None:
         help="curate job: parquet of trained (_bucket, _wt) votes",
     )
     ap.add_argument(
+        "--graph-prior",
+        help="curate job: parquet of per-host authority (host, "
+        "host_rank_mi) used as dup-canonical tiebreaker",
+    )
+    ap.add_argument(
         "--quality-filter",
         action="store_true",
         help="curate job: hashed-linear classifier screen (low_quality)",
@@ -174,6 +179,8 @@ def main() -> None:
             cmd += ["--quality-filter"]
         if args.quality_weights:
             cmd += ["--quality-weights", args.quality_weights]
+        if args.graph_prior:
+            cmd += ["--graph-prior", args.graph_prior]
     if args.job == "pack":
         if args.verdicts:
             cmd += ["--verdicts", args.verdicts]

@@ -275,6 +275,47 @@ def test_quality_filter_trained_weights(spark, sf_dir, tmp_path):
     )
 
 
+def test_graph_prior_breaks_dup_ties_by_host_rank(spark):
+    """--graph-prior: among byte-identical exact-dup twins the doc on
+    the HIGHER-authority host keeps the canonical slot even when its
+    doc_id is larger (without the prior, min doc_id wins); every
+    verdict row carries host_rank_mi (0 for hosts missing from the
+    prior table)."""
+    text = "plenty of unique content words here for the screen " * 4 + "zulu"
+    other = (
+        "totally different subject matter entirely about gardens and "
+        "orchards with apples pears plums cherries apricots figs and "
+        "many other fruit trees growing happily in rows beside the old "
+        "farm house where the gardener tends them every single morning"
+    )
+    rows = [
+        (2, "https://site-2.example.com/p/2", text, "en", "src"),
+        (9, "https://site-2.example.com/p/9", other, "en", "src"),
+        (16, "https://site-5.example.com/p/16", text, "en", "src"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string, lang string, source string"
+    )
+    prior = spark.createDataFrame(
+        [("site-2.example.com", 10), ("site-5.example.com", 900)],
+        "host string, host_rank_mi long",
+    )
+    base = {
+        r.doc_id: r for r in job.build_output(spark, docs, None, None).collect()
+    }
+    assert base[2].kept and base[16].drop_reason == "dup"
+    got = {
+        r.doc_id: r
+        for r in job.build_output(
+            spark, docs, None, None, graph_prior=prior
+        ).collect()
+    }
+    # tiebreak flips: higher-rank site-5 doc wins despite larger id
+    assert got[16].kept and got[2].drop_reason == "dup"
+    assert got[16].host_rank_mi == 900 and got[2].host_rank_mi == 10
+    assert got[9].host_rank_mi == 10 and got[9].kept
+
+
 def test_near_dup_resume_noop(spark, tmp_path):
     """--near-dup composed with run_resumable: first run commits every
     verdict (incl. the near_dup drops), second run over the same input
