@@ -353,12 +353,27 @@ def ivf_topk(
     the probed cells. The candidate join is a cell-equi-join — cost follows
     cell occupancy, the standard IVF trade. Pass a persisted
     ``build_ivf_index`` result via ``index`` to skip re-assigning the
-    corpus (queries are still assigned inline — they are tiny)."""
+    corpus (queries are still assigned inline — they are tiny).
+
+    Staleness contract (ADVICE r4): vectors ABSENT from a persisted
+    index are NOT dropped — the left-anti remainder is assigned inline
+    against the same centroids and unioned in, so a build-once index
+    queried against a grown corpus keeps full coverage (in steady
+    state the remainder is the small post-build delta; re-run
+    build_ivf_index when it stops being small)."""
     from pyspark.sql import Window
 
     if index is not None:
-        assigned = vectors.select(id_col, vec_col).join(
+        indexed = vectors.select(id_col, vec_col).join(
             index.select(id_col, "cell"), id_col
+        )
+        fresh = vectors.select(id_col, vec_col).join(
+            index.select(id_col), id_col, "left_anti"
+        )
+        assigned = indexed.unionByName(
+            ivf_assign(fresh, centroids, vec_col, 1).select(
+                id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell")
+            )
         )
     else:
         assigned = ivf_assign(

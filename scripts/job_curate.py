@@ -382,22 +382,15 @@ def build_output(
             # Cross-run near-dup: committed kept signatures band-join
             # the new docs; exact Jaccard verifies against the
             # committed cleaned text. The committed doc keeps its
-            # slot. BOTH sides get the same MAX_BAND_BUCKET cap the
-            # within-run path applies (canonicals of different
-            # clusters can still share a degenerate-boilerplate band
-            # bucket; uncapped, a hot bucket accumulated over many
-            # runs is a |new| x |committed| quadratic straggler).
+            # slot. The cap bounds the COMBINED (new + committed)
+            # bucket occupancy at MAX_BAND_BUCKET — the same
+            # total-occupancy guarantee the within-run path gives, so
+            # one bucket joins at most (MAX/2)^2 candidate pairs
+            # (ADVICE r4: independent per-side caps would still admit
+            # MAX x MAX; a degenerate-boilerplate band accumulated
+            # over many runs is a |new| x |committed| quadratic
+            # straggler otherwise).
             from ocr_parallel_spark.operators.neardup import MAX_BAND_BUCKET
-
-            def _capped(ex):
-                sizes = ex.groupBy("band_idx", "band_hash").agg(
-                    F.count(F.lit(1)).alias("_n")
-                )
-                return (
-                    ex.join(sizes, ["band_idx", "band_hash"])
-                    .filter(F.col("_n") <= MAX_BAND_BUCKET)
-                    .drop("_n")
-                )
 
             prior = prior_kept_neardup.filter(
                 F.col("minhash_bands").isNotNull()
@@ -406,18 +399,24 @@ def build_output(
                 F.col("kept_text").alias("_p_text"),
                 F.col("minhash_bands").alias("_p_bands"),
             )
-            pex = _capped(
-                prior.select(
-                    "_p_id",
-                    F.posexplode("_p_bands").alias("band_idx", "band_hash"),
-                )
+            pex0 = prior.select(
+                "_p_id",
+                F.posexplode("_p_bands").alias("band_idx", "band_hash"),
             )
-            nex = _capped(
-                banded.select(
-                    "doc_id",
-                    F.posexplode("bands").alias("band_idx", "band_hash"),
-                )
+            nex0 = banded.select(
+                "doc_id",
+                F.posexplode("bands").alias("band_idx", "band_hash"),
             )
+            sizes = (
+                nex0.select("band_idx", "band_hash")
+                .unionByName(pex0.select("band_idx", "band_hash"))
+                .groupBy("band_idx", "band_hash")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= MAX_BAND_BUCKET)
+                .select("band_idx", "band_hash")
+            )
+            pex = pex0.join(sizes, ["band_idx", "band_hash"], "semi")
+            nex = nex0.join(sizes, ["band_idx", "band_hash"], "semi")
             cross = (
                 nex.join(pex, ["band_idx", "band_hash"])
                 .select("doc_id", "_p_id")

@@ -411,3 +411,33 @@ def test_ivf_persisted_index_round_trip(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, from_index.collect()))
     b = sorted(map(tuple, inline.collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_stale_index_assigns_unindexed_inline(spark, sf_dir, tmp_path):
+    """A persisted index built BEFORE new vectors arrived must not
+    silently drop them from top-k (ADVICE r4): the left-anti remainder
+    is assigned inline, so querying a grown corpus against a stale
+    index equals the fully-inline result."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_centroids(emb, n_cells=8)
+    # index covers only a THIRD of the corpus — the rest is "added
+    # after the build"
+    stale = build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), cents)
+    from_stale = ivf_topk(emb, queries, cents, k=5, nprobe=4, index=stale)
+    inline = ivf_topk(emb, queries, cents, k=5, nprobe=4)
+    a = sorted(map(tuple, from_stale.collect()))
+    b = sorted(map(tuple, inline.collect()))
+    assert a == b and len(a) > 0
+    # and the result really does contain unindexed ids (vacuity guard)
+    assert any(r[1] % 3 != 0 for r in a)
