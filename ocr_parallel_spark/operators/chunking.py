@@ -180,12 +180,22 @@ def _two_level_offsets(
         .cast("long")
         .alias("_part_base"),
     )
+    # Null-safe equi-join: a NULL source is a legal group (the window
+    # above treats it as one); a plain equi-key join would silently
+    # drop its rows.
+    b = bases.withColumnRenamed(source_col, "_b_src").withColumnRenamed(
+        "_pack_pid", "_b_pid"
+    )
     return (
-        local.join(F.broadcast(bases), [source_col, "_pack_pid"])
+        local.join(
+            F.broadcast(b),
+            F.col(source_col).eqNullSafe(F.col("_b_src"))
+            & (F.col("_pack_pid") == F.col("_b_pid")),
+        )
         .withColumn(
             "tok_offset", (F.col("_local_off") + F.col("_part_base")).cast("long")
         )
-        .drop("_local_off", "_part_base")
+        .drop("_local_off", "_part_base", "_b_src", "_b_pid")
     )
 
 

@@ -1798,6 +1798,25 @@ def q_quality_trained(spark, sf_dir):
     )
 
 
+def q_pack_tokenized(spark, sf_dir):
+    """Tokenizer-faithful packing (VERDICT r4 #5) under the driver
+    gate: pack_sequences driven by a PRECOMPUTED token-count column —
+    here a BPE-ish stand-in, ceil(n_chars/4) = (len(norm)+3) div 4 —
+    instead of the whitespace counter. Offsets/window ids follow the
+    supplied counts exactly (the two-level prefix sum is
+    counter-agnostic); the oracle re-derives the same counts and
+    cumsums in SQL. A real deployment lands true BPE counts with one
+    upstream tokenizer pass and packs against deployment reality."""
+    from ocr_parallel_spark.operators.chunking import pack_sequences
+
+    counted = _docs(spark, sf_dir).withColumn(
+        "bpe_tokens", F.expr("(length(norm) + 3) div 4").cast("long")
+    )
+    return pack_sequences(
+        counted, PACK_WINDOW, n_tokens_col="bpe_tokens"
+    )
+
+
 def q_pack_windows(spark, sf_dir):
     """The packed corpus from the WINDOW side — the view a training
     loader actually consumes: for every (source, context window), how
@@ -2670,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_trained": q_quality_trained,
         "anchor_text_salted": q_anchor_text_salted,
         "graph_prior": q_graph_prior,
+        "pack_tokenized": q_pack_tokenized,
         # -- round-4 additions, never driver-recorded before round 5 --------
         "winnowed_spans": q_winnowed_spans,
         "sequence_pack": q_sequence_pack,
@@ -3212,6 +3232,32 @@ def oracle_sql() -> dict[str, str]:
             t AS (
               SELECT doc_id, source,
                      CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+              FROM docs
+            ),
+            o AS (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tokens AS tok_offset
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(tok_offset AS BIGINT) AS tok_offset,
+                   CAST(tok_offset // {PACK_WINDOW} AS BIGINT) AS win_start,
+                   CAST((tok_offset + n_tokens - 1) // {PACK_WINDOW} AS BIGINT)
+                     AS win_end,
+                   CAST((tok_offset + n_tokens - 1) // {PACK_WINDOW}
+                        - tok_offset // {PACK_WINDOW} + 1 AS BIGINT) AS n_windows,
+                   (tok_offset + n_tokens - 1) // {PACK_WINDOW}
+                     > tok_offset // {PACK_WINDOW} AS is_split
+            FROM o
+        """,
+        "pack_tokenized": f"""
+            WITH {_DOCS_CTE},
+            t AS (
+              SELECT doc_id, source,
+                     CAST((length(norm) + 3) // 4 AS BIGINT) AS n_tokens
               FROM docs
             ),
             o AS (

@@ -167,12 +167,51 @@ def main() -> None:
     )
     sections.append(
         (
-            "Sequence packing (concat-and-split)",
-            "One window-function pass partitioned by source (the per-shard "
-            "packing shape — never a global single-partition order); offsets "
-            "are exact bigint cumsums, window ids pure arithmetic in "
-            "codegen.",
+            "Sequence packing (two-level distributed prefix sum)",
+            "Per-source offsets WITHOUT a whole-source window task: "
+            "repartitionByRange(source, id) bounds every window group by "
+            "one shuffle partition, per-(source, partition) totals are ONE "
+            "tiny row each and broadcast back as running bases — no task "
+            "ever holds a source's full manifest (the round-4 verdict's "
+            "100x-scale straggler). Offsets byte-identical to the "
+            "single-window twin (pinned by pytest + the DuckDB oracle); "
+            "window ids pure arithmetic in codegen.",
             plan_of(q["sequence_pack"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
+            "Skew-safe anchor-text aggregation (hot-href salted rollup)",
+            "The planted every-page '/' href aggregates in two stages: "
+            "partial count/collect_set on (href, salt-of-doc_id) spreads "
+            "the hot key over 16 reducers, the final merge on bare href "
+            "flatten-distincts the partial anchor sets. Result provably "
+            "equals the plain GROUP BY (its analytic DuckDB oracle "
+            "includes the hot rows).",
+            plan_of(q["anchor_text_salted"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
+            "Trained quality classifier (fit + held-out eval)",
+            "Training and application in one plan: one explode+agg pass "
+            "fits the ternary-vote table (integer count-contrast with a "
+            "2x margin + mass support — only discriminative buckets "
+            "survive), which broadcasts into the held-out scoring pass; "
+            "the confusion row is a single final aggregate. No floats, "
+            "no division — the DuckDB oracle refits identically.",
+            plan_of(q["quality_trained"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
+            "Webgraph prior into curation (graph_prior)",
+            "The per-host rank rollup (10 integer PageRank iterations) "
+            "collapses to a 7-row host table that BROADCASTS onto the doc "
+            "scan — the corpus side never shuffles for the prior join; "
+            "the keep verdict is cross-multiplied bigint arithmetic in "
+            "codegen.",
+            plan_of(q["graph_prior"](spark, SF), "simple"),
         )
     )
     sections.append(

@@ -45,7 +45,7 @@ def main() -> None:
     ap.add_argument("--run", action="store_true", help="exec spark-submit")
     ap.add_argument(
         "--job",
-        choices=["extract", "full-process", "curate", "pack"],
+        choices=["extract", "full-process", "curate", "pack", "train-quality"],
         default="extract",
         help="which batch job to submit",
     )
@@ -150,6 +150,7 @@ def main() -> None:
                 "full-process": "job_full_process.py",
                 "curate": "job_curate.py",
                 "pack": "job_pack.py",
+                "train-quality": "job_train_quality.py",
             }[args.job]
         ),
         "--output", args.output,

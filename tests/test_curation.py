@@ -589,6 +589,7 @@ def test_pack_custom_token_counter(spark):
             (1, "s", None),
             (2, "s", "x " * 40),
             (3, "s", "tail words here"),
+            (4, None, "null source is a legal group"),
         ],
         "doc_id long, source string, norm string",
     )
@@ -614,6 +615,9 @@ def test_pack_custom_token_counter(spark):
     assert rows2[1].n_tokens == 1
     assert rows2[2].tok_offset == rows2[1].tok_offset + 1
     assert all(r.tok_offset >= 0 for r in rows2.values())
+    # NULL source: its own group, never silently dropped by the
+    # two-level base join (null-safe equi-join)
+    assert rows2[4].source is None and rows2[4].tok_offset == 0
 
 
 def test_token_budget_mix_budget_and_determinism(spark, sf_dir):
