@@ -236,3 +236,111 @@ def minhash_candidate_pairs(
     return pairs_from_banded(
         with_minhash_bands(df, text_col, id_col), id_col, max_bucket
     )
+
+
+# ---------------------------------------------- signature-estimate dedup --
+#
+# MinHash-ESTIMATE verification: instead of re-reading both texts for an
+# exact Jaccard, estimate it as the fraction of agreeing signature
+# components (the textbook unbiased MinHash estimator, E[agree/n_perm] =
+# J). This is the verification a STREAMING dedup can afford — state
+# carries 512-byte signatures, never document text — and the batch twin
+# below exists so the streaming operator
+# (streaming/stateful.py streaming_near_dup) has an exact
+# DataFrame-native equivalence target. est_num/est_den give the
+# agreement threshold as an integer fraction (1/2 = estimated J >= 0.5)
+# so the comparison is exact in both engines.
+
+MINHASH_PERMS = 64
+
+
+def with_minhash_sigs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig array<bigint>[64], bands array<bigint>[16]) in ONE
+    Arrow-batched pass — the signature is computed once and reused for
+    banding and estimate-verification."""
+    schema = f"{id_col} long, sig array<bigint>, bands array<bigint>"
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs, bands = [], []
+            for t in pdf[text_col]:
+                s = minhash_signature(t or "")
+                sigs.append([v - (1 << 64) if v >= (1 << 63) else v for v in s])
+                bands.append(
+                    [
+                        b - (1 << 64) if b >= (1 << 63) else b
+                        for b in minhash_bands(s, LSH_BANDS)
+                    ]
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sig": sigs, "bands": bands}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
+
+
+def signature_near_dup_marks(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    est_num: int = 1,
+    est_den: int = 2,
+    max_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Arrival-order near-dup marks from (id, sig, bands) rows: a doc is
+    a near-dup of the MINIMUM earlier id that shares >= 1 LSH band with
+    signature agreement >= est_num/est_den. Returns (id, near_rep,
+    is_near_dup) — the batch semantics the streaming operator pins
+    against. Candidate generation is the capped band self-join;
+    verification compares the two 64-slot signatures with zip_with
+    (JVM-side, no Python)."""
+    ex = sigs.select(
+        id_col, F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    if max_bucket:
+        sizes = ex.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        ex = (
+            ex.join(sizes, ["band_idx", "band_hash"])
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    l, r = ex.alias("l"), ex.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(agree * est_den >= MINHASH_PERMS * est_num)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("near_rep"))
+    )
+    return (
+        sigs.select(id_col)
+        .join(verified.withColumnRenamed("id_b", id_col), id_col, "left")
+        .select(
+            id_col,
+            "near_rep",
+            F.col("near_rep").isNotNull().alias("is_near_dup"),
+        )
+    )

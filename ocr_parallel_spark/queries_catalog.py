@@ -1798,6 +1798,71 @@ def q_quality_trained(spark, sf_dir):
     )
 
 
+def q_minhash_estimate_recall(spark, sf_dir):
+    """Gate for the SIGNATURE-ESTIMATE dedup path (the verification a
+    streaming dedup can afford — operators/neardup.py
+    signature_near_dup_marks, whose stateful twin is
+    streaming/stateful.py streaming_near_dup): plant the same drifted
+    near-copies as minhash_recall, mark near-dups by MinHash-estimate
+    agreement (>= 1/2 of 64 permutations), and pin (a) recall >= 0.9
+    vs the exact word-trigram-Jaccard truth the oracle recomputes in
+    SQL, (b) zero marks on docs with no partner at even Jaccard >=
+    0.3 (the estimator must not invent dups). Only oracle-computable
+    numbers emit; the estimate side's pass/fail rides as booleans the
+    oracle pins to TRUE."""
+    from ocr_parallel_spark.operators.neardup import (
+        signature_near_dup_marks,
+        with_minhash_sigs,
+    )
+
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "norm")
+    )
+    drifted = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("norm"), F.lit(" drift tail token")).alias("norm"),
+    )
+    corpus = base.unionByName(drifted).select(
+        "doc_id", F.col("norm").alias("text")
+    )
+    sh = corpus.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    truth = pairs.filter((union > 0) & (inter * 2 >= union)).select(
+        "id_a", "id_b"
+    )
+    near03 = (
+        pairs.filter((union > 0) & (inter * 10 >= union * 3))
+        .select("id_b")
+        .distinct()
+    )
+    marks = signature_near_dup_marks(
+        with_minhash_sigs(corpus, "text", "doc_id"), "doc_id"
+    )
+    marked = marks.filter("is_near_dup").select(F.col("doc_id").alias("id_b"))
+    hits = truth.join(marked, "id_b", "left_semi")
+    false_marks = marked.join(near03, "id_b", "left_anti")
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .crossJoin(false_marks.agg(F.count(F.lit(1)).alias("_n_false")))
+        .select(
+            "n_docs",
+            "n_truth",
+            F.when(F.col("n_truth") == 0, F.lit(True))
+            .otherwise(F.col("_n_hit") * 10 >= F.col("n_truth") * 9)
+            .alias("recall_ok"),
+            (F.col("_n_false") == 0).alias("false_mark_ok"),
+        )
+    )
+
+
 def q_pack_tokenized(spark, sf_dir):
     """Tokenizer-faithful packing (VERDICT r4 #5) under the driver
     gate: pack_sequences driven by a PRECOMPUTED token-count column —
@@ -2690,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_salted": q_anchor_text_salted,
         "graph_prior": q_graph_prior,
         "pack_tokenized": q_pack_tokenized,
+        "minhash_estimate_recall": q_minhash_estimate_recall,
         # -- round-4 additions, never driver-recorded before round 5 --------
         "winnowed_spans": q_winnowed_spans,
         "sequence_pack": q_sequence_pack,
@@ -3002,6 +3068,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
                    CAST(count(*) AS BIGINT) AS n_truth,
                    TRUE AS recall_ok
+            FROM truth
+        """,
+        "minhash_estimate_recall": f"""
+            WITH {_DOCS_CTE},
+            base AS (SELECT doc_id, norm FROM docs WHERE doc_id < 250),
+            corpus AS (
+              SELECT doc_id, norm AS text FROM base
+              UNION ALL
+              SELECT doc_id + 100000, norm || ' drift tail token'
+              FROM base WHERE doc_id % 5 = 0
+            ),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                  list_distinct(list_transform(
+                    range(1, CAST(len(string_split(text, ' ')) - 1 AS BIGINT)),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2]))
+                ELSE [] END AS s
+              FROM corpus
+            ),
+            truth AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+                AND 2 * len(list_intersect(a.s, b.s)) >=
+                    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_truth,
+                   TRUE AS recall_ok,
+                   TRUE AS false_mark_ok
             FROM truth
         """,
         "ann_recall": """

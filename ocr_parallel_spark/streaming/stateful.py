@@ -156,3 +156,111 @@ def streaming_sequence_pack(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------- streaming near-dup --
+
+_ND_OUT_SCHEMA = "doc_id bigint, near_rep bigint"
+_ND_STATE_SCHEMA = "ids array<bigint>, sigs array<binary>"
+
+
+def _make_neardup_fn(est_num: int, est_den: int, max_bucket: int, n_perm: int):
+    def dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            ids, sigs = state.get
+            ids, sigs = list(ids), [bytes(s) for s in sigs]
+        else:
+            ids, sigs = [], []
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update((ids, sigs))
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values("doc_id")
+        mats = [np.frombuffer(s, dtype="<u8") for s in sigs]
+        out_ids, out_reps = [], []
+        for doc_id, sig_bytes in zip(pdf["doc_id"], pdf["sig"]):
+            doc_id = int(doc_id)
+            sig_bytes = bytes(sig_bytes)
+            sig = np.frombuffer(sig_bytes, dtype="<u8")
+            best = None
+            for pid, pmat in zip(ids, mats):
+                if pid >= doc_id:
+                    continue  # keep-earliest: only earlier docs can own a rep slot
+                agree = int((sig == pmat).sum())
+                if agree * est_den >= n_perm * est_num and (
+                    best is None or pid < best
+                ):
+                    best = pid
+            if best is not None:
+                out_ids.append(doc_id)
+                out_reps.append(best)
+            if len(ids) < max_bucket:
+                ids.append(doc_id)
+                sigs.append(sig_bytes)
+                mats.append(sig)
+        state.update((ids, sigs))
+        if out_ids:
+            yield pd.DataFrame({"doc_id": out_ids, "near_rep": out_reps})
+
+    return dedup
+
+
+def streaming_near_dup(
+    docs_stream: DataFrame,
+    est_num: int = 1,
+    est_den: int = 2,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Streaming MinHash near-dup detection — the stateful twin of the
+    batch ``operators/neardup.py signature_near_dup_marks``: per LSH
+    band bucket, the state store carries the (doc_id, 512-byte MinHash
+    signature) pairs seen so far — never document text — and each
+    arriving doc compares its signature against the bucket's members
+    (the unbiased agree/n_perm Jaccard estimator, integer threshold
+    est_num/est_den). Emits one (doc_id, near_rep) row per band where a
+    doc matched an EARLIER doc; consumers take min(near_rep) per doc
+    (the match with the minimum rep is emitted by whatever shared band
+    contains it, so the per-doc min equals the batch twin's min —
+    pinned in pytest, along with restart continuity via the
+    checkpoint). State per bucket is capped at ``max_bucket`` entries
+    (same degenerate-boilerplate rationale as MAX_BAND_BUCKET; past the
+    cap a bucket stops admitting new members, so detection inside a
+    degenerate bucket is best-effort exactly like the batch cap).
+
+    Prep (signature + banding) is one non-stateful Arrow pass; the
+    stateful exchange shuffles (band_key, doc_id, 512-byte sig) rows
+    only — at CC scale the state store holds bands of the KEPT corpus,
+    the streaming analog of job_curate's committed-signature band join.
+    """
+    from ocr_parallel_spark.kernel.simhash import minhash_bands, minhash_signature
+
+    def prep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, keys, sigs = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                s = minhash_signature(t or "")
+                raw = np.array(s, dtype="<u8").tobytes()
+                for i, b in enumerate(minhash_bands(s, 16)):
+                    ids.append(doc_id)
+                    keys.append(f"{i}:{b:016x}")
+                    sigs.append(raw)
+            yield pd.DataFrame(
+                {"band_key": keys, "doc_id": ids, "sig": sigs}
+            )
+
+    rows = docs_stream.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).mapInPandas(prep, "band_key string, doc_id bigint, sig binary")
+    return rows.groupBy("band_key").applyInPandasWithState(
+        _make_neardup_fn(est_num, est_den, max_bucket, 64),
+        outputStructType=_ND_OUT_SCHEMA,
+        stateStructType=_ND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

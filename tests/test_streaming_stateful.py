@@ -184,3 +184,74 @@ def test_streaming_sequence_pack_survives_null_text(spark, tmp_path):
     rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
     assert rows[2].n_tokens == 1 and rows[2].tok_offset == 3
     assert rows[3].tok_offset == 4
+
+
+def test_streaming_near_dup_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming MinHash near-dup == the batch signature-estimate twin
+    on identical (ascending doc_id) arrivals, INCLUDING cross-batch
+    pairs whose earlier member arrived before a restart: the band
+    state (ids + signatures) lives in the checkpointed state store."""
+    from ocr_parallel_spark.operators.neardup import (
+        signature_near_dup_marks,
+        with_minhash_sigs,
+    )
+    from ocr_parallel_spark.streaming.stateful import streaming_near_dup
+
+    inp, out, ckpt = (
+        str(tmp_path / "nin"),
+        str(tmp_path / "nout"),
+        str(tmp_path / "nck"),
+    )
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 6
+    other = (
+        "completely unrelated subject matter about astronomy telescopes "
+        "planets orbits and the mathematics of celestial navigation " * 6
+    )
+    chunk1 = [
+        (1, base + "alpha ending"),
+        (2, other),
+        (3, base + "bravo ending"),  # near-dup of 1, same batch
+    ]
+    chunk2 = [
+        (4, base + "charlie ending"),  # near-dup of 1, ACROSS the restart
+        (5, "short odd text unlike anything else entirely"),
+    ]
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "append"
+        ).parquet(inp)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(inp)
+        q = (
+            streaming_near_dup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write(chunk1)
+    run()
+    write(chunk2)
+    run()  # fresh query object, same checkpoint -> state restored
+
+    got: dict = {}
+    for r in spark.read.parquet(out).collect():
+        got[r.doc_id] = min(got.get(r.doc_id, r.near_rep), r.near_rep)
+
+    docs = spark.createDataFrame(chunk1 + chunk2, "doc_id long, text string")
+    expect = {
+        r.doc_id: r.near_rep
+        for r in signature_near_dup_marks(
+            with_minhash_sigs(docs, "text", "doc_id")
+        ).collect()
+        if r.is_near_dup
+    }
+    assert got == expect
+    assert expect.get(3) == 1 and expect.get(4) == 1  # incl. the cross-restart pair
+    assert 2 not in expect and 5 not in expect
