@@ -356,24 +356,40 @@ def ivf_topk(
     corpus (queries are still assigned inline — they are tiny).
 
     Staleness contract (ADVICE r4): vectors ABSENT from a persisted
-    index are NOT dropped — the left-anti remainder is assigned inline
-    against the same centroids and unioned in, so a build-once index
-    queried against a grown corpus keeps full coverage (in steady
-    state the remainder is the small post-build delta; re-run
-    build_ivf_index when it stops being small)."""
+    index are NOT dropped — the index left-joins the corpus and
+    unindexed rows take an inline cell from a coalesced assignment
+    expression (codegen short-circuits it, so indexed rows skip the
+    centroid scan and the corpus is read once), keeping a build-once
+    index fully covering a grown corpus (in steady state the remainder
+    is the small post-build delta; re-run build_ivf_index when it
+    stops being small)."""
     from pyspark.sql import Window
 
     if index is not None:
-        indexed = vectors.select(id_col, vec_col).join(
-            index.select(id_col, "cell"), id_col
+        # ONE pass over the corpus: left-join the persisted assignment
+        # and inline-assign only the unindexed remainder via
+        # coalesce — codegen short-circuits the second argument, so
+        # indexed rows never pay the n_cells centroid scan (the cost
+        # the index exists to skip) and the corpus is scanned once,
+        # not twice (inner + anti).
+        joined = ivf_assign(
+            vectors.select(id_col, vec_col).join(
+                index.select(id_col, F.col("cell").alias("_idx_cell")),
+                id_col,
+                "left",
+            ),
+            centroids,
+            vec_col,
+            1,
         )
-        fresh = vectors.select(id_col, vec_col).join(
-            index.select(id_col), id_col, "left_anti"
-        )
-        assigned = indexed.unionByName(
-            ivf_assign(fresh, centroids, vec_col, 1).select(
-                id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell")
-            )
+        # after Catalyst's projection collapse the ivf_cells expression
+        # lives only inside this coalesce, whose codegen short-circuits
+        assigned = joined.select(
+            id_col,
+            vec_col,
+            F.coalesce(
+                F.col("_idx_cell"), F.element_at("ivf_cells", 1)
+            ).alias("cell"),
         )
     else:
         assigned = ivf_assign(

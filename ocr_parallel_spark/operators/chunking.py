@@ -152,11 +152,21 @@ def _two_level_offsets(
     # unaffected). An explicit num_parts pins the count — AQE leaves
     # user-specified repartitions alone — which tests use to prove a
     # source spans >1 task even on tiny inputs.
+    # localCheckpoint pins the (row -> partition id) mapping: `ranged`
+    # feeds BOTH the local-cumsum window and the totals/bases branch,
+    # and the join back on (source, _pack_pid) is only correct if the
+    # two subtrees observe identical pids — exchange reuse usually
+    # guarantees that, but a nondeterministic upstream or divergent
+    # AQE decisions would silently corrupt offsets.
     ranged = (
-        t.repartitionByRange(num_parts, source_col, id_col)
-        if num_parts
-        else t.repartitionByRange(source_col, id_col)
-    ).withColumn("_pack_pid", F.spark_partition_id())
+        (
+            t.repartitionByRange(num_parts, source_col, id_col)
+            if num_parts
+            else t.repartitionByRange(source_col, id_col)
+        )
+        .withColumn("_pack_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     w_local = (
         Window.partitionBy(source_col, "_pack_pid")
         .orderBy(id_col)
@@ -240,10 +250,18 @@ def pack_sequences(
         n_tok = F.size(
             F.split(F.coalesce(F.col(norm_col), F.lit("")), " ")
         ).cast("long")
-    elif isinstance(n_tokens_col, str):
-        n_tok = F.col(n_tokens_col).cast("long")
     else:
-        n_tok = n_tokens_col.cast("long")
+        # Supplied counts are clamped to >= 0 with NULL -> 0: a caller
+        # who builds counts with size(split(...)) on nullable text gets
+        # -1 for NULL rows (the exact offset-corruption trap the default
+        # counter guards against), and one bad row must never shift
+        # every later doc's offset in its source.
+        raw = (
+            F.col(n_tokens_col)
+            if isinstance(n_tokens_col, str)
+            else n_tokens_col
+        )
+        n_tok = F.greatest(F.coalesce(raw.cast("long"), F.lit(0)), F.lit(0))
     t = docs.select(id_col, source_col, n_tok.alias("n_tokens"))
     if distributed:
         t = _two_level_offsets(t, id_col, source_col).select(
@@ -276,7 +294,14 @@ def pack_sequences(
             .alias("tok_offset"),
         )
     win_start = F.expr(f"tok_offset div {window_tokens}")
-    win_end = F.expr(f"(tok_offset + n_tokens - 1) div {window_tokens}")
+    # greatest(win_start, ...) pins the n_tokens = 0 edge: a zero-length
+    # doc occupies the window AT its offset (n_windows = 1, never 0),
+    # and the clamp absorbs the negative-dividend engine divergence
+    # (tok_offset 0, n 0 -> Spark `-1 div W` truncates to 0 while
+    # DuckDB `-1 // W` floors to -1; both sides of the oracle clamp).
+    win_end = F.greatest(
+        win_start, F.expr(f"(tok_offset + n_tokens - 1) div {window_tokens}")
+    )
     return t.select(
         id_col,
         source_col,

@@ -3344,11 +3344,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens,
                    CAST(tok_offset AS BIGINT) AS tok_offset,
                    CAST(tok_offset // {PACK_WINDOW} AS BIGINT) AS win_start,
-                   CAST((tok_offset + n_tokens - 1) // {PACK_WINDOW} AS BIGINT)
+                   CAST(greatest(tok_offset // {PACK_WINDOW},
+                        (tok_offset + n_tokens - 1) // {PACK_WINDOW}) AS BIGINT)
                      AS win_end,
-                   CAST((tok_offset + n_tokens - 1) // {PACK_WINDOW}
+                   CAST(greatest(tok_offset // {PACK_WINDOW},
+                        (tok_offset + n_tokens - 1) // {PACK_WINDOW})
                         - tok_offset // {PACK_WINDOW} + 1 AS BIGINT) AS n_windows,
-                   (tok_offset + n_tokens - 1) // {PACK_WINDOW}
+                   greatest(tok_offset // {PACK_WINDOW},
+                        (tok_offset + n_tokens - 1) // {PACK_WINDOW})
                      > tok_offset // {PACK_WINDOW} AS is_split
             FROM o
         """,
@@ -3370,11 +3373,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens,
                    CAST(tok_offset AS BIGINT) AS tok_offset,
                    CAST(tok_offset // {PACK_WINDOW} AS BIGINT) AS win_start,
-                   CAST((tok_offset + n_tokens - 1) // {PACK_WINDOW} AS BIGINT)
+                   CAST(greatest(tok_offset // {PACK_WINDOW},
+                        (tok_offset + n_tokens - 1) // {PACK_WINDOW}) AS BIGINT)
                      AS win_end,
-                   CAST((tok_offset + n_tokens - 1) // {PACK_WINDOW}
+                   CAST(greatest(tok_offset // {PACK_WINDOW},
+                        (tok_offset + n_tokens - 1) // {PACK_WINDOW})
                         - tok_offset // {PACK_WINDOW} + 1 AS BIGINT) AS n_windows,
-                   (tok_offset + n_tokens - 1) // {PACK_WINDOW}
+                   greatest(tok_offset // {PACK_WINDOW},
+                        (tok_offset + n_tokens - 1) // {PACK_WINDOW})
                      > tok_offset // {PACK_WINDOW} AS is_split
             FROM o
         """,

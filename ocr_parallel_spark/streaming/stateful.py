@@ -175,6 +175,7 @@ def _make_neardup_fn(est_num: int, est_den: int, max_bucket: int, n_perm: int):
             ids, sigs = list(ids), [bytes(s) for s in sigs]
         else:
             ids, sigs = [], []
+        seen = set(ids)
         parts = [p for p in pdfs if len(p)]
         if not parts:
             state.update((ids, sigs))
@@ -198,7 +199,11 @@ def _make_neardup_fn(est_num: int, est_den: int, max_bucket: int, n_perm: int):
             if best is not None:
                 out_ids.append(doc_id)
                 out_reps.append(best)
-            if len(ids) < max_bucket:
+            # membership check: at-least-once sources can re-deliver a
+            # doc; re-appending it would burn cap slots and let a doc
+            # match its own earlier delivery
+            if len(ids) < max_bucket and doc_id not in seen:
+                seen.add(doc_id)
                 ids.append(doc_id)
                 sigs.append(sig_bytes)
                 mats.append(sig)
@@ -227,16 +232,27 @@ def streaming_near_dup(
     contains it, so the per-doc min equals the batch twin's min —
     pinned in pytest, along with restart continuity via the
     checkpoint). State per bucket is capped at ``max_bucket`` entries
-    (same degenerate-boilerplate rationale as MAX_BAND_BUCKET; past the
-    cap a bucket stops admitting new members, so detection inside a
-    degenerate bucket is best-effort exactly like the batch cap).
+    (same degenerate-boilerplate rationale as MAX_BAND_BUCKET).
+    Over-cap semantics intentionally DIFFER from the batch twin: the
+    batch cap drops the whole degenerate bucket (emits no marks from
+    it), while the stream — which cannot retroactively unmark — stops
+    ADMITTING members past the cap but keeps comparing arrivals
+    against the admitted prefix, so a degenerate bucket still catches
+    dups of its first ``max_bucket`` members. The pinned stream==batch
+    equivalence therefore holds for buckets within the cap; degenerate
+    buckets are best-effort in both, by different trades. Re-delivered
+    doc_ids (at-least-once sources) are membership-checked so they
+    neither burn cap slots nor match their own earlier delivery.
 
     Prep (signature + banding) is one non-stateful Arrow pass; the
     stateful exchange shuffles (band_key, doc_id, 512-byte sig) rows
     only — at CC scale the state store holds bands of the KEPT corpus,
     the streaming analog of job_curate's committed-signature band join.
     """
+    # Constants shared with the batch twin (operators/neardup.py) so
+    # tuning LSH_BANDS/MINHASH_PERMS can never de-synchronize the two.
     from ocr_parallel_spark.kernel.simhash import minhash_bands, minhash_signature
+    from ocr_parallel_spark.operators.neardup import LSH_BANDS, MINHASH_PERMS
 
     def prep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -244,9 +260,9 @@ def streaming_near_dup(
         for pdf in it:
             ids, keys, sigs = [], [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                s = minhash_signature(t or "")
+                s = minhash_signature(t or "", n_perm=MINHASH_PERMS)
                 raw = np.array(s, dtype="<u8").tobytes()
-                for i, b in enumerate(minhash_bands(s, 16)):
+                for i, b in enumerate(minhash_bands(s, LSH_BANDS)):
                     ids.append(doc_id)
                     keys.append(f"{i}:{b:016x}")
                     sigs.append(raw)
@@ -258,7 +274,7 @@ def streaming_near_dup(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     ).mapInPandas(prep, "band_key string, doc_id bigint, sig binary")
     return rows.groupBy("band_key").applyInPandasWithState(
-        _make_neardup_fn(est_num, est_den, max_bucket, 64),
+        _make_neardup_fn(est_num, est_den, max_bucket, MINHASH_PERMS),
         outputStructType=_ND_OUT_SCHEMA,
         stateStructType=_ND_STATE_SCHEMA,
         outputMode="append",

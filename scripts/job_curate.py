@@ -595,7 +595,9 @@ def main() -> None:
             robots_df=robots,
             near_dup=args.near_dup,
             near_dup_threshold=args.near_dup_threshold,
-            quality_filter=args.quality_filter,
+            # supplying a trained model IS opting into the screen —
+            # --quality-weights alone must never be silently ignored
+            quality_filter=args.quality_filter or bool(args.quality_weights),
             quality_weights=(
                 spark.read.parquet(args.quality_weights)
                 if args.quality_weights

@@ -116,11 +116,23 @@ def main() -> None:
                 "job_curate --recompute first"
             )
         pass_cols = [args.n_tokens_col] if args.n_tokens_col else []
+        if args.n_tokens_col and args.n_tokens_col not in verdicts.columns:
+            raise SystemExit(
+                f"--n-tokens-col {args.n_tokens_col!r} not in the verdicts "
+                "table (job_curate does not emit tokenizer counts; land "
+                "them on the verdicts table with an upstream tokenizer "
+                f"pass first). columns: {verdicts.columns}"
+            )
         docs = verdicts.filter("kept").select(
             "doc_id", "source", verdicts["kept_text"].alias("text"), *pass_cols
         )
     else:
         docs = spark.read.parquet(args.input)
+        if args.n_tokens_col and args.n_tokens_col not in docs.columns:
+            raise SystemExit(
+                f"--n-tokens-col {args.n_tokens_col!r} not in the input "
+                f"docs table; columns: {docs.columns}"
+            )
         if args.verdicts:
             verdicts = SnapshotTable(args.verdicts).read(spark)
             if verdicts is None:

@@ -35,15 +35,17 @@ def fit_and_eval(spark, labeled, holdout_mod: int | None, min_milli: int):
     )
     from ocr_parallel_spark.operators.classify import normalize_col
 
-    # Deterministic row key for the holdout split: doc_id when the
-    # label table carries one, else a text hash — NEVER
+    # Deterministic row key for the holdout split: a NUMERIC doc_id
+    # when the label table carries one, else a text hash — NEVER
     # monotonically_increasing_id (partition-dependent: the split
-    # would change with parallelism and the fit with it).
-    rid = (
-        F.col("doc_id").cast("long")
-        if "doc_id" in labeled.columns
-        else F.xxhash64(F.coalesce(F.col("text"), F.lit("")))
-    )
+    # would change with parallelism and the fit with it). A
+    # string-typed doc_id falls through to the text hash rather than
+    # cast-to-NULL, which would silently empty BOTH splits.
+    numeric = {"bigint", "int", "smallint", "tinyint", "long"}
+    if dict(labeled.dtypes).get("doc_id") in numeric:
+        rid = F.col("doc_id").cast("long")
+    else:
+        rid = F.xxhash64(F.coalesce(F.col("text"), F.lit("")))
     normed = labeled.select(
         rid.alias("_rid"),
         normalize_col(F.coalesce(F.col("text"), F.lit(""))).alias("norm"),
