@@ -1798,6 +1798,61 @@ def q_quality_trained(spark, sf_dir):
     )
 
 
+def q_bpe_counts(spark, sf_dir):
+    """Real-BPE token counting (kernel/bpe.py + functions/tokenize.py,
+    the counts the tokenizer-faithful pack chain consumes): fit 200
+    merges from the corpus word-frequency table (distributed count,
+    deterministic cap, driver merge loop), count every doc in one
+    Arrow pass, and pin the algebra SQL can check exactly: every count
+    sits in [word count, non-space char count] (each word >= 1 token;
+    tokens only ever merge characters) and the corpus-total must
+    genuinely compress (strictly fewer tokens than characters — a
+    no-op tokenizer fails the gate). The counts themselves are pinned
+    by kernel goldens + the distributivity/bounds hypothesis suite;
+    the oracle re-derives every non-BPE number and the booleans ride
+    as TRUE."""
+    from ocr_parallel_spark.functions.tokenize import (
+        bpe_token_counts,
+        fit_bpe_merges,
+    )
+
+    d = _docs(spark, sf_dir)
+    merges = fit_bpe_merges(d, "norm", n_merges=200)
+    counts = bpe_token_counts(d, merges, "norm", "doc_id")
+    base = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("norm"), " "), lambda w: w != "")
+        ).cast("long").alias("n_words"),
+        F.length(F.regexp_replace(F.col("norm"), " ", ""))
+        .cast("long")
+        .alias("n_chars_nospace"),
+    )
+    j = base.join(counts, "doc_id")
+    tot = j.agg(
+        F.sum("n_bpe_tokens").alias("_t"), F.sum("n_chars_nospace").alias("_c")
+    )
+    return (
+        j.select(
+            "doc_id",
+            "n_words",
+            "n_chars_nospace",
+            (
+                (F.col("n_bpe_tokens") >= F.col("n_words"))
+                & (F.col("n_bpe_tokens") <= F.col("n_chars_nospace"))
+            ).alias("ok_bounds"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars_nospace",
+            "ok_bounds",
+            (F.col("_t") < F.col("_c")).alias("ok_compressed"),
+        )
+    )
+
+
 def q_minhash_estimate_recall(spark, sf_dir):
     """Gate for the SIGNATURE-ESTIMATE dedup path (the verification a
     streaming dedup can afford — operators/neardup.py
@@ -2756,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_prior": q_graph_prior,
         "pack_tokenized": q_pack_tokenized,
         "minhash_estimate_recall": q_minhash_estimate_recall,
+        "bpe_counts": q_bpe_counts,
         # -- round-4 additions, never driver-recorded before round 5 --------
         "winnowed_spans": q_winnowed_spans,
         "sequence_pack": q_sequence_pack,
@@ -3069,6 +3125,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_truth,
                    TRUE AS recall_ok
             FROM truth
+        """,
+        "bpe_counts": f"""
+            WITH {_DOCS_CTE}
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(norm, ' '),
+                        w -> w <> '')) AS BIGINT) AS n_words,
+                   CAST(length(replace(norm, ' ', '')) AS BIGINT)
+                     AS n_chars_nospace,
+                   TRUE AS ok_bounds,
+                   TRUE AS ok_compressed
+            FROM docs
         """,
         "minhash_estimate_recall": f"""
             WITH {_DOCS_CTE},

@@ -34,6 +34,7 @@ def build_output(
     quality_filter: bool = False,
     quality_weights=None,
     graph_prior=None,
+    bpe_merges=None,
     prior_kept_hashes=None,
     prior_kept_neardup=None,
 ):
@@ -465,7 +466,7 @@ def build_output(
     # text is reproducible from input + reason), plus the source tag
     # the packer stratifies on. job_pack --from-verdicts consumes this
     # directly — curate -> pack with no second read of the raw corpus.
-    return j.join(docs.select("doc_id", "source"), "doc_id").select(
+    out = j.join(docs.select("doc_id", "source"), "doc_id").select(
         "doc_id",
         "host",
         "source",
@@ -481,6 +482,21 @@ def build_output(
         F.when(reason.isNull(), F.col("minhash_bands")).alias("minhash_bands"),
         *(["host_rank_mi"] if graph_prior is not None else []),
     )
+    if bpe_merges is not None:
+        # Tokenizer-faithful counts on the CURATED text (--bpe-merges):
+        # one extra Arrow pass over kept docs only; dropped docs carry
+        # NULL. job_pack --from-verdicts --n-tokens-col n_bpe_tokens
+        # then packs by exactly these counts.
+        from ocr_parallel_spark.functions.tokenize import bpe_token_counts
+
+        counts = bpe_token_counts(
+            out.filter("kept").select("doc_id", "kept_text"),
+            bpe_merges,
+            "kept_text",
+            "doc_id",
+        )
+        out = out.join(counts, "doc_id", "left")
+    return out
 
 
 def main() -> None:
@@ -536,6 +552,14 @@ def main() -> None:
         "tiebreaker (highest host rank keeps the slot)",
     )
     ap.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=0,
+        help="fit a deterministic N-merge BPE on the input corpus and "
+        "emit n_bpe_tokens (count of kept_text) on every kept verdict "
+        "row; feeds job_pack --n-tokens-col n_bpe_tokens",
+    )
+    ap.add_argument(
         "--recompute",
         action="store_true",
         help="full-corpus arbiter for the incremental-resume tension: "
@@ -585,6 +609,26 @@ def main() -> None:
                     "doc_id", "kept_text", "minhash_bands"
                 )
 
+    bpe_merges = None
+    if args.bpe_merges:
+        # Fit ONCE on the full input corpus (deployment reality: the
+        # tokenizer is trained ahead of curation on a corpus sample and
+        # then fixed), then count kept_text inside the transform.
+        from pyspark.sql import functions as F
+
+        from ocr_parallel_spark.functions.tokenize import fit_bpe_merges
+        from ocr_parallel_spark.operators.classify import normalize_col
+
+        bpe_merges = fit_bpe_merges(
+            docs.select(
+                normalize_col(F.coalesce(F.col("text"), F.lit(""))).alias(
+                    "norm"
+                )
+            ),
+            "norm",
+            n_merges=args.bpe_merges,
+        )
+
     def transform(d):
         return build_output(
             spark,
@@ -608,6 +652,7 @@ def main() -> None:
                 if args.graph_prior
                 else None
             ),
+            bpe_merges=bpe_merges,
             prior_kept_hashes=prior_hashes,
             prior_kept_neardup=prior_neardup,
         )

@@ -111,6 +111,12 @@ def main() -> None:
         "host_rank_mi) used as dup-canonical tiebreaker",
     )
     ap.add_argument(
+        "--bpe-merges",
+        type=int,
+        help="curate job: fit an N-merge BPE and emit n_bpe_tokens on "
+        "kept verdicts (feeds pack --n-tokens-col n_bpe_tokens)",
+    )
+    ap.add_argument(
         "--quality-filter",
         action="store_true",
         help="curate job: hashed-linear classifier screen (low_quality)",
@@ -182,6 +188,8 @@ def main() -> None:
             cmd += ["--quality-weights", args.quality_weights]
         if args.graph_prior:
             cmd += ["--graph-prior", args.graph_prior]
+        if args.bpe_merges:
+            cmd += ["--bpe-merges", str(args.bpe_merges)]
     if args.job == "pack":
         if args.verdicts:
             cmd += ["--verdicts", args.verdicts]
