@@ -74,6 +74,7 @@ HEADLINE = [
     "salted_rollup",
     "anchor_text_salted",
     "quality_trained",
+    "bpe_counts",
     "media_meta",
     # warc_extract synthesizes its archive fixture on first pass; the
     # published min therefore times the READ path only.

@@ -158,6 +158,51 @@ def test_warc_build_parse_round_trip(recs, gz):
     ]
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_URI, st.binary(max_size=300)), min_size=1, max_size=5
+    ),
+    st.data(),
+)
+def test_warc_salvage_recovers_exact_prefix(recs, data):
+    """Cutting a plain WARC stream at ANY byte yields exactly the
+    records that fit entirely before the cut, plus an error for the
+    damaged remainder (or no error when the cut lands cleanly between
+    records) — never a lost good record, never a phantom one."""
+    from ocr_parallel_spark.kernel.warc_parse import (
+        build_record,
+        parse_warc_salvage,
+    )
+
+    raw = [
+        build_record("response", uri, block, f"<urn:{i}>")
+        for i, (uri, block) in enumerate(recs)
+    ]
+    wire = b"".join(raw)
+    cut = data.draw(st.integers(0, len(wire)))
+    out, err = parse_warc_salvage(wire[:cut])
+    # a record is recovered iff its head+block (the trailing 4-byte
+    # separator is OUTSIDE the record per the spec) fits before the cut
+    whole, pos, last_ce = 0, 0, 0
+    for r in raw:
+        content_end = pos + len(r) - 4
+        if content_end <= cut:
+            whole += 1
+            last_ce = content_end
+            pos = content_end + 4
+        else:
+            break
+    assert [(r["target_uri"], r["block"]) for r in out] == [
+        (uri, block) for uri, block in recs[:whole]
+    ]
+    # error iff the truncated remainder is anything but whole CRLF
+    # separator pairs (a lone '\r' is itself damage)
+    rem = wire[last_ce:cut]
+    clean = len(rem) % 2 == 0 and rem == b"\r\n" * (len(rem) // 2)
+    assert (err is None) == clean
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=400), st.text(max_size=60))
 def test_sniff_and_decode_never_raises(body, content_type):
