@@ -244,6 +244,20 @@ def streaming_near_dup(
     doc_ids (at-least-once sources) are membership-checked so they
     neither burn cap slots nor match their own earlier delivery.
 
+    State growth: each bucket is capped, but the NUMBER of buckets
+    grows with distinct content — O(distinct band buckets x cap x
+    ~520 B). A production deployment bounds that by evicting cold
+    buckets on a processing-time TTL (trading dedup-against-cold-
+    history for bounded state, the same policy the url-dedup stream
+    applies via watermark TTL). NOT implemented here by design: under
+    ``availableNow`` triggers — which every gate/test in this sandbox
+    uses — a registered ``ProcessingTimeTimeout`` keeps scheduling
+    timeout batches and the query never reaches the terminated state
+    (verified empirically on pyspark 4.1; a continuous-trigger
+    deployment does not hit this). The periodic-recompute arbiter
+    (job_curate --recompute) is the batch-side answer to unbounded
+    history.
+
     Prep (signature + banding) is one non-stateful Arrow pass; the
     stateful exchange shuffles (band_key, doc_id, 512-byte sig) rows
     only — at CC scale the state store holds bands of the KEPT corpus,
