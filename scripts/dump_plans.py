@@ -203,6 +203,47 @@ def main() -> None:
             plan_of(q["quality_trained"](spark, SF), "simple"),
         )
     )
+    from ocr_parallel_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from pyspark.sql import functions as _F
+
+    _emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _cents = kmeans_centroids(_emb, n_cells=8)
+    _stale = build_ivf_index(_emb.filter(_F.col("vec_id") % 3 == 0), _cents)
+    _queries = _emb.filter(_F.col("vec_id") < 5).select(
+        _F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sections.append(
+        (
+            "IVF top-k against a persisted (possibly stale) index",
+            "ONE scan of the corpus: the persisted (id, cell) assignment "
+            "left-joins the vectors and unindexed rows take an inline "
+            "cell from a coalesced assignment expression — codegen "
+            "short-circuits coalesce, so indexed rows never pay the "
+            "n_cells centroid scan the index exists to skip. No "
+            "inner+anti double scan, no silent drop of post-build "
+            "vectors.",
+            plan_of(
+                ivf_topk(_emb, _queries, _cents, k=5, nprobe=4, index=_stale),
+                "simple",
+            ),
+        )
+    )
+    sections.append(
+        (
+            "BPE token counting (fit once, count in one Arrow pass)",
+            "Fit = one explode + one keyed partial-agg count + a "
+            "deterministic frequency-capped collect (the word table, not "
+            "the corpus) feeding the driver-side merge loop; counting is "
+            "ONE mapInPandas with the merge table in the task closure — "
+            "the per-doc pass a 100 TB corpus pays is scan-bound, like "
+            "every other kernel stage.",
+            plan_of(q["bpe_counts"](spark, SF), "simple"),
+        )
+    )
     sections.append(
         (
             "Webgraph prior into curation (graph_prior)",
