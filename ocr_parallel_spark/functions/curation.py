@@ -298,6 +298,38 @@ def trained_quality_scores(
     )
 
 
+def vote_score_expr(norm_col: Column, weights: dict[int, int]) -> Column:
+    """STATELESS trained-classifier score: the ternary-vote table
+    (tiny by construction — only discriminative buckets survive
+    training) rides as a map literal, and the doc score is one
+    transform + aggregate over the token array — no explode, no
+    groupBy, no shuffle. This is the STREAMING-safe formulation (a
+    streaming groupBy aggregation would be stateful; this is a pure
+    projection, so the same definition screens a micro-batch and a
+    batch identically — pinned equal to trained_quality_scores in
+    pytest). Each token is hashed once inside the transform (the
+    array materializes before the aggregate — the Catalyst HOF
+    recompute trap does not apply)."""
+    if not weights:
+        return F.lit(0).cast("long")
+    entries = [
+        x
+        for b, w in sorted(weights.items())
+        for x in (F.lit(int(b)).cast("long"), F.lit(int(w)).cast("long"))
+    ]
+    wmap = F.create_map(*entries)
+    toks = F.filter(F.split(F.coalesce(norm_col, F.lit("")), " "), lambda t: t != "")
+    votes = F.transform(
+        toks,
+        lambda t: F.coalesce(
+            F.element_at(wmap, quality_bucket(t)), F.lit(0)
+        ).cast("long"),
+    )
+    return F.aggregate(
+        votes, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
 # Planted low-quality taints for the trained-classifier benchmark (the
 # gate plants them on a deterministic third of docs; job/test reuse the
 # same constants so the "labeled corpus" is one source of truth).

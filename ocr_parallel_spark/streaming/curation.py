@@ -121,3 +121,24 @@ def run_curation_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def quality_screen_docs(docs: DataFrame, weights: dict[int, int]) -> DataFrame:
+    """The TRAINED quality screen at the streaming tier: per-doc
+    ternary-vote score as a pure projection
+    (functions/curation.py vote_score_expr — vote map literal +
+    transform/aggregate over the token array; no explode, no groupBy,
+    no state), so the same definition screens a micro-batch and a
+    batch identically. ``weights``: the {bucket: vote} dict from a
+    collected train_quality_weights result — tiny by construction
+    (only discriminative buckets survive the margin+support rule).
+    Pinned equal to the batch trained_quality_scores in
+    test_streaming_curation."""
+    from ocr_parallel_spark.functions.curation import vote_score_expr
+
+    score = vote_score_expr(normalize_col("text"), weights)
+    return docs.select(
+        "doc_id",
+        score.alias("score"),
+        (score > 0).alias("low_quality"),
+    )

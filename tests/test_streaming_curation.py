@@ -63,3 +63,73 @@ def test_stream_batch_equivalence_and_resume(spark, sf_dir, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == docs.count()
     assert got2.select("doc_id").distinct().count() == docs.count()
+
+
+def test_trained_quality_screen_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The stateless vote-map screen equals the batch explode+agg
+    scorer doc-for-doc, and the SAME definition runs unchanged over a
+    stream (availableNow drain) with identical verdicts."""
+    from ocr_parallel_spark.functions.curation import (
+        QT_TAINTS,
+        train_quality_weights,
+        trained_quality_scores,
+    )
+    from ocr_parallel_spark.operators.classify import normalize_col
+    from ocr_parallel_spark.streaming.curation import (
+        DOCS_SCHEMA,
+        quality_screen_docs,
+    )
+
+    taint = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(" " + QT_TAINTS["lorem"])
+    ).otherwise(F.lit(""))
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            F.concat(F.lit("https://h.example.com/"), F.col("doc_id")).alias("url"),
+            F.concat(F.col("text"), taint).alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    w = train_quality_weights(
+        docs.select(
+            normalize_col("text").alias("norm"),
+            (F.col("doc_id") % 3 == 0).alias("label_low"),
+        )
+    )
+    weights = {r["_bucket"]: r["_wt"] for r in w.collect()}
+    # batch: map-expression screen == explode+agg scorer
+    batch = {
+        r.doc_id: (r.score, r.low_quality)
+        for r in quality_screen_docs(docs, weights).collect()
+    }
+    ref = {
+        r.doc_id: r.score
+        for r in trained_quality_scores(
+            docs.select("doc_id", normalize_col("text").alias("norm")), w
+        ).collect()
+    }
+    assert {k: v[0] for k, v in batch.items()} == ref
+    assert all(v[1] == (k % 3 == 0) for k, v in batch.items())
+    # stream: same definition over an availableNow drain
+    inp, out, ckpt = str(tmp_path / "qin"), str(tmp_path / "qout"), str(tmp_path / "qck")
+    docs.write.mode("append").parquet(inp)
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(inp)
+    q = (
+        quality_screen_docs(stream, weights)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.doc_id: (r.score, r.low_quality)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch
