@@ -1798,6 +1798,29 @@ def q_quality_trained(spark, sf_dir):
     )
 
 
+def q_wet_extract(spark, sf_dir):
+    """WET source round-trip (CC's pre-extracted-text sibling of the
+    WARC container: ``conversion`` records whose block IS the UTF-8
+    text, no HTTP framing; shards named *.warc.wet(.gz)). Deterministic
+    2-shard fixture (one per-record-gzip-member — the wire format — one
+    plain), read through the same one-archive-per-task splitter,
+    warcinfo heads typed away, each doc's text pinned byte-exactly: the
+    oracle re-derives url, sha256(text) and char length straight from
+    documents."""
+    from ocr_parallel_spark.sources.warc import (
+        synthesize_wet_fixture,
+        wet_docs,
+    )
+
+    fixture = synthesize_wet_fixture(spark, sf_dir)
+    return wet_docs(spark, fixture).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        F.sha2("text", 256).alias("text_sha"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def q_bpe_counts(spark, sf_dir):
     """Real-BPE token counting (kernel/bpe.py + functions/tokenize.py,
     the counts the tokenizer-faithful pack chain consumes): fit 200
@@ -2812,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_tokenized": q_pack_tokenized,
         "minhash_estimate_recall": q_minhash_estimate_recall,
         "bpe_counts": q_bpe_counts,
+        "wet_extract": q_wet_extract,
         # -- round-4 additions, never driver-recorded before round 5 --------
         "winnowed_spans": q_winnowed_spans,
         "sequence_pack": q_sequence_pack,
@@ -3125,6 +3149,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_truth,
                    TRUE AS recall_ok
             FROM truth
+        """,
+        "wet_extract": """
+            SELECT doc_id,
+                   'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   sha256(text) AS text_sha,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
         """,
         "bpe_counts": f"""
             WITH {_DOCS_CTE}

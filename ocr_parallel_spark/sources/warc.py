@@ -382,3 +382,87 @@ def warc_pages(spark: SparkSession, path: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+# ------------------------------------------------------------------ WET --
+#
+# CC's extracted-text sibling format: WET files are WARC containers of
+# ``conversion`` records whose block IS the extracted UTF-8 text — no
+# HTTP framing. Pipelines that trust CC's own extraction start here
+# instead of re-extracting from WARC; the reader reuses the exact same
+# one-archive-per-task splitter (WET shards are named *.warc.wet(.gz),
+# so they are still "the WARC container").
+
+
+def wet_docs(spark: SparkSession, path: str, glob: str = "*.warc.wet*") -> DataFrame:
+    """WET archives -> the curation job's docs shape ``(doc_id, url,
+    text, source)``: ``conversion`` records only (warcinfo heads and
+    anything else typed away), block cast to string (UTF-8 with U+FFFD
+    on damage — same lenient contract as warc_docs), ``doc_id =
+    xxhash64(url)`` for stable resume keys. Salvage semantics inherit
+    from read_warc: a damaged shard yields its good prefix."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path, glob)
+    return recs.filter(F.col("warc_type") == "conversion").select(
+        F.xxhash64("target_uri").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("block").cast("string").alias("text"),
+        F.lit("wet").alias("source"),
+    )
+
+
+def synthesize_wet_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic WET shards from the documents table: 2 shards
+    striped by doc_id parity — shard 0 per-record-gzip-member (the CC
+    wire format), shard 1 plain — each opening with a warcinfo record
+    the reader must type away. Same idempotence/cache-key rules as the
+    WARC fixture."""
+    import gzip
+    import os
+
+    from ocr_parallel_spark.kernel.warc_parse import build_record
+
+    key = _fixture_key(sf_dir, b"wet-v1")
+    out_dir = f"/tmp/wet_fixture_{key}"
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    shards: list[list[bytes]] = [[], []]
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        shards[r.doc_id % 2].append(
+            build_record(
+                "conversion",
+                f"http://example.com/doc/{r.doc_id}",
+                r.text.encode("utf-8"),
+                f"<urn:uuid:wet-{r.doc_id}>",
+                content_type="text/plain",
+            )
+        )
+    for i, recs in enumerate(shards):
+        info = build_record(
+            "warcinfo",
+            "",
+            b"software: ocr-parallel-spark wet fixture\r\n",
+            f"<urn:uuid:wetinfo-{i}>",
+            content_type="application/warc-fields",
+        )
+        if i == 0:
+            payload = b"".join(
+                gzip.compress(rec, mtime=0) for rec in [info, *recs]
+            )
+            path = os.path.join(out_dir, f"shard-{i}.warc.wet.gz")
+        else:
+            payload = b"".join([info, *recs])
+            path = os.path.join(out_dir, f"shard-{i}.warc.wet")
+        with open(path, "wb") as fh:
+            fh.write(payload)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_dir

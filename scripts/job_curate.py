@@ -504,11 +504,13 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument(
         "--input-format",
-        choices=("parquet", "warc"),
+        choices=("parquet", "warc", "wet"),
         default="parquet",
         help="parquet: a docs table (doc_id, url, text, ...); warc: a "
         "directory of .warc/.warc.gz archives read via sources/warc.py "
-        "(doc_id = xxhash64(url) for stable resume keys)",
+        "(doc_id = xxhash64(url) for stable resume keys); wet: CC's "
+        "pre-extracted-text *.warc.wet(.gz) shards (conversion "
+        "records, same stable keys)",
     )
     ap.add_argument("--output", required=True)
     ap.add_argument(
@@ -581,6 +583,10 @@ def main() -> None:
         from ocr_parallel_spark.sources.warc import warc_docs
 
         docs = warc_docs(spark, args.input, sniff_charset=args.sniff_charset)
+    elif args.input_format == "wet":
+        from ocr_parallel_spark.sources.warc import wet_docs
+
+        docs = wet_docs(spark, args.input)
     else:
         docs = spark.read.parquet(args.input)
     blocked = None

@@ -67,7 +67,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--input-format",
-        choices=["parquet", "warc"],
+        choices=["parquet", "warc", "wet"],
         help="extract/curate jobs: read --input as raw WARC archives",
     )
     ap.add_argument(

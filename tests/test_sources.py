@@ -361,3 +361,28 @@ def test_warc_docs_sniff_charset_mode(spark, sf_dir):
         if mode == 1:
             expected = '<meta charset="iso-8859-1"> ' + expected
         assert got[url] == expected, (url, mode)
+
+
+def test_wet_docs_round_trip(spark, sf_dir):
+    """WET shards (conversion records, no HTTP framing) -> curation docs
+    shape with byte-exact text; warcinfo heads typed away; stable
+    xxhash64(url) keys."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.sources.warc import (
+        synthesize_wet_fixture,
+        wet_docs,
+    )
+
+    fixture = synthesize_wet_fixture(spark, sf_dir)
+    got = {r.url: r for r in wet_docs(spark, fixture).collect()}
+    src = {
+        f"http://example.com/doc/{r.doc_id}": r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert set(got) == set(src)
+    for url, text in src.items():
+        assert got[url].text == text
+        assert got[url].source == "wet"
+    ids = [r.doc_id for r in got.values()]
+    assert len(set(ids)) == len(ids)  # hash keys collision-free here
