@@ -236,9 +236,14 @@ def train_quality_weights(
     buckets emitted (see the margin+support rule above). One explode +
     one keyed partial-agg shuffle + a one-row total broadcast — the
     same cost as scoring. Deterministic: no seeds, no floats."""
+    # Same NULL convention as the scorers: a NULL-norm doc still
+    # contributes (one '' token) instead of silently vanishing from
+    # the training counts.
     toks = docs.select(
         F.col(label_col).alias("_low"),
-        F.explode(F.split(F.col(norm_col), " ")).alias("_tok"),
+        F.explode(
+            F.split(F.coalesce(F.col(norm_col), F.lit("")), " ")
+        ).alias("_tok"),
     )
     counts = toks.select(
         "_low", quality_bucket(F.col("_tok"), buckets).alias("_bucket")
@@ -284,8 +289,15 @@ def trained_quality_scores(
     training weigh 0 (left join + coalesce). Same plan shape as
     hashed_quality_scores: explode, broadcast join, keyed partial
     agg."""
+    # COALESCE before split: explode(NULL) would DROP the doc from the
+    # output entirely, silently un-scoring it. '' instead splits to one
+    # '' token (Spark and DuckDB string_split agree), so every input doc
+    # keeps a row — the same convention vote_score_expr applies.
     toks = docs.select(
-        id_col, F.explode(F.split(F.col(norm_col), " ")).alias("_tok")
+        id_col,
+        F.explode(
+            F.split(F.coalesce(F.col(norm_col), F.lit("")), " ")
+        ).alias("_tok"),
     )
     return (
         toks.select(id_col, quality_bucket(F.col("_tok"), buckets).alias("_bucket"))
@@ -318,7 +330,11 @@ def vote_score_expr(norm_col: Column, weights: dict[int, int]) -> Column:
         for x in (F.lit(int(b)).cast("long"), F.lit(int(w)).cast("long"))
     ]
     wmap = F.create_map(*entries)
-    toks = F.filter(F.split(F.coalesce(norm_col, F.lit("")), " "), lambda t: t != "")
+    # NO empty-token filter: split('') yields [''] and the batch scorer
+    # (trained_quality_scores) and the DuckDB oracle both count that ''
+    # token, so the vote expression must too — filtering it would make
+    # the streaming screen diverge from batch on empty docs.
+    toks = F.split(F.coalesce(norm_col, F.lit("")), " ")
     votes = F.transform(
         toks,
         lambda t: F.coalesce(

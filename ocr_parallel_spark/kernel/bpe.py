@@ -48,6 +48,15 @@ def train_bpe(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str]
     Returns the ordered merge list. Stops early when no pair occurs
     twice (merging singletons memorizes the sample — noise, not
     vocabulary). Deterministic: max frequency, then smallest pair.
+
+    Complexity note (deliberate): each round recounts every adjacent
+    pair — O(n_merges × total units) — instead of maintaining
+    incremental pair-count deltas as production BPE trainers do. The
+    trainer only ever sees the CAPPED word-frequency table that
+    fit_bpe_merges aggregates distributed and collects (bounded rows,
+    not the corpus), so the simple recount is milliseconds at any
+    corpus size and stays obviously-correct; the distributed side is
+    where scale lives.
     """
     seqs: list[tuple[int, list[str]]] = [
         (freq, list(_word_units(w))) for w, freq in sorted(word_freqs.items())
@@ -146,15 +155,18 @@ def make_counter(merges: list[tuple[str, str]]):
 
 
 def merges_to_strings(merges: list[tuple[str, str]]) -> list[str]:
-    """Serialize for broadcast/parquet: '<left>\\x1f<right>' per merge
-    (unit separator — merged units can themselves contain spaces never,
-    but keep the delimiter unambiguous anyway)."""
-    return ["\x1f".join(p) for p in merges]
+    """Serialize for broadcast/parquet: '<left> <right>' per merge.
+    A SPACE is the one provably-safe delimiter: words come from
+    ``text.split(" ")`` so no unit can ever contain one — whereas
+    control characters like \\x1f survive normalization (Java ``\\s``
+    excludes them) and could appear inside a learned unit, corrupting
+    a delimiter-based parse."""
+    return [" ".join(p) for p in merges]
 
 
 def merges_from_strings(strs: list[str]) -> list[tuple[str, str]]:
     out = []
     for s in strs:
-        a, _, b = s.partition("\x1f")
+        a, _, b = s.partition(" ")
         out.append((a, b))
     return out

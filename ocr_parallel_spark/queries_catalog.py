@@ -1851,7 +1851,10 @@ def q_bpe_counts(spark, sf_dir):
         .cast("long")
         .alias("n_chars_nospace"),
     )
-    j = base.join(counts, "doc_id")
+    # Pin the joined (doc_id, counts) rows: both the corpus-total
+    # branch and the per-doc projection consume `j` — unpinned, the
+    # BPE Arrow pass would run twice (once per branch).
+    j = base.join(counts, "doc_id").localCheckpoint(eager=False)
     tot = j.agg(
         F.sum("n_bpe_tokens").alias("_t"), F.sum("n_chars_nospace").alias("_c")
     )

@@ -486,9 +486,14 @@ def build_output(
         # Tokenizer-faithful counts on the CURATED text (--bpe-merges):
         # one extra Arrow pass over kept docs only; dropped docs carry
         # NULL. job_pack --from-verdicts --n-tokens-col n_bpe_tokens
-        # then packs by exactly these counts.
+        # then packs by exactly these counts. localCheckpoint is
+        # load-bearing: `out` feeds both the count branch and the
+        # final join — unpinned, the WHOLE curation DAG (incl. the
+        # LSH near-dup stage, the job's most expensive) would execute
+        # twice.
         from ocr_parallel_spark.functions.tokenize import bpe_token_counts
 
+        out = out.localCheckpoint(eager=False)
         counts = bpe_token_counts(
             out.filter("kept").select("doc_id", "kept_text"),
             bpe_merges,
@@ -617,23 +622,45 @@ def main() -> None:
 
     bpe_merges = None
     if args.bpe_merges:
-        # Fit ONCE on the full input corpus (deployment reality: the
-        # tokenizer is trained ahead of curation on a corpus sample and
-        # then fixed), then count kept_text inside the transform.
+        # The merge table is PINNED per output table: fit once on the
+        # first run (or on --recompute, which rewrites every row
+        # anyway) and persist beside the snapshots; incremental runs
+        # RELOAD it instead of refitting — refitting on a grown corpus
+        # would hand new verdict rows a different tokenizer than the
+        # committed rows, and a pack over that table would budget
+        # windows against two incompatible counts.
+        import os
+
         from pyspark.sql import functions as F
 
         from ocr_parallel_spark.functions.tokenize import fit_bpe_merges
+        from ocr_parallel_spark.kernel.bpe import (
+            merges_from_strings,
+            merges_to_strings,
+        )
         from ocr_parallel_spark.operators.classify import normalize_col
 
-        bpe_merges = fit_bpe_merges(
-            docs.select(
-                normalize_col(F.coalesce(F.col("text"), F.lit(""))).alias(
-                    "norm"
-                )
-            ),
-            "norm",
-            n_merges=args.bpe_merges,
-        )
+        merges_path = os.path.join(args.output, "bpe_merges.json")
+        if os.path.exists(merges_path) and not args.recompute:
+            import json as _json
+
+            with open(merges_path) as fh:
+                bpe_merges = merges_from_strings(_json.load(fh))
+        else:
+            bpe_merges = fit_bpe_merges(
+                docs.select(
+                    normalize_col(
+                        F.coalesce(F.col("text"), F.lit(""))
+                    ).alias("norm")
+                ),
+                "norm",
+                n_merges=args.bpe_merges,
+            )
+            import json as _json
+
+            os.makedirs(args.output, exist_ok=True)
+            with open(merges_path, "w") as fh:
+                _json.dump(merges_to_strings(bpe_merges), fh)
 
     def transform(d):
         return build_output(

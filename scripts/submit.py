@@ -164,6 +164,14 @@ def main() -> None:
     if args.input:
         cmd += ["--input", args.input]
     if args.input_format and args.job in ("extract", "curate"):
+        if args.job == "extract" and args.input_format == "wet":
+            # WET shards carry pre-EXTRACTED text — there is no html for
+            # the extract job to process. Fail here with a real message
+            # instead of forwarding a flag job_extract rejects.
+            ap.error(
+                "--input-format wet is curate-only (WET records are "
+                "already extracted text; use --job curate)"
+            )
         cmd += ["--input-format", args.input_format]
     if args.job == "curate":
         if args.sniff_charset:
