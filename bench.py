@@ -69,6 +69,7 @@ HEADLINE = [
     "sketch_stats",
     "weighted_sample",
     "sequence_pack",
+    "shard_shuffle",
     "quality_classifier",
     "topk_per_group",
     "salted_rollup",

@@ -312,3 +312,58 @@ def pack_sequences(
         (win_end - win_start + 1).cast("long").alias("n_windows"),
         (win_end > win_start).alias("is_split"),
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    key_cols: tuple[str, ...] = ("source", "win_id"),
+    seed: str = "shard0",
+) -> DataFrame:
+    """Deterministic global shuffle of training units into output
+    shards — the step between sequence packing and the training
+    loader. Packed windows come out source-ordered (every CC window
+    adjacent to the next CC window); feeding that order to a trainer
+    correlates consecutive batches, so real pipelines hash-shuffle
+    units across shard files exactly once, reproducibly.
+
+    Each row gets ``shard_id`` (first 4 hex chars of
+    sha2-256('<seed>|<key...>') mod ``n_shards`` — the repo's shared
+    seeded-hash derivation, DuckDB-mirrorable) and ``shard_pos``
+    (0-based rank within the shard, ordered by the NEXT 12 hex chars
+    of the same digest with the key string as tiebreak — a uniform
+    pseudo-random permutation derived from the seed alone, so re-runs,
+    task retries, and the SQL oracle agree bit-for-bit; no Spark
+    ``rand()``, whose per-partition streams reshuffle under AQE).
+
+    Scale shape: computing the keys is map-side; the rank is one hash
+    exchange on ``shard_id`` + per-shard sort — and one task per shard
+    is exactly the write pattern (a shard IS one output file). Unlike
+    a per-SOURCE window (bounded by the corpus' biggest source), the
+    per-task bound here is total/n_shards and ``n_shards`` is the
+    caller's knob: 100 TB at ~256 MB shards is ~400k shards, each task
+    bounded regardless of source skew. NULL key columns coalesce to ''
+    inside the key (concat_ws would silently DROP them, letting
+    ('a', NULL) collide with ('a',))."""
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(""))
+            for c in key_cols
+        ],
+    )
+    h = F.sha2(key, 256)
+    out = df.withColumn("_shard_key", key).withColumn(
+        "shard_id",
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards),
+    ).withColumn(
+        "_shard_sort", F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
+    )
+    w = Window.partitionBy("shard_id").orderBy("_shard_sort", "_shard_key")
+    return (
+        out.withColumn(
+            "shard_pos", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_shard_key", "_shard_sort")
+    )

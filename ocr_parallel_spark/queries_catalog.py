@@ -2004,6 +2004,31 @@ def q_pack_windows(spark, sf_dir):
 # branches of is_split exercised at every scale.
 PACK_WINDOW = 512
 
+# Output-shard count for the training-shard shuffle gate. Small enough
+# that every shard is non-trivially populated at sf0.001, large enough
+# that the permutation visibly interleaves sources within a shard.
+SHARD_N = 8
+
+
+def q_shard_shuffle(spark, sf_dir):
+    """Deterministic global shuffle of packed context windows into
+    training shards (operators/chunking.py shard_shuffle) — the step
+    after sequence packing that real pipelines never skip: pack output
+    is source-ordered, and a trainer fed source-runs sees correlated
+    consecutive batches. Every (source, win_id) window gets a shard via
+    the seeded sha2 derivation and a 0-based position within the shard
+    ordered by the next 12 hex chars of the same digest — a
+    reproducible pseudo-random permutation with no rand(), so the
+    DuckDB oracle replays it exactly. One map-side key pass + one hash
+    exchange on shard_id (uniform by construction; per-task bound is
+    total/n_shards — the caller's knob, immune to source skew)."""
+    from ocr_parallel_spark.operators.chunking import shard_shuffle
+
+    w = q_pack_windows(spark, sf_dir).select("source", "win_id")
+    return shard_shuffle(w, SHARD_N).select(
+        "source", "win_id", "shard_id", "shard_pos"
+    )
+
 
 def q_sequence_pack(spark, sf_dir):
     """GPT-style sequence packing (concat-and-split): training pipelines
@@ -2832,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stability is already pinned by four rounds of green driver files.
     return {
         # -- round-5 additions (newest first) -------------------------------
+        "shard_shuffle": q_shard_shuffle,
         "quality_trained": q_quality_trained,
         "anchor_text_salted": q_anchor_text_salted,
         "graph_prior": q_graph_prior,
@@ -3392,6 +3418,49 @@ def oracle_sql() -> dict[str, str]:
                    SUM(w.wt) >= 0 AS keep
             FROM b JOIN w USING (bucket)
             GROUP BY doc_id
+        """,
+        "shard_shuffle": f"""
+            WITH {_DOCS_CTE},
+            t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+              FROM docs
+            ),
+            o AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tokens AS BIGINT) AS tok_offset
+              FROM t
+            ),
+            wins AS (
+              SELECT DISTINCT source, win_id FROM (
+                SELECT source,
+                       CAST(unnest(generate_series(tok_offset // {PACK_WINDOW},
+                         (tok_offset + n_tokens - 1) // {PACK_WINDOW}))
+                         AS BIGINT) AS win_id
+                FROM o
+              )
+            ),
+            k AS (
+              SELECT source, win_id,
+                     'shard0|' || COALESCE(source, '') || '|'
+                       || CAST(win_id AS VARCHAR) AS key
+              FROM wins
+            ),
+            s AS (
+              SELECT source, win_id, key,
+                     CAST(('0x' || substr(sha256(key), 1, 4))::UBIGINT
+                          % {SHARD_N} AS BIGINT) AS shard_id,
+                     ('0x' || substr(sha256(key), 5, 12))::UBIGINT AS sk
+              FROM k
+            )
+            SELECT source, win_id, shard_id,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY shard_id ORDER BY sk, key
+                   ) - 1 AS BIGINT) AS shard_pos
+            FROM s
         """,
         "pack_windows": f"""
             WITH {_DOCS_CTE},

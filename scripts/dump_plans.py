@@ -181,6 +181,20 @@ def main() -> None:
     )
     sections.append(
         (
+            "Training-shard shuffle (deterministic hash permutation)",
+            "The pack chain's last step: every context window's shard and "
+            "in-shard rank derive from ONE seeded sha2 digest in a single "
+            "codegen Project (no rand(), so retries/re-runs/the oracle "
+            "agree bit-for-bit), then exactly one exchange on shard_id + "
+            "a per-shard sort — the write pattern itself (a shard IS one "
+            "task's file). Per-task bound is total/n_shards, the caller's "
+            "knob, immune to source skew; at 100 TB with 256 MB shards "
+            "that is ~400k uniformly-loaded tasks.",
+            plan_of(q["shard_shuffle"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
             "Skew-safe anchor-text aggregation (hot-href salted rollup)",
             "The planted every-page '/' href aggregates in two stages: "
             "partial count/collect_set on (href, salt-of-doc_id) spreads "

@@ -18,7 +18,14 @@ arrival order.
 
     spark-submit --py-files ocr_parallel_spark.zip scripts/job_pack.py \
         --input /data/docs --output /data/packs \
-        [--verdicts /data/verdicts] [--window-tokens 512]
+        [--verdicts /data/verdicts] [--window-tokens 512] \
+        [--shards 1024 --shards-output /data/shards]
+
+``--shards N`` adds the training-loader's last step: every committed
+context window is deterministically hash-shuffled into one of N shard
+files (operators/chunking.py shard_shuffle — the oracle-gated
+``shard_shuffle`` catalog query pins the permutation), breaking the
+source-ordered runs the packer necessarily emits.
 """
 
 from __future__ import annotations
@@ -65,6 +72,37 @@ def build_output(spark, docs, window_tokens, base_offsets=None, n_tokens_col=Non
     )
 
 
+def write_shards(spark, table, n_shards, path):
+    """Shuffle every committed context window into ``n_shards``
+    training shards and write them partitioned by shard_id.
+
+    A FULL recompute over the committed manifest (all runs, not just
+    the latest slice): the shuffle is global by definition — appending
+    windows shifts every later shard_pos — so the output is
+    overwrite-only, and being a pure function of (seed, window keys)
+    it is identical across re-runs at the same committed state. One
+    map-side key pass + one exchange on shard_id; each shard sorts and
+    writes in one task (the per-task bound is total/n_shards — the
+    caller's knob, immune to source skew)."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.operators.chunking import shard_shuffle
+
+    manifest = table.read(spark)
+    windows = manifest.select(
+        "source",
+        F.explode(F.sequence("win_start", "win_end")).alias("win_id"),
+    ).distinct()
+    (
+        shard_shuffle(windows, n_shards)
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="docs parquet (doc_id, text, source)")
@@ -85,7 +123,22 @@ def main() -> None:
         help="column on the input docs holding precomputed (tokenizer-"
         "faithful) token counts; default counts whitespace tokens",
     )
+    ap.add_argument(
+        "--shards",
+        type=int,
+        help="after committing the manifest, deterministically shuffle "
+        "ALL committed context windows into this many training shards "
+        "(operators/chunking.py shard_shuffle) and write them to "
+        "--shards-output partitioned by shard_id",
+    )
+    ap.add_argument(
+        "--shards-output",
+        help="parquet root for the sharded window assignment "
+        "(required with --shards)",
+    )
     args = ap.parse_args()
+    if bool(args.shards) != bool(args.shards_output):
+        raise SystemExit("--shards and --shards-output go together")
 
     from pyspark.sql import SparkSession
 
@@ -153,6 +206,8 @@ def main() -> None:
         lineage={"input": args.input or args.from_verdicts,
                  "window_tokens": args.window_tokens},
     )
+    if args.shards:
+        write_shards(spark, table, args.shards, args.shards_output)
     print(json.dumps(snap))
     spark.stop()
 

@@ -66,6 +66,16 @@ def main() -> None:
         help="pack job: docs column with precomputed tokenizer counts",
     )
     ap.add_argument(
+        "--shards",
+        type=int,
+        help="pack job: shuffle all committed windows into this many "
+        "training shards (writes --shards-output)",
+    )
+    ap.add_argument(
+        "--shards-output",
+        help="pack job: parquet root for the sharded window assignment",
+    )
+    ap.add_argument(
         "--input-format",
         choices=["parquet", "warc", "wet"],
         help="extract/curate jobs: read --input as raw WARC archives",
@@ -207,6 +217,10 @@ def main() -> None:
             cmd += ["--window-tokens", str(args.window_tokens)]
         if args.n_tokens_col:
             cmd += ["--n-tokens-col", args.n_tokens_col]
+        if args.shards:
+            cmd += ["--shards", str(args.shards)]
+        if args.shards_output:
+            cmd += ["--shards-output", args.shards_output]
     if args.job == "full-process":
         cmd += ["--targets", args.targets]
         for m in args.start_marker or []:

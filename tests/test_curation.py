@@ -788,3 +788,59 @@ def test_robots_longest_match_and_allow_tie(spark):
     # longest match: Allow /a/b beats Disallow /a; equal-length tie on
     # /c: Allow wins per RFC 9309
     assert got == {"/a/b/1": False, "/a/x": True, "/c/q": False}
+
+
+def test_shard_shuffle_permutation_laws(spark, sf_dir):
+    """The training-shard shuffle is a deterministic permutation:
+    every input window lands in exactly one (shard_id, shard_pos)
+    slot, positions are dense 0..n-1 within each shard, re-running
+    gives the identical assignment, and the permutation genuinely
+    breaks source order (some shard's pos-ordered win_ids are
+    non-monotone — the entire point of shuffling)."""
+    from ocr_parallel_spark.operators.chunking import shard_shuffle
+    from ocr_parallel_spark.queries_catalog import SHARD_N, q_pack_windows
+
+    wins = q_pack_windows(spark, sf_dir).select("source", "win_id")
+    a = shard_shuffle(wins, SHARD_N).collect()
+    b = shard_shuffle(wins, SHARD_N).collect()
+    key = lambda r: (r.source, r.win_id)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    assert {key(r): (r.shard_id, r.shard_pos) for r in a} == {
+        key(r): (r.shard_id, r.shard_pos) for r in b
+    }
+    # exactly-once: the sharded rows ARE the window set
+    assert sorted(map(key, a)) == sorted(
+        (r.source, r.win_id) for r in wins.collect()
+    )
+    by_shard: dict[int, list] = {}
+    for r in a:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    assert set(by_shard) <= set(range(SHARD_N))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.shard_pos)
+        assert [r.shard_pos for r in rows] == list(range(len(rows)))
+    # rough balance: hash-uniform keys, no shard hoards the corpus
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 4 * (sum(sizes) / len(sizes))
+    # the shuffle shuffles: at least one shard's pos-order is not
+    # (source, win_id)-order
+    assert any(
+        [(r.source, r.win_id) for r in rows]
+        != sorted((r.source, r.win_id) for r in rows)
+        for rows in by_shard.values()
+    )
+
+
+def test_shard_shuffle_null_key_distinct(spark):
+    """NULL key columns coalesce inside the shard key instead of being
+    dropped: ('a', NULL) and ('a',)-shaped keys must not collide, and
+    NULL-source rows still get assigned."""
+    from ocr_parallel_spark.operators.chunking import shard_shuffle
+
+    df = spark.createDataFrame(
+        [("a", None), (None, 7), ("a", 7)],
+        "source string, win_id long",
+    )
+    rows = shard_shuffle(df, 4).collect()
+    assert len(rows) == 3
+    assert all(r.shard_id is not None and r.shard_pos is not None for r in rows)

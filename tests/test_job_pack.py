@@ -130,3 +130,54 @@ def test_pack_from_curated_corpus_chain(spark, tmp_path):
     for r in kept.collect():
         # token counts come from the CLEANED text
         assert packed[r.doc_id].n_tokens == len(r.kept_text.split(" "))
+
+
+def test_pack_write_shards(spark, sf_dir, tmp_path):
+    """--shards terminal step: every committed window lands in exactly
+    one shard dir, positions are dense per shard, and a re-run at the
+    same committed state overwrites with the identical assignment."""
+    from ocr_parallel_spark.operators.chunking import shard_shuffle
+    from ocr_parallel_spark.queries_catalog import PACK_WINDOW
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    table = SnapshotTable(str(tmp_path / "packs"))
+    _run(spark, docs, table, PACK_WINDOW)
+    out = str(tmp_path / "shards")
+    job.write_shards(spark, table, 4, out)
+
+    manifest = table.read(spark)
+    windows = manifest.select(
+        "source", F.explode(F.sequence("win_start", "win_end")).alias("win_id")
+    ).distinct()
+    want = {
+        (r.source, r.win_id): (r.shard_id, r.shard_pos)
+        for r in shard_shuffle(windows, 4).collect()
+    }
+    got = {
+        (r.source, r.win_id): (r.shard_id, r.shard_pos)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want and len(got) > 0
+    # partitioned layout: one dir per present shard_id
+    dirs = sorted(
+        p.name for p in (tmp_path / "shards").iterdir()
+        if p.name.startswith("shard_id=")
+    )
+    assert dirs == sorted(
+        f"shard_id={s}" for s in {v[0] for v in want.values()}
+    )
+    # dense 0..n-1 positions within each shard dir
+    for d in dirs:
+        pos = sorted(
+            r.shard_pos for r in spark.read.parquet(f"{out}/{d}").collect()
+        )
+        assert pos == list(range(len(pos)))
+    # overwrite re-run: identical
+    job.write_shards(spark, table, 4, out)
+    again = {
+        (r.source, r.win_id): (r.shard_id, r.shard_pos)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
