@@ -75,6 +75,7 @@ HEADLINE = [
     "salted_rollup",
     "anchor_text_salted",
     "quality_trained",
+    "lm_surprise",
     "bpe_counts",
     "media_meta",
     # warc_extract synthesizes its archive fixture on first pass; the

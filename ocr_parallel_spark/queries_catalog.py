@@ -1798,6 +1798,105 @@ def q_quality_trained(spark, sf_dir):
     )
 
 
+def _lm_frames(spark, sf_dir):
+    """(crawl, reference) for the CCNet-style LM filter benchmark: crawl
+    = every doc with the quality_trained taints planted on the
+    deterministic doc_id%3==0 third (same %9 cycle as q_quality_trained,
+    so the two screens grade the SAME failure modes); reference = the
+    UNTAINTED norm text of the other two thirds — the trusted corpus
+    CCNet fits its LM on never contains the junk it is meant to catch."""
+    taint = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" " + QT_TAINTS["mojibake"]))
+        .when(F.col("doc_id") % 9 == 3, F.lit(" " + QT_TAINTS["lorem"]))
+        .when(F.col("doc_id") % 9 == 6, F.lit(" " + QT_TAINTS["pii"]))
+        .otherwise(F.lit(""))
+    )
+    d = _docs(spark, sf_dir)
+    crawl = d.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("norm"), F.lit("")), taint).alias("norm"),
+    )
+    ref = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.coalesce(F.col("norm"), F.lit("")).alias("norm")
+    )
+    return crawl, ref
+
+
+def q_lm_surprise(spark, sf_dir):
+    """CCNet-style n-gram LM quality scoring (functions/lm.py): fit a
+    pruned trigram model on the trusted reference split, score every
+    crawl doc by integer bit-length surprise — the perplexity filter
+    between crawl and training that a bag-of-words classifier cannot
+    replace (it catches UNSEEN vocabulary soup, not just learned
+    tokens). Per-doc output (n_grams, sum_surprise, avg in sixteenths
+    of a bit) is pinned EXACTLY: the oracle replays the whole fit AND
+    the scoring in SQL via length(bin(n)) — both engines' bin() is the
+    minimal binary string, so floor(log2)+1 agrees bit-for-bit and no
+    float ever appears. Plan shape: fit = one explode + two keyed
+    partial aggs; scoring = one explode + one hash join against the
+    pruned model + one per-doc agg. Scale: the min_count prune drops
+    the singleton tail (most of the gram space), making the shipped
+    model broadcast-sized long before 100 TB; everything else is
+    scan-bound."""
+    from ocr_parallel_spark.functions.lm import doc_surprise, fit_trigram_lm
+
+    crawl, ref = _lm_frames(spark, sf_dir)
+    model = fit_trigram_lm(ref)
+    return doc_surprise(crawl, model).select(
+        "doc_id",
+        (F.col("doc_id") % 3 == 0).alias("tainted"),
+        "n_grams",
+        "sum_surprise",
+        "surprise_x16",
+    )
+
+
+def q_lm_separation(spark, sf_dir):
+    """The measured-behavior gate for the LM filter (ann_recall
+    pattern): tainted docs must average >= 1.25x the surprise of clean
+    docs, compared integer-exactly on the sums (never a division —
+    Spark div truncates, DuckDB // floors on negatives). The 1.25
+    floor is deliberately below the measured 1.5-2.3x at sf0.001/0.01/
+    0.1 so the gate pins real separation without riding the noise
+    ceiling; the per-doc values themselves are already exact via
+    lm_surprise."""
+    s = q_lm_surprise(spark, sf_dir).filter(F.col("n_grams") > 0)
+    agg = s.agg(
+        F.sum(F.when(~F.col("tainted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean"),
+        F.sum(F.when(F.col("tainted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_taint"),
+        F.sum(F.when(~F.col("tainted"), F.col("surprise_x16")).otherwise(0))
+        .cast("long")
+        .alias("s_clean"),
+        F.sum(F.when(F.col("tainted"), F.col("surprise_x16")).otherwise(0))
+        .cast("long")
+        .alias("s_taint"),
+    )
+    return agg.select(
+        "n_clean",
+        "n_taint",
+        F.when(F.col("n_clean") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("s_clean div n_clean"))
+        .cast("long")
+        .alias("mean_clean_x16"),
+        F.when(F.col("n_taint") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("s_taint div n_taint"))
+        .cast("long")
+        .alias("mean_taint_x16"),
+        (
+            (F.col("n_clean") > 0)
+            & (F.col("n_taint") > 0)
+            & (
+                F.col("s_taint") * F.col("n_clean") * 4
+                >= F.col("s_clean") * F.col("n_taint") * 5
+            )
+        ).alias("sep_ok"),
+    )
+
+
 def q_wet_extract(spark, sf_dir):
     """WET source round-trip (CC's pre-extracted-text sibling of the
     WARC container: ``conversion`` records whose block IS the UTF-8
@@ -2857,6 +2956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stability is already pinned by four rounds of green driver files.
     return {
         # -- round-5 additions (newest first) -------------------------------
+        "lm_surprise": q_lm_surprise,
+        "lm_separation": q_lm_separation,
         "shard_shuffle": q_shard_shuffle,
         "quality_trained": q_quality_trained,
         "anchor_text_salted": q_anchor_text_salted,
@@ -2995,6 +3096,62 @@ chunks AS (
 _TARGETS_SQL = "targets(target_id, tokens) AS (VALUES " + ", ".join(
     f"({tid}, [{', '.join(repr(t) for t in toks)}])" for tid, toks in TARGETS
 ) + ")"
+
+# The trigram-LM fit + per-doc scoring (functions/lm.py) replayed
+# entirely in SQL — reference split, taint planting, trigram/context
+# counting, min_count prune, capped bit-length surprise, per-doc
+# aggregation. length(bin(n)) = floor(log2)+1 identically in both
+# engines; 24 = LM_UNSEEN_BITS, 2 = LM_MIN_COUNT (functions/lm.py).
+# Shared by the lm_surprise (exact per-doc) and lm_separation
+# (mean-floor gate) oracles. AS MATERIALIZED on crawl: it is referenced
+# twice (scoring + the final left join) and DuckDB inlines plain CTEs.
+_LM_PERDOC = f"""{_DOCS_CTE},
+crawl AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(norm, '') || CASE
+           WHEN doc_id % 9 = 0 THEN ' {{moji}}'
+           WHEN doc_id % 9 = 3 THEN ' {{lorem}}'
+           WHEN doc_id % 9 = 6 THEN ' {{pii}}'
+           ELSE '' END AS norm,
+         doc_id % 3 = 0 AS tainted
+  FROM docs
+),
+rtok AS (
+  SELECT string_split(COALESCE(norm, ''), ' ') AS toks
+  FROM docs WHERE doc_id % 3 <> 0
+),
+rpos AS (
+  SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram,
+         toks[i] || ' ' || toks[i+1] AS ctx
+  FROM rtok, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+tri AS (SELECT gram, ctx, CAST(COUNT(*) AS BIGINT) AS c3 FROM rpos GROUP BY 1, 2),
+ctx AS (SELECT ctx, CAST(SUM(c3) AS BIGINT) AS c2 FROM tri GROUP BY 1),
+model AS (
+  SELECT gram,
+         CAST(least(length(bin(c2)) - length(bin(c3)) + 1, 24) AS BIGINT)
+           AS surprise
+  FROM tri JOIN ctx USING (ctx) WHERE c3 >= 2
+),
+ctok AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM crawl),
+cpos AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM ctok, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(COALESCE(m.surprise, 24)) AS BIGINT) AS sum_surprise
+  FROM cpos LEFT JOIN model m USING (gram) GROUP BY 1
+),
+perdoc AS (
+  SELECT c.doc_id, c.tainted,
+         CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(s.sum_surprise, 0) AS BIGINT) AS sum_surprise,
+         CAST(CASE WHEN COALESCE(s.n_grams, 0) > 0
+              THEN (16 * s.sum_surprise) // s.n_grams END AS BIGINT)
+           AS surprise_x16
+  FROM crawl c LEFT JOIN sc s ON c.doc_id = s.doc_id
+)""".format(moji=_QT_MOJI, lorem=_QT_LOREM, pii=_QT_PII)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3325,6 +3482,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
                    coalesce(p.n_shared, 0) > 0 AS has_shared
             FROM docs d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "lm_surprise": f"""
+            WITH {_LM_PERDOC}
+            SELECT doc_id, tainted, n_grams, sum_surprise, surprise_x16
+            FROM perdoc
+        """,
+        "lm_separation": f"""
+            WITH {_LM_PERDOC},
+            g AS (
+              SELECT
+                CAST(SUM(CASE WHEN tainted THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+                CAST(SUM(CASE WHEN tainted THEN 1 ELSE 0 END) AS BIGINT) AS n_taint,
+                CAST(SUM(CASE WHEN tainted THEN 0 ELSE surprise_x16 END) AS BIGINT) AS s_clean,
+                CAST(SUM(CASE WHEN tainted THEN surprise_x16 ELSE 0 END) AS BIGINT) AS s_taint
+              FROM perdoc WHERE n_grams > 0
+            )
+            SELECT n_clean, n_taint,
+                   CAST(CASE WHEN n_clean = 0 THEN 0
+                        ELSE s_clean // n_clean END AS BIGINT) AS mean_clean_x16,
+                   CAST(CASE WHEN n_taint = 0 THEN 0
+                        ELSE s_taint // n_taint END AS BIGINT) AS mean_taint_x16,
+                   n_clean > 0 AND n_taint > 0
+                     AND s_taint * n_clean * 4 >= s_clean * n_taint * 5 AS sep_ok
+            FROM g
         """,
         "quality_trained": f"""
             WITH {_DOCS_CTE},
