@@ -71,13 +71,16 @@ def _bitlen(c: Column) -> Column:
 
 
 def trigram_positions(
-    df: DataFrame, norm_col: str = "norm", extra_cols: tuple[str, ...] = ()
+    df: DataFrame,
+    norm_col: str = "norm",
+    id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """One row per interior trigram position: (gram "w1 w2 w3",
-    ctx "w1 w2") plus ``doc_id`` and any ``extra_cols``. NULL text
-    coalesces to '' (zero positions); docs with < 3 tokens emit no
-    rows. The explicit n>=3 guard matters: Spark's sequence(1, n-2)
-    DESCENDS for n < 3 instead of returning empty."""
+    ctx "w1 w2") plus any ``id_cols`` carried through (the fit pass
+    carries none — grams need no provenance). NULL text coalesces to
+    '' (zero positions); docs with < 3 tokens emit no rows. The
+    explicit n>=3 guard matters: Spark's sequence(1, n-2) DESCENDS
+    for n < 3 instead of returning empty."""
     toks = F.split(F.coalesce(F.col(norm_col), F.lit("")), " ")
     n = F.size(toks)
     idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
@@ -85,11 +88,10 @@ def trigram_positions(
     )
     w = lambda off: F.element_at(F.col("_ts"), F.col("i") + off)
     return (
-        df.select("doc_id", *extra_cols, toks.alias("_ts"), idx.alias("_idx"))
-        .select("doc_id", *extra_cols, "_ts", F.explode("_idx").alias("i"))
+        df.select(*id_cols, toks.alias("_ts"), idx.alias("_idx"))
+        .select(*id_cols, "_ts", F.explode("_idx").alias("i"))
         .select(
-            "doc_id",
-            *extra_cols,
+            *id_cols,
             F.concat_ws(" ", w(0), w(1), w(2)).alias("gram"),
             F.concat_ws(" ", w(0), w(1)).alias("ctx"),
         )
@@ -113,7 +115,7 @@ def fit_trigram_lm(
     exactly c2."""
     from pyspark.sql import Window
 
-    pos = trigram_positions(df, norm_col)
+    pos = trigram_positions(df, norm_col, id_cols=())
     tri = pos.groupBy("gram", "ctx").agg(
         F.count(F.lit(1)).cast("long").alias("c3")
     )

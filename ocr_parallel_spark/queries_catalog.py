@@ -1897,6 +1897,54 @@ def q_lm_separation(spark, sf_dir):
     )
 
 
+def q_lm_terciles(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split: per language, cut the
+    scored docs at the tercile boundaries of their LM surprise — head
+    trains first, tail gets filtered or down-weighted. Deliberately NOT
+    ntile(3): a per-doc ranking window is one task per language at
+    webgraph scale (the pack_sequences lesson). Instead the cutoffs are
+    derived EXACTLY from a per-(lang, surprise_x16) histogram — the
+    score domain is bounded by construction (16..16*LM_UNSEEN_BITS, at
+    most 369 values), so the histogram is tiny at ANY corpus size, its
+    cumulative window runs over langs x scores rows, and the bucket
+    assignment is a broadcast join back onto the scored docs. Cut rule:
+    cut_k = smallest score whose cumulative count reaches k/3 of the
+    language's docs (ties land whole score-values per bucket — CCNet
+    cuts by perplexity VALUE, exact thirds are not the contract)."""
+    s = q_lm_surprise(spark, sf_dir).filter(F.col("n_grams") > 0)
+    lang = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    sl = s.join(lang, "doc_id").select("doc_id", "lang", "surprise_x16")
+    hist = sl.groupBy("lang", "surprise_x16").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.partitionBy("lang").orderBy("surprise_x16")
+    cum = hist.select(
+        "lang",
+        "surprise_x16",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).cast("long").alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("surprise_x16"))
+        ).alias("cut1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("surprise_x16"))
+        ).alias("cut2"),
+    )
+    return sl.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "surprise_x16",
+        F.when(F.col("surprise_x16") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("surprise_x16") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
 def q_wet_extract(spark, sf_dir):
     """WET source round-trip (CC's pre-extracted-text sibling of the
     WARC container: ``conversion`` records whose block IS the UTF-8
@@ -2958,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions (newest first) -------------------------------
         "lm_surprise": q_lm_surprise,
         "lm_separation": q_lm_separation,
+        "lm_terciles": q_lm_terciles,
         "shard_shuffle": q_shard_shuffle,
         "quality_trained": q_quality_trained,
         "anchor_text_salted": q_anchor_text_salted,
@@ -3506,6 +3555,36 @@ def oracle_sql() -> dict[str, str]:
                    n_clean > 0 AND n_taint > 0
                      AND s_taint * n_clean * 4 >= s_clean * n_taint * 5 AS sep_ok
             FROM g
+        """,
+        "lm_terciles": f"""
+            WITH {_LM_PERDOC},
+            sl AS (
+              SELECT p.doc_id, d.lang, p.surprise_x16
+              FROM perdoc p JOIN docs d USING (doc_id)
+              WHERE p.n_grams > 0
+            ),
+            hist AS (
+              SELECT lang, surprise_x16, CAST(COUNT(*) AS BIGINT) AS c
+              FROM sl GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT lang, surprise_x16,
+                     SUM(c) OVER (PARTITION BY lang ORDER BY surprise_x16)
+                       AS cum,
+                     SUM(c) OVER (PARTITION BY lang) AS n
+              FROM hist
+            ),
+            cuts AS (
+              SELECT lang,
+                     MIN(CASE WHEN cum * 3 >= n THEN surprise_x16 END) AS cut1,
+                     MIN(CASE WHEN cum * 3 >= 2 * n THEN surprise_x16 END) AS cut2
+              FROM cum GROUP BY 1
+            )
+            SELECT sl.doc_id, sl.lang, sl.surprise_x16,
+                   CASE WHEN surprise_x16 <= cut1 THEN 'head'
+                        WHEN surprise_x16 <= cut2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM sl JOIN cuts USING (lang)
         """,
         "quality_trained": f"""
             WITH {_DOCS_CTE},

@@ -33,6 +33,8 @@ def build_output(
     near_dup_threshold: float = 0.5,
     quality_filter: bool = False,
     quality_weights=None,
+    lm_ref=None,
+    lm_max_x16: int = 288,
     graph_prior=None,
     bpe_merges=None,
     prior_kept_hashes=None,
@@ -52,6 +54,20 @@ def build_output(
     it falls back to the stand-in hashed-linear scorer (the
     ``quality_classifier`` gate's plumbing pin; negative milli-score
     drops) — plumbing-only, keep/drop carries no trained signal.
+
+    ``lm_ref`` (DataFrame of trusted reference docs with a ``text``
+    column) adds the CCNet-style LM screen (functions/lm.py): a pruned
+    trigram model is fit on the reference each run (deterministic given
+    the same reference — incremental runs stay consistent) and docs
+    whose average surprise exceeds ``lm_max_x16`` sixteenths-of-a-bit
+    drop as ``high_surprise``; the per-doc score rides the verdict
+    table as ``surprise_x16``. Docs too short to score (< 3 tokens,
+    NULL average) are KEPT — brevity is not evidence of gibberish.
+    The threshold is corpus-dependent (longer docs dilute a fixed
+    taint; the lm_separation gate pins the RATIO, not the absolute):
+    CCNet practice derives the cut from the reference's own score
+    distribution — see the ``lm_terciles`` catalog query — and the
+    default 288 (= 18 bits/gram) is just a conservative starting point.
 
     ``blocked_hosts``: DataFrame with a ``host`` column (empty screen if
     None). ``bench_docs``: DataFrame with a ``text`` column whose word
@@ -185,6 +201,44 @@ def build_output(
             )
             .withColumn("kept", F.col("drop_reason").isNull())
             .drop("_lowq")
+        )
+
+    if lm_ref is not None:
+        from ocr_parallel_spark.functions.lm import (
+            doc_surprise,
+            fit_trigram_lm,
+        )
+
+        model = fit_trigram_lm(
+            lm_ref.select(
+                normalize_col(F.coalesce(F.col("text"), F.lit(""))).alias(
+                    "norm"
+                )
+            )
+        )
+        lm_normed = docs.select(
+            "doc_id", normalize_col(F.col("text")).alias("norm")
+        )
+        ls = doc_surprise(lm_normed, model).select(
+            "doc_id",
+            "surprise_x16",
+            # NULL surprise (< 3 tokens) keeps: too short to judge.
+            (F.col("surprise_x16") > lm_max_x16).alias("_highs"),
+        )
+        screens = (
+            screens.join(ls, "doc_id", "left")
+            .withColumn(
+                "drop_reason",
+                F.coalesce(
+                    F.col("drop_reason"),
+                    F.when(
+                        F.coalesce(F.col("_highs"), F.lit(False)),
+                        F.lit("high_surprise"),
+                    ),
+                ),
+            )
+            .withColumn("kept", F.col("drop_reason").isNull())
+            .drop("_highs")
         )
 
     # NULL text would make every expression below NULL: the [null] line
@@ -481,6 +535,7 @@ def build_output(
         F.when(reason.isNull(), F.col("kept_text")).alias("kept_text"),
         F.when(reason.isNull(), F.col("minhash_bands")).alias("minhash_bands"),
         *(["host_rank_mi"] if graph_prior is not None else []),
+        *(["surprise_x16"] if lm_ref is not None else []),
     )
     if bpe_merges is not None:
         # Tokenizer-faithful counts on the CURATED text (--bpe-merges):
@@ -550,6 +605,20 @@ def main() -> None:
         help="parquet of trained ternary-vote weights (_bucket, _wt) "
         "fit by train_quality_weights; measured precision/recall 1.0 "
         "on the planted-taint holdout (quality_trained gate)",
+    )
+    ap.add_argument(
+        "--lm-ref",
+        help="parquet of trusted reference docs (text column): adds the "
+        "CCNet-style trigram-LM surprise screen (drop_reason "
+        "high_surprise; per-doc surprise_x16 recorded on the verdict)",
+    )
+    ap.add_argument(
+        "--lm-max-x16",
+        type=int,
+        default=288,
+        help="LM screen threshold in sixteenths-of-a-bit average "
+        "surprise (default 288 = 18 bits/gram; corpus-dependent — "
+        "derive from the reference distribution, cf. lm_terciles)",
     )
     ap.add_argument(
         "--graph-prior",
@@ -680,6 +749,10 @@ def main() -> None:
                 if args.quality_weights
                 else None
             ),
+            lm_ref=(
+                spark.read.parquet(args.lm_ref) if args.lm_ref else None
+            ),
+            lm_max_x16=args.lm_max_x16,
             graph_prior=(
                 spark.read.parquet(args.graph_prior)
                 if args.graph_prior

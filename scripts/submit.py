@@ -121,6 +121,17 @@ def main() -> None:
         "host_rank_mi) used as dup-canonical tiebreaker",
     )
     ap.add_argument(
+        "--lm-ref",
+        help="curate job: parquet of trusted reference docs for the "
+        "trigram-LM surprise screen (high_surprise)",
+    )
+    ap.add_argument(
+        "--lm-max-x16",
+        type=int,
+        help="curate job: LM screen threshold (sixteenths-of-a-bit "
+        "average surprise; default 288)",
+    )
+    ap.add_argument(
         "--bpe-merges",
         type=int,
         help="curate job: fit an N-merge BPE and emit n_bpe_tokens on "
@@ -206,6 +217,10 @@ def main() -> None:
             cmd += ["--quality-weights", args.quality_weights]
         if args.graph_prior:
             cmd += ["--graph-prior", args.graph_prior]
+        if args.lm_ref:
+            cmd += ["--lm-ref", args.lm_ref]
+        if args.lm_max_x16 is not None:
+            cmd += ["--lm-max-x16", str(args.lm_max_x16)]
         if args.bpe_merges:
             cmd += ["--bpe-merges", str(args.bpe_merges)]
     if args.job == "pack":

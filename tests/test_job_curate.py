@@ -566,3 +566,58 @@ def test_robots_screen_in_curation_job(spark, sf_dir):
         else:
             assert r.drop_reason != "robots"
     assert any(r.drop_reason == "robots" for r in got.values())
+
+
+def test_lm_ref_screen(spark, sf_dir):
+    """--lm-ref: the CCNet-style trigram-LM screen fit on a trusted
+    reference drops gibberish-tainted docs as high_surprise, records
+    surprise_x16 on every verdict, keeps unscorable (< 3 token) docs,
+    and never fires on docs at or under the threshold. Threshold 300
+    sits between the measured clean (~221 x16) and tainted (~350 x16)
+    means of this corpus."""
+    from ocr_parallel_spark.functions.curation import QT_TAINTS
+
+    base = _docs(spark, sf_dir)
+    taint = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" " + QT_TAINTS["mojibake"]))
+        .when(F.col("doc_id") % 9 == 3, F.lit(" " + QT_TAINTS["lorem"]))
+        .when(F.col("doc_id") % 9 == 6, F.lit(" " + QT_TAINTS["pii"]))
+        .otherwise(F.lit(""))
+    )
+    crawl = base.select(
+        "doc_id",
+        "url",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), taint).alias("text"),
+        "lang",
+        "source",
+    )
+    ref = base.filter(F.col("doc_id") % 3 != 0)
+
+    off = {r.doc_id: r for r in job.build_output(spark, crawl, None, None).collect()}
+    assert all(r.drop_reason != "high_surprise" for r in off.values())
+    assert "surprise_x16" not in next(iter(off.values())).asDict()
+
+    on = {
+        r.doc_id: r
+        for r in job.build_output(
+            spark, crawl, None, None, lm_ref=ref, lm_max_x16=300
+        ).collect()
+    }
+    assert len(on) == len(off)
+    n_high = 0
+    for doc_id, r in on.items():
+        if r.drop_reason == "high_surprise":
+            n_high += 1
+            # only scored docs over the threshold ever drop here,
+            # and on this corpus that is exclusively the tainted third
+            assert r.surprise_x16 is not None and r.surprise_x16 > 300
+            assert doc_id % 3 == 0
+        elif (
+            off[doc_id].drop_reason is None
+            and r.surprise_x16 is not None
+            and r.surprise_x16 > 300
+        ):
+            raise AssertionError(f"doc {doc_id} escaped the LM screen")
+        if r.kept:
+            assert r.surprise_x16 is None or r.surprise_x16 <= 300
+    assert n_high > 0

@@ -127,3 +127,40 @@ def test_model_prune_keeps_repeats_only(spark, sf_dir):
     n_model = fit_trigram_lm(ref).count()
     n_raw = trigram_positions(ref).select("gram").distinct().count()
     assert 0 < n_model < n_raw
+
+
+def test_lm_terciles_laws(spark, sf_dir):
+    """Head/middle/tail cut laws per language: buckets are score-ordered
+    (max head score < min middle score < min tail score), every scored
+    doc is bucketed exactly once, the head holds >= 1/3 of docs and
+    head+middle >= 2/3 (cuts reach the tercile mass), and each cut is
+    MINIMAL — dropping its boundary score-value would fall short."""
+    from collections import defaultdict
+
+    from ocr_parallel_spark.queries_catalog import q_lm_surprise, q_lm_terciles
+
+    rows = q_lm_terciles(spark, sf_dir).collect()
+    n_scored = q_lm_surprise(spark, sf_dir).filter("n_grams > 0").count()
+    assert len(rows) == n_scored
+
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r.lang][r.ppl_bucket].append(r.surprise_x16)
+    for lang, buckets in by_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        h = buckets.get("head", [])
+        m = buckets.get("middle", [])
+        t = buckets.get("tail", [])
+        assert len(h) > 0
+        if m:
+            assert max(h) < min(m)
+        if t:
+            assert max(m or h) < min(t)
+        assert len(h) * 3 >= n
+        assert (len(h) + len(m)) * 3 >= 2 * n
+        # minimality: the head cut's own score-value is load-bearing
+        boundary = sum(1 for s in h if s == max(h))
+        assert (len(h) - boundary) * 3 < n
+        if t:
+            boundary2 = sum(1 for s in m or h if s == max(m or h))
+            assert (len(h) + len(m) - boundary2) * 3 < 2 * n
