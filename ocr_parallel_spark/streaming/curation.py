@@ -142,3 +142,79 @@ def quality_screen_docs(docs: DataFrame, weights: dict[int, int]) -> DataFrame:
         score.alias("score"),
         (score > 0).alias("low_quality"),
     )
+
+
+def lm_screen_docs(
+    docs: DataFrame,
+    model: dict[str, int],
+    max_x16: int,
+    unseen: int | None = None,
+) -> DataFrame:
+    """The CCNet-style LM surprise screen at the streaming tier.
+
+    A trigram model is too big for the vote-map-literal trick (even
+    pruned it holds thousands of grams, and create_map literals bloat
+    the plan), so this takes the bpe_token_counts deployment shape
+    instead: normalize with the SAME Spark expression the batch path
+    uses, then score each doc in ONE stateless Arrow pass with the
+    pruned model riding the task closure (collectible by the min_count
+    prune contract — functions/lm.py model_to_dict). No explode, no
+    groupBy, no state: a micro-batch screens exactly like a batch,
+    pinned equal to the batch doc_surprise in pytest.
+
+    ``high_surprise`` is False for unscorable docs (< 3 tokens, NULL
+    average) — brevity is not evidence of gibberish, same contract as
+    job_curate's batch screen."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ocr_parallel_spark.functions.lm import LM_UNSEEN_BITS
+
+    oov = LM_UNSEEN_BITS if unseen is None else unseen
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_grams, sums, avgs = [], [], []
+            for norm in pdf["norm"]:
+                toks = (norm if isinstance(norm, str) else "").split(" ")
+                n = len(toks)
+                if n < 3:
+                    n_grams.append(0)
+                    sums.append(0)
+                    avgs.append(None)
+                    continue
+                s = 0
+                for i in range(n - 2):
+                    s += model.get(
+                        toks[i] + " " + toks[i + 1] + " " + toks[i + 2], oov
+                    )
+                n_grams.append(n - 2)
+                sums.append(s)
+                avgs.append((16 * s) // (n - 2))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_grams": pd.array(n_grams, dtype="Int64"),
+                    "sum_surprise": pd.array(sums, dtype="Int64"),
+                    # Int64 (not int64): unscorable docs carry a real
+                    # NULL, never a NaN-poisoned float column.
+                    "surprise_x16": pd.array(avgs, dtype="Int64"),
+                }
+            )
+
+    normed = docs.select("doc_id", normalize_col("text").alias("norm"))
+    scored = normed.mapInPandas(
+        score,
+        "doc_id bigint, n_grams bigint, sum_surprise bigint, "
+        "surprise_x16 bigint",
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "sum_surprise",
+        "surprise_x16",
+        F.coalesce(
+            F.col("surprise_x16") > max_x16, F.lit(False)
+        ).alias("high_surprise"),
+    )

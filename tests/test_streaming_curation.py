@@ -133,3 +133,94 @@ def test_trained_quality_screen_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert streamed == batch
+
+
+def test_lm_screen_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The closure-shipped Arrow LM scorer equals the batch
+    explode+broadcast-join doc_surprise doc-for-doc (n_grams,
+    sum_surprise, surprise_x16 all exact), flags exactly the
+    over-threshold docs, and the SAME definition runs unchanged over
+    an availableNow stream with identical verdicts."""
+    from ocr_parallel_spark.functions.curation import QT_TAINTS
+    from ocr_parallel_spark.functions.lm import (
+        doc_surprise,
+        fit_trigram_lm,
+        model_to_dict,
+    )
+    from ocr_parallel_spark.operators.classify import normalize_col
+    from ocr_parallel_spark.streaming.curation import (
+        DOCS_SCHEMA,
+        lm_screen_docs,
+    )
+
+    taint = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(" " + QT_TAINTS["mojibake"])
+    ).otherwise(F.lit(""))
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            F.concat(F.lit("https://h.example.com/"), F.col("doc_id")).alias("url"),
+            F.concat(F.col("text"), taint).alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    model_df = fit_trigram_lm(
+        ref.select(normalize_col("text").alias("norm"))
+    )
+    model = model_to_dict(model_df)
+    assert len(model) > 0
+
+    batch_ref = {
+        r.doc_id: (r.n_grams, r.sum_surprise, r.surprise_x16)
+        for r in doc_surprise(
+            docs.select("doc_id", normalize_col("text").alias("norm")),
+            model_df,
+        ).collect()
+    }
+    screened = {
+        r.doc_id: r for r in lm_screen_docs(docs, model, 300).collect()
+    }
+    assert {
+        d: (r.n_grams, r.sum_surprise, r.surprise_x16)
+        for d, r in screened.items()
+    } == batch_ref
+    for d, r in screened.items():
+        assert r.high_surprise == (
+            r.surprise_x16 is not None and r.surprise_x16 > 300
+        )
+    assert any(r.high_surprise for r in screened.values())
+    assert any(
+        not r.high_surprise and r.surprise_x16 is not None
+        for r in screened.values()
+    )
+
+    # stream: same definition over an availableNow drain
+    inp, out, ckpt = (
+        str(tmp_path / "lin"),
+        str(tmp_path / "lout"),
+        str(tmp_path / "lck"),
+    )
+    docs.write.mode("append").parquet(inp)
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(inp)
+    q = (
+        lm_screen_docs(stream, model, 300)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.doc_id: (r.n_grams, r.sum_surprise, r.surprise_x16, r.high_surprise)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == {
+        d: (r.n_grams, r.sum_surprise, r.surprise_x16, r.high_surprise)
+        for d, r in screened.items()
+    }
