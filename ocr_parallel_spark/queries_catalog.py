@@ -1854,11 +1854,15 @@ def q_lm_surprise(spark, sf_dir):
 def q_lm_separation(spark, sf_dir):
     """The measured-behavior gate for the LM filter (ann_recall
     pattern): tainted docs must average >= 1.25x the surprise of clean
-    docs, compared integer-exactly on the sums (never a division —
-    Spark div truncates, DuckDB // floors on negatives). The 1.25
-    floor is deliberately below the measured 1.5-2.3x at sf0.001/0.01/
-    0.1 so the gate pins real separation without riding the noise
-    ceiling; the per-doc values themselves are already exact via
+    docs. The comparison runs on the floored integer MEANS (bounded
+    [16, 384] by the surprise cap), not cross-multiplied sums — at
+    billions of docs per class s_taint * n_clean * 4 overflows BIGINT,
+    where Spark wraps silently while DuckDB raises, so the sum form
+    would break both the gate and engine-exactness exactly at the
+    corpus sizes the filter targets. Both engines floor the same
+    means, so the gate stays engine-identical; the <= 1/16-bit floor
+    loss is noise against the 1.25 floor vs measured 1.5-2.3x at
+    sf0.001/0.01/0.1. Per-doc values are already exact via
     lm_surprise."""
     s = q_lm_surprise(spark, sf_dir).filter(F.col("n_grams") > 0)
     agg = s.agg(
@@ -1890,8 +1894,8 @@ def q_lm_separation(spark, sf_dir):
             (F.col("n_clean") > 0)
             & (F.col("n_taint") > 0)
             & (
-                F.col("s_taint") * F.col("n_clean") * 4
-                >= F.col("s_clean") * F.col("n_taint") * 5
+                F.expr("s_taint div n_taint") * 4
+                >= F.expr("s_clean div n_clean") * 5
             )
         ).alias("sep_ok"),
     )
@@ -3552,8 +3556,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE s_clean // n_clean END AS BIGINT) AS mean_clean_x16,
                    CAST(CASE WHEN n_taint = 0 THEN 0
                         ELSE s_taint // n_taint END AS BIGINT) AS mean_taint_x16,
+                   -- floored MEANS (bounded by the surprise cap), never
+                   -- cross-multiplied corpus-sized sums: those overflow
+                   -- BIGINT at ~1e8 docs/class (Spark wraps, DuckDB raises)
                    n_clean > 0 AND n_taint > 0
-                     AND s_taint * n_clean * 4 >= s_clean * n_taint * 5 AS sep_ok
+                     AND (s_taint // n_taint) * 4
+                         >= (s_clean // n_clean) * 5 AS sep_ok
             FROM g
         """,
         "lm_terciles": f"""

@@ -172,13 +172,21 @@ def build_output(
     # \r?\n, not \n: CRLF docs would otherwise carry a trailing \r per
     # line, splitting every banner's frequency count across the two
     # line-ending variants (and splitting dup hashes the same way).
+    # One shared normalized frame for both model screens. NOTE this is
+    # frame-level sharing only: each screen joins it in its own subtree,
+    # so the regexp normalize is evaluated per branch over the
+    # checkpointed docs scan — deliberately NOT re-checkpointed, because
+    # materializing the normalized corpus costs a full write+read of the
+    # text bytes while recomputing three regexps is scan-bound CPU.
+    if quality_filter or lm_ref is not None:
+        normed = docs.select("doc_id", normalize_col("text").alias("norm"))
+
     if quality_filter:
         from ocr_parallel_spark.functions.curation import (
             hashed_quality_scores,
             trained_quality_scores,
         )
 
-        normed = docs.select("doc_id", normalize_col("text").alias("norm"))
         if quality_weights is not None:
             qs = trained_quality_scores(normed, quality_weights).select(
                 "doc_id", (F.col("score") > 0).alias("_lowq")
@@ -216,10 +224,7 @@ def build_output(
                 )
             )
         )
-        lm_normed = docs.select(
-            "doc_id", normalize_col(F.col("text")).alias("norm")
-        )
-        ls = doc_surprise(lm_normed, model).select(
+        ls = doc_surprise(normed, model).select(
             "doc_id",
             "surprise_x16",
             # NULL surprise (< 3 tokens) keeps: too short to judge.
