@@ -289,3 +289,118 @@ def test_winnow_shared_run_guarantee(prefix, suffix, shared):
     fa = _winnow_fps(_span_hashes(a))
     fb = _winnow_fps(_span_hashes(b))
     assert fa & fb
+
+
+# ---- trigram-LM surprise scheme (functions/lm.py) ----
+#
+# Pure-Python mirror of the fit + scoring math (the Spark implementation
+# is value-hash-pinned by the lm_surprise oracle at 3 scales; the
+# streaming closure is pinned equal in test_streaming_curation). These
+# pin the SCHEME's laws over random corpora the gate corpus can't sweep.
+
+LM_DOCS = st.lists(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=3),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _py_fit(docs, min_count=2, unseen=24):
+    from collections import Counter
+
+    tri, ctx = Counter(), Counter()
+    for d in docs:
+        toks = (d or "").split(" ")
+        for i in range(max(len(toks) - 2, 0)):
+            tri[(toks[i], toks[i + 1], toks[i + 2])] += 1
+            ctx[(toks[i], toks[i + 1])] += 1
+    return {
+        " ".join(g): min(ctx[g[:2]].bit_length() - c.bit_length() + 1, unseen)
+        for g, c in tri.items()
+        if c >= min_count
+    }
+
+
+def _py_score(doc, model, unseen=24):
+    toks = (doc or "").split(" ")
+    n = max(len(toks) - 2, 0)
+    s = sum(
+        model.get(" ".join(toks[i : i + 3]), unseen) for i in range(n)
+    )
+    return n, s, ((16 * s) // n if n else None)
+
+
+@settings(max_examples=150, deadline=None)
+@given(LM_DOCS, st.lists(st.text(alphabet="abcd ", max_size=20), max_size=6))
+def test_lm_scheme_laws(ref, crawl):
+    """Fit/score laws over random corpora: every modeled gram repeats
+    >= min_count in the reference; in-model surprise sits in
+    [1, unseen] (c2 >= c3 gives the floor, the cap the ceiling — so
+    unseen text is NEVER cheaper than seen); scoring bounds follow;
+    and a doc sharing no gram with the reference costs exactly
+    unseen per position."""
+    from collections import Counter
+
+    def grams(d):
+        toks = (d or "").split(" ")
+        return [
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        ]
+
+    model = _py_fit(ref)
+    raw = Counter(g for d in ref for g in grams(d))
+    for g, cost in model.items():
+        assert raw[g] >= 2
+        assert 1 <= cost <= 24
+    for doc in crawl:
+        n, s, x16 = _py_score(doc, model)
+        toks = (doc or "").split(" ")
+        assert n == max(len(toks) - 2, 0)
+        assert n <= s <= 24 * n or (n == 0 and s == 0)
+        if n == 0:
+            assert x16 is None
+        else:
+            assert 16 <= x16 <= 16 * 24
+    alien = "zz zz zz zz"
+    n, s, x16 = _py_score(alien, model)
+    assert (n, s, x16) == (2, 48, 16 * 24)
+
+
+def test_lm_spark_equals_python_mirror(spark):
+    """One deterministic random-ish corpus (sha-derived tokens, far from
+    the gate corpus's template text): distributed fit + score ==
+    the pure-Python mirror exactly, doc for doc."""
+    import hashlib
+
+    from ocr_parallel_spark.functions.lm import doc_surprise, fit_trigram_lm
+
+    def tok(i, j):
+        return hashlib.sha256(f"{i}:{j}".encode()).hexdigest()[: 2 + (i + j) % 3]
+
+    ref_rows = [
+        (i, " ".join(tok(i % 7, j) for j in range((i * 13) % 11)))
+        for i in range(60)
+    ]
+    crawl_rows = [
+        (100 + i, " ".join(tok(i % 9, j) for j in range((i * 7) % 13)))
+        for i in range(40)
+    ] + [(999, None), (998, "solo"), (997, "zz zz zz zz")]
+
+    ref_df = spark.createDataFrame(ref_rows, "doc_id long, norm string")
+    crawl_df = spark.createDataFrame(crawl_rows, "doc_id long, norm string")
+    model_df = fit_trigram_lm(ref_df)
+    got_model = {r.gram: r.surprise for r in model_df.collect()}
+    assert got_model == _py_fit([t for _, t in ref_rows])
+
+    got = {
+        r.doc_id: (r.n_grams, r.sum_surprise, r.surprise_x16)
+        for r in doc_surprise(crawl_df, model_df).collect()
+    }
+    want = {
+        d: _py_score(t, got_model) for d, t in crawl_rows
+    }
+    assert got == want
