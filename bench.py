@@ -76,6 +76,7 @@ HEADLINE = [
     "anchor_text_salted",
     "quality_trained",
     "lm_surprise",
+    "semdedup",
     "bpe_counts",
     "media_meta",
     # warc_extract synthesizes its archive fixture on first pass; the

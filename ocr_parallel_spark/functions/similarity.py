@@ -425,6 +425,88 @@ def ivf_topk(
     )
 
 
+def semdedup_marks(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 4096,
+) -> DataFrame:
+    """SemDedup-style semantic dedup (Abbas et al. 2023, public): cluster
+    embeddings with k-means (``kmeans_centroids`` — driver-sampled, the
+    centroid list ships in the plan), then WITHIN each cluster mark every
+    vector that has a lower-id cluster-mate at cosine >= ``threshold``.
+    The lowest id per epsilon-group survives — the same arrival-order
+    keep-first canon as the exact/MinHash dedup family (operators/
+    dedup.py keep-first, neardup.py canonical member), so a mark is
+    always resolvable to a kept representative (``dup_of``).
+
+    Scale shape: the only quadratic work is the within-cell pair join,
+    bounded by cell occupancy — the clustering exists precisely to turn
+    the O(n^2) all-pairs baseline (q_embedding_neardup) into
+    sum(|cell|^2). Occupancy is further HARD-bounded by ``max_cell``:
+    members rank by (xxhash64(id), id) within their cell and only the
+    first ``max_cell`` participate in pairing (the same deterministic
+    occupancy cap as MAX_BAND_BUCKET in operators/neardup.py:35);
+    overflow members pass through unmarked — a bounded, documented
+    recall trade instead of an unbounded straggler on a dup-heavy cell,
+    which at 100 TB is exactly where the hot cell sits. Cross-cell near
+    pairs are missed by design (the SemDedup trade); the
+    ``semdedup_recall`` gate measures what survives.
+
+    Output: (id, cell, is_sem_dup, dup_of) — one row per input vector,
+    dup_of NULL for kept rows. No collects beyond the centroid fit; the
+    pair join shuffles (id, cell, unit-vector) rows only."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(
+        vectors.select(id_col, vec_col), centroids, vec_col, 1
+    ).select(id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell"))
+    wcell = Window.partitionBy("cell").orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
+    eligible = (
+        assigned.withColumn("_rk", F.row_number().over(wcell))
+        .filter(F.col("_rk") <= max_cell)
+        .drop("_rk")
+    )
+    v = _prep_vec(eligible, vec_col, "_v").drop(vec_col)
+    a = v.select(
+        F.col("cell"),
+        F.col(id_col).alias("_id_a"),
+        F.col("_vvec").alias("_va"),
+        F.col("_vnorm").alias("_na"),
+    )
+    b = v.select(
+        F.col("cell").alias("_cell_b"),
+        F.col(id_col).alias("_id_b"),
+        F.col("_vvec").alias("_vb"),
+        F.col("_vnorm").alias("_nb"),
+    )
+    pairs = a.join(
+        b, (F.col("cell") == F.col("_cell_b")) & (F.col("_id_a") < F.col("_id_b"))
+    )
+    close = pairs.filter(
+        F.round(
+            cosine_from_norms(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ),
+            4,
+        )
+        >= threshold
+    )
+    marks = close.groupBy(F.col("_id_b").alias(id_col)).agg(
+        F.min("_id_a").alias("dup_of")
+    )
+    return assigned.join(marks, id_col, "left").select(
+        id_col,
+        "cell",
+        F.col("dup_of").isNotNull().alias("is_sem_dup"),
+        "dup_of",
+    )
+
+
 def build_lsh_index(
     vectors: DataFrame,
     id_col: str = "vec_id",

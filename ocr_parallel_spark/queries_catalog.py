@@ -2150,6 +2150,108 @@ def q_pack_windows(spark, sf_dir):
     )
 
 
+def _planted_embeddings(spark, sf_dir, cap: int = 1000):
+    """The planted-near-dup embedding corpus shared by q_embedding_neardup
+    and the SemDedup queries: every vec_id % 100 == 0 row is replaced by a
+    near-constant vector (base 100, per-id phase shift) so the >= 0.9
+    cosine band provably fires — synthetic embeddings are near-random and
+    never reach 0.9 on their own (the round-3 vacuous-gate lesson). The
+    oracle replays the identical planting in SQL."""
+    planted = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.lit(100.0)
+        + ((F.expr("vec_id div 100") + j) % 5).cast("double"),
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < cap)
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") % 100 == 0, planted)
+            .otherwise(F.col("embedding").cast("array<double>"))
+            .alias("embedding"),
+        )
+    )
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): k-means-cluster the embedding
+    corpus, then mark within-cluster epsilon-duplicates (cosine >= 0.9),
+    keep-first canon. The production semantic-dedup stage that the exact
+    all-pairs baseline (q_embedding_neardup) cannot be at scale — pair
+    work drops from O(n^2) to sum(|cell|^2), occupancy hard-capped.
+    Cluster ids depend on the sampled k-means fit, so this is rows-only;
+    the exact companion gate is q_semdedup_recall."""
+    from ocr_parallel_spark.functions.similarity import (
+        kmeans_centroids,
+        semdedup_marks,
+    )
+
+    emb = _planted_embeddings(spark, sf_dir)
+    cents = kmeans_centroids(emb, n_cells=8)
+    return semdedup_marks(emb, cents, 0.9).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "is_sem_dup", "dup_of"
+    )
+
+
+def q_semdedup_recall(spark, sf_dir):
+    """Driver-visible exact gate for the SemDedup scale path (the
+    ann_recall pattern): the truth marks are the vectors with a lower-id
+    >= 0.9-cosine partner ANYWHERE in the corpus (the all-pairs rule the
+    oracle recomputes in SQL over the planted corpus); SemDedup's marks
+    are pinned to (a) cover >= 90% of them — the planted near-dups all
+    share one direction, so k-means must co-cluster them — and (b)
+    contain NO false marks: a semdedup mark is exact-cosine-verified
+    within its cell, so every mark is a truth mark by construction, and
+    the gate going red on no_false_marks means the verify broke."""
+    from ocr_parallel_spark.functions.similarity import (
+        dot,
+        kmeans_centroids,
+        norm,
+        semdedup_marks,
+    )
+
+    emb = _planted_embeddings(spark, sf_dir)
+    unit = (
+        emb.withColumn("_n", norm(F.col("embedding")))
+        .filter(F.col("_n") > 0)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x / F.col("_n")).alias("u"),
+        )
+    )
+    a, b = unit.alias("a"), unit.alias("b")
+    truth_marks = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(
+            F.round(dot(F.col("a.u"), F.col("b.u")), 4) >= 0.9
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    marks = (
+        semdedup_marks(emb, kmeans_centroids(emb, n_cells=8), 0.9)
+        .filter(F.col("is_sem_dup"))
+        .select("vec_id")
+    )
+    hits = truth_marks.join(marks, "vec_id", "left_semi")
+    extra = marks.join(truth_marks, "vec_id", "left_anti")
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(truth_marks.agg(F.count(F.lit(1)).alias("n_truth_marks")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
+        .crossJoin(extra.agg(F.count(F.lit(1)).alias("_n_extra")))
+        .select(
+            "n_vectors",
+            "n_truth_marks",
+            F.when(F.col("n_truth_marks") == 0, F.lit(True))
+            .otherwise(F.col("_n_hit") * 10 >= F.col("n_truth_marks") * 9)
+            .alias("recall_ok"),
+            (F.col("_n_extra") == 0).alias("no_false_marks"),
+        )
+    )
+
+
 # Context-window length for sequence packing (tokens). Small enough that
 # sf0.001 docs split windows, large enough that most don't — both
 # branches of is_split exercised at every scale.
@@ -3008,6 +3110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stability is already pinned by four rounds of green driver files.
     return {
         # -- round-5 additions (newest first) -------------------------------
+        "semdedup": q_semdedup,
+        "semdedup_recall": q_semdedup_recall,
         "lm_surprise": q_lm_surprise,
         "lm_separation": q_lm_separation,
         "lm_terciles": q_lm_terciles,
@@ -4457,6 +4561,32 @@ def oracle_sql() -> dict[str, str]:
                 (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rank
               FROM s
             ) WHERE rank <= 5
+        """,
+        "semdedup_recall": """
+            WITH e0 AS (
+              SELECT vec_id,
+                     CASE WHEN vec_id % 100 = 0
+                       THEN list_transform(generate_series(0, 63),
+                              j -> CAST(100 AS DOUBLE)
+                                   + CAST((vec_id // 100 + j) % 5 AS DOUBLE))
+                       ELSE embedding::DOUBLE[] END AS v
+              FROM embeddings
+              WHERE vec_id < 1000),
+            e1 AS (
+              SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM e0),
+            e AS (
+              SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+              FROM e1 WHERE nrm > 0),
+            tm AS (
+              SELECT DISTINCT b.vec_id
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.u, b.u), 4) >= 0.9)
+            SELECT (SELECT count(*) FROM e0) AS n_vectors,
+                   (SELECT count(*) FROM tm) AS n_truth_marks,
+                   true AS recall_ok,
+                   true AS no_false_marks
         """,
         "embedding_neardup": """
             WITH e0 AS (

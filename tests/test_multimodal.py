@@ -441,3 +441,74 @@ def test_ivf_stale_index_assigns_unindexed_inline(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
     # and the result really does contain unindexed ids (vacuity guard)
     assert any(r[1] % 3 != 0 for r in a)
+
+
+# ---------------------------------------------------------------- semdedup --
+
+
+def _semdedup_corpus(spark):
+    """Three planted epsilon-groups (near-identical directions) plus
+    orthogonal singletons — ground truth is exact by construction."""
+    rows = []
+    # group A: ids 0,1,2 ~ e0 direction with tiny jitter
+    for i in range(3):
+        rows.append((i, [1000.0 + i] + [float(i)] + [0.0] * 62))
+    # group B: ids 10,11 ~ e2 direction
+    for i in range(2):
+        rows.append((10 + i, [0.0, 0.0, 500.0 + i, float(i)] + [0.0] * 60))
+    # singletons far from everything (orthogonal axes)
+    rows.append((20, [0.0] * 10 + [7.0] + [0.0] * 53))
+    rows.append((21, [0.0] * 20 + [9.0] + [0.0] * 43))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_marks_planted_groups(spark):
+    from ocr_parallel_spark.functions.similarity import (
+        kmeans_centroids,
+        semdedup_marks,
+    )
+
+    emb = _semdedup_corpus(spark)
+    cents = kmeans_centroids(emb, n_cells=4)
+    out = semdedup_marks(emb, cents, 0.9)
+    got = {r.vec_id: (r.is_sem_dup, r.dup_of) for r in out.collect()}
+    assert len(got) == 7  # one row per input vector
+    # group minima + singletons survive; non-minima marked with dup_of
+    assert got[0] == (False, None)
+    assert got[1] == (True, 0) and got[2] == (True, 0)
+    assert got[10] == (False, None) and got[11] == (True, 10)
+    assert got[20] == (False, None) and got[21] == (False, None)
+
+
+def test_semdedup_deterministic(spark):
+    from ocr_parallel_spark.functions.similarity import (
+        kmeans_centroids,
+        semdedup_marks,
+    )
+
+    emb = _semdedup_corpus(spark)
+    cents = kmeans_centroids(emb, n_cells=4)
+    a = sorted(map(tuple, semdedup_marks(emb, cents, 0.9).collect()))
+    b = sorted(map(tuple, semdedup_marks(emb, cents, 0.9).collect()))
+    assert a == b
+
+
+def test_semdedup_max_cell_cap_bounds_pairing(spark):
+    """Overflow members of a hot cell pass through UNMARKED (bounded
+    recall trade) — and every row still comes back exactly once."""
+    from ocr_parallel_spark.functions.similarity import (
+        kmeans_centroids,
+        semdedup_marks,
+    )
+
+    emb = _semdedup_corpus(spark)
+    cents = kmeans_centroids(emb, n_cells=4)
+    capped = semdedup_marks(emb, cents, 0.9, max_cell=2)
+    rows = capped.collect()
+    assert len(rows) == 7
+    n_marked = sum(r.is_sem_dup for r in rows)
+    # group A has 3 members but only 2 may pair per cell: at most one of
+    # them can be marked; group B (2 members) is unaffected.
+    full = semdedup_marks(emb, cents, 0.9)
+    n_full = sum(r.is_sem_dup for r in full.collect())
+    assert n_full == 3 and n_marked <= 2
