@@ -77,6 +77,7 @@ HEADLINE = [
     "quality_trained",
     "lm_surprise",
     "semdedup",
+    "bloom_seen",
     "bpe_counts",
     "media_meta",
     # warc_extract synthesizes its archive fixture on first pass; the

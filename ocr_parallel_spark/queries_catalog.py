@@ -2252,6 +2252,46 @@ def q_semdedup_recall(spark, sf_dir):
     )
 
 
+# Bloom sidecar gate sizing: small enough that false positives provably
+# occur at every scale (~250 committed keys x 4 hashes into 2048 bits =
+# ~38% fill, FP ~2% — a handful of is_fp rows), large enough that most
+# unseen docs short-circuit. Production sizing is ~10 bits/key
+# (functions/bloom.py docstring); the semantics are size-invariant.
+BLOOM_BITS = 2048
+BLOOM_HASHES = 4
+
+
+def q_bloom_seen(spark, sf_dir):
+    """Bloom-filter membership prefilter (functions/bloom.py — the
+    cross-run dedup sidecar): build the filter over the 'committed' half
+    of the corpus (even doc_ids' content hashes), probe EVERY doc, and
+    emit per-doc maybe_seen / truly_seen / is_fp. Fully deterministic
+    (sha2 hex-slice positions), so the oracle replays build AND probe:
+    bit p set == some committed key hashes to p, the definitional
+    position-set equivalence. Pins the two Bloom laws per doc: no false
+    negatives (truly_seen => maybe_seen) and exactly-reproducible false
+    positives. The probe itself is broadcast-join-only — the corpus side
+    never shuffles (plan-pinned in pytest)."""
+    from ocr_parallel_spark.functions.bloom import bloom_build, bloom_probe
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.sha2(F.coalesce(F.col("norm"), F.lit("")), 256).alias("h"),
+    )
+    committed = docs.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    words = bloom_build(committed, "h", BLOOM_BITS, BLOOM_HASHES)
+    probed = bloom_probe(docs, "h", words, BLOOM_BITS, BLOOM_HASHES)
+    t = committed.withColumn("_t", F.lit(True))
+    out = probed.join(t, "h", "left")
+    truly = F.coalesce(F.col("_t"), F.lit(False))
+    return out.select(
+        "doc_id",
+        "maybe_seen",
+        truly.alias("truly_seen"),
+        (F.col("maybe_seen") & ~truly).alias("is_fp"),
+    )
+
+
 # Context-window length for sequence packing (tokens). Small enough that
 # sf0.001 docs split windows, large enough that most don't — both
 # branches of is_split exercised at every scale.
@@ -3110,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stability is already pinned by four rounds of green driver files.
     return {
         # -- round-5 additions (newest first) -------------------------------
+        "bloom_seen": q_bloom_seen,
         "semdedup": q_semdedup,
         "semdedup_recall": q_semdedup_recall,
         "lm_surprise": q_lm_surprise,
@@ -4561,6 +4602,36 @@ def oracle_sql() -> dict[str, str]:
                 (PARTITION BY query_id ORDER BY cs DESC, vec_id ASC) AS rank
               FROM s
             ) WHERE rank <= 5
+        """,
+        "bloom_seen": f"""
+            WITH {_DOCS_CTE},
+            k AS (
+              SELECT doc_id, sha256(COALESCE(norm, '')) AS h FROM docs),
+            committed AS MATERIALIZED (
+              SELECT DISTINCT h FROM k WHERE doc_id % 2 = 0),
+            setpos AS MATERIALIZED (
+              -- bloom positions re-hash the KEY COLUMN (itself a hex
+              -- content hash here) through sha256, exactly like
+              -- functions/bloom.py _bloom_positions
+              SELECT DISTINCT
+                     ('0x' || substr(sha256(h), 1 + 8*i, 8))::UBIGINT
+                       % {BLOOM_BITS} AS pos
+              FROM committed,
+                   UNNEST(generate_series(0, {BLOOM_HASHES - 1})) AS u(i)),
+            probe AS (
+              SELECT doc_id,
+                     ('0x' || substr(sha256(h), 1 + 8*i, 8))::UBIGINT
+                       % {BLOOM_BITS} AS pos
+              FROM k, UNNEST(generate_series(0, {BLOOM_HASHES - 1})) AS u(i)),
+            m AS (
+              SELECT p.doc_id, bool_and(s.pos IS NOT NULL) AS maybe_seen
+              FROM probe p LEFT JOIN setpos s ON p.pos = s.pos
+              GROUP BY p.doc_id)
+            SELECT k.doc_id, m.maybe_seen,
+                   (k.h IN (SELECT h FROM committed)) AS truly_seen,
+                   (m.maybe_seen AND k.h NOT IN (SELECT h FROM committed))
+                     AS is_fp
+            FROM k JOIN m USING (doc_id)
         """,
         "semdedup_recall": """
             WITH e0 AS (

@@ -39,6 +39,9 @@ def build_output(
     bpe_merges=None,
     prior_kept_hashes=None,
     prior_kept_neardup=None,
+    prior_bloom=None,
+    bloom_bits: int = 0,
+    bloom_hashes: int = 4,
 ):
     """The batch curation composition; returns one verdict row per doc.
 
@@ -340,10 +343,26 @@ def build_output(
         # Cross-run exact dedup: a hash already committed KEPT owns its
         # canonical slot forever — new twins drop as dup and are also
         # excluded from this run's canonical window.
+        probe_src = eligible
+        if prior_bloom is not None and bloom_bits:
+            # Bloom prefilter (functions/bloom.py): the persisted word
+            # table over committed kept hashes screens the NEW side with
+            # broadcast joins only — docs whose hash is definitely not
+            # committed (no false negatives, shared position derivation)
+            # skip the exact semi-join entirely, so the shuffle below
+            # carries the ~(dup-rate + FP-rate) slice instead of the
+            # whole run. Verdicts are IDENTICAL with or without the
+            # sidecar (pytest pins it): a false positive only costs a
+            # redundant exact probe.
+            from ocr_parallel_spark.functions.bloom import bloom_probe
+
+            probe_src = bloom_probe(
+                eligible, "_kh", prior_bloom, bloom_bits, bloom_hashes
+            ).filter(F.col("maybe_seen")).drop("maybe_seen")
         prior = prior_kept_hashes.select(
             F.col("content_sha").alias("_kh")
         ).distinct()
-        prior_dups = eligible.join(prior, "_kh", "semi").select(
+        prior_dups = probe_src.join(prior, "_kh", "semi").select(
             "doc_id", F.lit(True).alias("_pd")
         )
         eligible = eligible.join(prior_dups, "doc_id", "left_anti")
@@ -641,6 +660,17 @@ def main() -> None:
         "row; feeds job_pack --n-tokens-col n_bpe_tokens",
     )
     ap.add_argument(
+        "--bloom-bits",
+        type=int,
+        default=0,
+        help="enable the Bloom sidecar over committed kept hashes "
+        "(functions/bloom.py): incremental runs prefilter the cross-run "
+        "exact-dedup semi-join with broadcast-only probes — identical "
+        "verdicts, the committed hash set only re-scanned when the "
+        "sidecar is stale. Size at ~10 bits per expected committed key; "
+        "0 disables",
+    )
+    ap.add_argument(
         "--recompute",
         action="store_true",
         help="full-corpus arbiter for the incremental-resume tension: "
@@ -693,6 +723,40 @@ def main() -> None:
                 prior_neardup = committed.filter("kept").select(
                     "doc_id", "kept_text", "minhash_bands"
                 )
+
+    # Bloom sidecar (--bloom-bits): a persisted word table over the
+    # committed KEPT hashes lives beside the verdicts. Loaded only when
+    # its lineage proves it covers the verdict table's CURRENT ordinal
+    # with the same (n_bits, n_hashes) — a sidecar that missed a commit
+    # would have false negatives, i.e. missed cross-run dups, so a stale
+    # one is rebuilt from the full committed set rather than trusted.
+    import os as _os
+
+    prior_bloom = None
+    bloom_table = None
+    if args.bloom_bits and not args.recompute:
+        bloom_table = SnapshotTable(_os.path.join(args.output, "_bloom"))
+        if prior_hashes is not None:
+            verd_ord = table.current_snapshot()["ordinal"]
+            bsnap = bloom_table.current_snapshot()
+            lin = (bsnap or {}).get("lineage", {})
+            if not (
+                lin.get("n_bits") == args.bloom_bits
+                and lin.get("n_hashes") == 4
+                and lin.get("covers_ordinal") == verd_ord
+            ):
+                from ocr_parallel_spark.functions.bloom import bloom_build
+
+                bloom_table.overwrite(
+                    bloom_build(prior_hashes, "content_sha", args.bloom_bits, 4),
+                    lineage={
+                        "n_bits": args.bloom_bits,
+                        "n_hashes": 4,
+                        "covers_ordinal": verd_ord,
+                        "mode": "rebuild",
+                    },
+                )
+            prior_bloom = bloom_table.read(spark)
 
     bpe_merges = None
     if args.bpe_merges:
@@ -766,6 +830,8 @@ def main() -> None:
             bpe_merges=bpe_merges,
             prior_kept_hashes=prior_hashes,
             prior_kept_neardup=prior_neardup,
+            prior_bloom=prior_bloom,
+            bloom_bits=args.bloom_bits,
         )
 
     if args.recompute:
@@ -783,6 +849,49 @@ def main() -> None:
             transform,
             key_col="doc_id",
             lineage={"input": args.input},
+        )
+    if args.bloom_bits and not snap.get("noop"):
+        # Keep the sidecar covering the NEW ordinal: append runs fold
+        # only the just-committed run directory's kept hashes in
+        # (bloom_merge — no rescan of the committed corpus, the whole
+        # point of the sidecar); recompute/first runs build from the
+        # full committed kept set.
+        from ocr_parallel_spark.functions.bloom import bloom_build, bloom_merge
+
+        if bloom_table is None:
+            bloom_table = SnapshotTable(_os.path.join(args.output, "_bloom"))
+        new_ord = table.current_snapshot()["ordinal"]
+        if prior_bloom is not None and not args.recompute:
+            run_df = spark.read.parquet(
+                _os.path.join(args.output, snap["data_dirs"][-1])
+            )
+            words = bloom_merge(
+                prior_bloom,
+                bloom_build(
+                    run_df.filter("kept").select("content_sha"),
+                    "content_sha",
+                    args.bloom_bits,
+                    4,
+                ),
+            )
+            mode = "merge"
+        else:
+            committed_now = table.read(spark)
+            words = bloom_build(
+                committed_now.filter("kept").select("content_sha"),
+                "content_sha",
+                args.bloom_bits,
+                4,
+            )
+            mode = "rebuild"
+        bloom_table.overwrite(
+            words,
+            lineage={
+                "n_bits": args.bloom_bits,
+                "n_hashes": 4,
+                "covers_ordinal": new_ord,
+                "mode": mode,
+            },
         )
     print(json.dumps(snap))
     spark.stop()

@@ -142,6 +142,14 @@ def main() -> None:
         action="store_true",
         help="curate job: hashed-linear classifier screen (low_quality)",
     )
+    ap.add_argument(
+        "--bloom-bits",
+        type=int,
+        default=0,
+        help="curate job: persisted Bloom sidecar over committed kept "
+        "hashes prefilters the cross-run exact-dedup semi-join "
+        "(broadcast-only probes; ~10 bits per expected committed key)",
+    )
     ap.add_argument("--targets", help="targets CSV (full-process job only)")
     ap.add_argument(
         "--start-marker",
@@ -223,6 +231,8 @@ def main() -> None:
             cmd += ["--lm-max-x16", str(args.lm_max_x16)]
         if args.bpe_merges:
             cmd += ["--bpe-merges", str(args.bpe_merges)]
+        if args.bloom_bits:
+            cmd += ["--bloom-bits", str(args.bloom_bits)]
     if args.job == "pack":
         if args.verdicts:
             cmd += ["--verdicts", args.verdicts]
