@@ -95,6 +95,55 @@ class SnapshotTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
 
+    def read_increment(
+        self,
+        spark: SparkSession,
+        since_ordinal: int,
+        until_ordinal: int | None = None,
+    ) -> DataFrame | None:
+        """Iceberg incremental-scan analog: ONLY the rows appended after
+        ``since_ordinal``, up to ``until_ordinal`` (default: current).
+        Because appends never rewrite data dirs, the increment is exactly
+        the file-set difference of the two manifests — a downstream
+        consumer (extract output feeding curation, verdicts feeding
+        packing) processes each commit's delta without scanning the
+        accumulated table or anti-joining keys: at 10^12 committed rows
+        the anti-join resume shuffles the key column of the WHOLE table
+        every run, while the incremental read plans only the new files.
+
+        Raises ValueError when the lineage between the two ordinals is
+        not append-only (an overwrite/compaction/recompute replaced the
+        layout — ``since``'s dirs are no longer a subset of ``until``'s):
+        "what's new" stops being a file-level question there, and the
+        caller must fall back to a full read (+ key anti-join if it needs
+        exactly-once). Iceberg's incremental scan has the same contract.
+        Returns None when no rows were appended."""
+        until = (
+            self.current_snapshot()
+            if until_ordinal is None
+            else self.snapshot_at(until_ordinal)
+        )
+        since = self.snapshot_at(since_ordinal)
+        if since is None or until is None:
+            raise ValueError(
+                f"read_increment: missing snapshot (since={since_ordinal}, "
+                f"until={until_ordinal})"
+            )
+        if not set(since["data_dirs"]) <= set(until["data_dirs"]):
+            raise ValueError(
+                "read_increment: non-append lineage between ordinals "
+                f"{since['ordinal']} and {until['ordinal']} (overwrite/"
+                "compaction rewrote the layout); fall back to read()"
+            )
+        new_dirs = [d for d in until["data_dirs"] if d not in set(since["data_dirs"])]
+        if not new_dirs:
+            return None
+        paths = [str(self.root / d) for d in new_dirs]
+        reader = spark.read
+        if len(new_dirs) > 1 and self._schemas_differ(new_dirs):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
     def _schemas_differ(self, data_dirs: list[str]) -> bool:
         """True when the live runs committed different column lists (or
         any run's manifest is unreadable — merge is the safe default)."""

@@ -588,13 +588,25 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument(
         "--input-format",
-        choices=("parquet", "warc", "wet"),
+        choices=("parquet", "warc", "wet", "snapshot"),
         default="parquet",
         help="parquet: a docs table (doc_id, url, text, ...); warc: a "
         "directory of .warc/.warc.gz archives read via sources/warc.py "
         "(doc_id = xxhash64(url) for stable resume keys); wet: CC's "
         "pre-extracted-text *.warc.wet(.gz) shards (conversion "
-        "records, same stable keys)",
+        "records, same stable keys); snapshot: a SnapshotTable root "
+        "(e.g. job_extract output) — with --since-ordinal only the "
+        "files APPENDED after that commit are planned (incremental "
+        "scan), the extract->curate chain's scale path",
+    )
+    ap.add_argument(
+        "--since-ordinal",
+        type=int,
+        default=None,
+        help="snapshot input only: read the increment appended after "
+        "this committed ordinal instead of the whole table "
+        "(io/snapshot.py read_increment; errors on rewritten lineage "
+        "— fall back to a full read there)",
     )
     ap.add_argument("--output", required=True)
     ap.add_argument(
@@ -696,6 +708,30 @@ def main() -> None:
         from ocr_parallel_spark.sources.warc import wet_docs
 
         docs = wet_docs(spark, args.input)
+    elif args.input_format == "snapshot":
+        # The extract -> curate chain: consume the extract job's
+        # committed output table. With --since-ordinal the scan plans
+        # ONLY the files appended after that commit — the resume
+        # anti-join still guarantees exactly-once on doc_id, but it now
+        # runs over the delta instead of the accumulated corpus.
+        from pyspark.sql import functions as F
+
+        src_table = SnapshotTable(args.input)
+        if args.since_ordinal is not None:
+            src = src_table.read_increment(spark, args.since_ordinal)
+        else:
+            src = src_table.read(spark)
+        if src is None:
+            print(json.dumps({"ordinal": -1, "noop": True,
+                              "reason": "no rows appended since ordinal"}))
+            spark.stop()
+            return
+        cols = set(src.columns)
+        docs = src
+        if "doc_id" not in cols:
+            docs = docs.withColumn("doc_id", F.xxhash64("url"))
+        if "source" not in cols:
+            docs = docs.withColumn("source", F.lit("snapshot"))
     else:
         docs = spark.read.parquet(args.input)
     blocked = None

@@ -77,8 +77,18 @@ def main() -> None:
     )
     ap.add_argument(
         "--input-format",
-        choices=["parquet", "warc", "wet"],
-        help="extract/curate jobs: read --input as raw WARC archives",
+        choices=["parquet", "warc", "wet", "snapshot"],
+        help="extract/curate jobs: read --input as raw WARC archives; "
+        "snapshot (curate only): a committed SnapshotTable, e.g. the "
+        "extract job's output (pair with --since-ordinal for the "
+        "incremental extract->curate chain)",
+    )
+    ap.add_argument(
+        "--since-ordinal",
+        type=int,
+        default=None,
+        help="curate job + snapshot input: process only the rows "
+        "appended after this committed ordinal (incremental scan)",
     )
     ap.add_argument(
         "--sniff-charset",
@@ -192,7 +202,11 @@ def main() -> None:
     ]
     if args.input:
         cmd += ["--input", args.input]
+    if args.since_ordinal is not None and args.job == "curate":
+        cmd += ["--since-ordinal", str(args.since_ordinal)]
     if args.input_format and args.job in ("extract", "curate"):
+        if args.job == "extract" and args.input_format == "snapshot":
+            ap.error("--input-format snapshot is curate-only")
         if args.job == "extract" and args.input_format == "wet":
             # WET shards carry pre-EXTRACTED text — there is no html for
             # the extract job to process. Fail here with a real message

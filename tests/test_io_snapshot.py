@@ -180,3 +180,34 @@ def test_expire_snapshots_validates_keep_last(spark, tmp_path):
     t.append(_mkdf(spark, range(3)))
     with pytest.raises(ValueError):
         t.expire_snapshots(keep_last=0)
+
+
+def test_read_increment_returns_only_appended_rows(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t10"))
+    t.append(_mkdf(spark, range(5)))          # ordinal 0
+    t.append(_mkdf(spark, range(5, 8)))       # ordinal 1
+    t.append(_mkdf(spark, range(8, 12)))      # ordinal 2
+    inc = t.read_increment(spark, since_ordinal=0)
+    assert sorted(r.v for r in inc.collect()) == list(range(5, 12))
+    inc12 = t.read_increment(spark, since_ordinal=1, until_ordinal=2)
+    assert sorted(r.v for r in inc12.collect()) == list(range(8, 12))
+    # nothing appended since current -> None
+    assert t.read_increment(spark, since_ordinal=2) is None
+
+
+def test_read_increment_rejects_rewritten_lineage(spark, tmp_path):
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "t11"))
+    t.append(_mkdf(spark, range(5)))          # ordinal 0
+    t.append(_mkdf(spark, range(5, 8)))       # ordinal 1
+    t.compact(spark)                          # ordinal 2: layout rewritten
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_increment(spark, since_ordinal=0)
+    # but increments WITHIN the post-compaction lineage work again
+    t.append(_mkdf(spark, range(8, 10)))      # ordinal 3
+    inc = t.read_increment(spark, since_ordinal=2)
+    assert sorted(r.v for r in inc.collect()) == [8, 9]
+    # and a missing ordinal is an explicit error, not a silent full read
+    with pytest.raises(ValueError, match="missing snapshot"):
+        t.read_increment(spark, since_ordinal=99)
