@@ -40,6 +40,7 @@ HEADLINE = [
     "full_process_boundaries",
     "repeated_spans",
     "winnowed_spans",
+    "excise_spans",
     "pagerank_dangling",
     "ann_lsh_topk_wide",
     "curation_pipeline",

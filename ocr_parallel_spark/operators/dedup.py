@@ -89,3 +89,75 @@ def dedup_savings(df: DataFrame, key_cols: list[str]) -> DataFrame:
             F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in key_cols])
         ).alias("duplicate_rows"),
     )
+
+
+def excise_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "norm",
+    id_col: str = "doc_id",
+    w: int = 15,
+) -> DataFrame:
+    """Exact-substring span SURGERY (the removal half of Lee et al.'s
+    'Deduplicating Training Data Makes Language Models Better', public):
+    q_repeated_spans only MARKS docs carrying cross-corpus repeated
+    windows; this operator excises the repeated tokens from every
+    NON-CANONICAL copy. A token is removed iff it is covered by some
+    w-token stride-1 window whose hash occurs in >= 2 distinct docs and
+    whose canonical owner (min id, the engine's keep-first canon) is a
+    different doc — the canonical doc keeps its copy, so no content is
+    lost from the corpus, and boilerplate paragraphs quoted across pages
+    vanish from all but one.
+
+    Plan shape: one explode to (id, start, 32-byte hash) rows (~1 row
+    per token — window TEXT never leaves the map side, exactly the
+    repeated_spans discipline), one hash-keyed agg for (doc-frequency,
+    owner), one join-back, then per-doc bad-start arrays drive an
+    in-row token filter — position p drops iff a bad start lies in
+    [p-w+1, p]. The rebuild cost is O(tokens x bad_starts) per doc,
+    paid ONLY by docs that have bad windows (clean docs skip via the
+    left join's NULL). At 100 TB run the two-pass shape: winnowed
+    fingerprints (q_winnowed_spans, ~2/(w+1) of stride-1 rows) flag
+    candidate docs first, then this surgery runs on the flagged slice
+    — detection tolerates winnowing's sampling, removal needs stride-1
+    coverage, so the cheap pass gates the exact one."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    d = docs.select(id_col, toks.alias("_toks"))
+    n = F.size("_toks")
+    # guard: sequence(1, n-w+1) DESCENDS for n < w (Spark semantics)
+    wins_arr = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("i"),
+                F.sha2(F.array_join(F.slice(F.col("_toks"), i, w), " "), 256)
+                .alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,h:string>>"))
+    wins = d.select(id_col, F.explode(wins_arr).alias("_s")).select(
+        id_col, F.col("_s.i").alias("_i"), F.col("_s.h").alias("_h")
+    )
+    stats = wins.groupBy("_h").agg(
+        F.count_distinct(id_col).alias("_nd"), F.min(id_col).alias("_owner")
+    )
+    bad = (
+        wins.join(stats.filter(F.col("_nd") >= 2), "_h")
+        .filter(F.col("_owner") != F.col(id_col))
+        .groupBy(id_col)
+        .agg(F.collect_list("_i").alias("_bad"))
+    )
+    out = docs.select(id_col, toks.alias("_toks")).join(bad, id_col, "left")
+    badc = F.coalesce(F.col("_bad"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, p: ~F.exists(
+            badc, lambda s: (s <= p + 1) & (s >= p + 2 - w)
+        ),
+    )
+    return out.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("deduped_text"),
+    )

@@ -2434,6 +2434,27 @@ SPAN_W = 15
 WINNOW_W = 4
 
 
+def q_excise_spans(spark, sf_dir):
+    """Exact-substring span SURGERY (operators/dedup.py
+    excise_repeated_spans — the removal half of Lee et al.): the same
+    planted corpus as q_repeated_spans (20-token SHARED_SPAN appended on
+    doc_id % 9 == 0), but instead of marking, the repeated windows are
+    EXCISED from every non-canonical copy; the min-id owner keeps its
+    tokens. Per doc: token count, removed count, and the rebuilt text —
+    the oracle replays window hashing, ownership, coverage, and the
+    byte-exact reconstruction."""
+    from ocr_parallel_spark.operators.dedup import excise_repeated_spans
+
+    d = _docs(spark, sf_dir)
+    text = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.col("norm"), F.lit(" " + SHARED_SPAN)),
+    ).otherwise(F.col("norm"))
+    return excise_repeated_spans(
+        d.select("doc_id", text.alias("norm")), "norm", "doc_id", SPAN_W
+    )
+
+
 def q_repeated_spans(spark, sf_dir):
     """Span-level exact-substring dedup signal (the Spark-shaped reading
     of Lee et al.'s 'Deduplicating Training Data Makes Language Models
@@ -3150,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stability is already pinned by four rounds of green driver files.
     return {
         # -- round-5 additions (newest first) -------------------------------
+        "excise_spans": q_excise_spans,
         "bloom_seen": q_bloom_seen,
         "semdedup": q_semdedup,
         "semdedup_recall": q_semdedup_recall,
@@ -3607,6 +3629,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_curation": _curation_sql(),
         "curation_pipeline": _curation_full_sql(),
+        "excise_spans": f"""
+            WITH {_DOCS_CTE},
+            t AS MATERIALIZED (
+              SELECT doc_id, string_split(COALESCE(
+                CASE WHEN doc_id % 9 = 0
+                     THEN norm || ' {SHARED_SPAN}' ELSE norm END,
+                ''), ' ') AS toks
+              FROM docs
+            ),
+            wn AS MATERIALIZED (
+              SELECT doc_id, i,
+                     sha256(array_to_string(toks[i:i+{SPAN_W - 1}], ' ')) AS h
+              FROM t, UNNEST(generate_series(1,
+                     greatest(len(toks) - {SPAN_W - 1}, 0))) AS u(i)
+            ),
+            st AS (
+              SELECT h, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+              FROM wn GROUP BY h
+            ),
+            bad AS (
+              SELECT wn.doc_id, wn.i
+              FROM wn JOIN st USING (h)
+              WHERE st.nd >= 2 AND st.owner <> wn.doc_id
+            ),
+            pos AS (
+              SELECT doc_id, p, toks[p] AS tok
+              FROM t, UNNEST(generate_series(1, len(toks))) AS u(p)
+            ),
+            rem AS (
+              SELECT DISTINCT pos.doc_id, pos.p
+              FROM pos JOIN bad b ON b.doc_id = pos.doc_id
+               AND b.i BETWEEN pos.p - {SPAN_W - 1} AND pos.p
+            ),
+            kept AS (
+              SELECT pos.doc_id,
+                     count(*) AS n_tok,
+                     count(*) FILTER (WHERE r.p IS NOT NULL) AS n_rem,
+                     COALESCE(string_agg(tok, ' ' ORDER BY pos.p)
+                       FILTER (WHERE r.p IS NULL), '') AS deduped_text
+              FROM pos LEFT JOIN rem r
+                ON r.doc_id = pos.doc_id AND r.p = pos.p
+              GROUP BY pos.doc_id
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+                   CAST(n_rem AS BIGINT) AS n_removed, deduped_text
+            FROM kept
+        """,
         "repeated_spans": f"""
             WITH {_DOCS_CTE},
             t AS (

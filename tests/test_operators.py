@@ -373,3 +373,51 @@ def test_pagerank_dangling_redistribution_conserves_mass(spark):
     assert tele < scale * 0.9  # the leak the option exists to fix
     with pytest.raises(ValueError, match="dangling"):
         pagerank_int(edges, nodes=nodes, dangling="bogus")
+
+
+# ---------------------------------------------------- span surgery (Lee et al.)
+
+
+def test_excise_repeated_spans_removes_only_non_canonical_copies(spark):
+    from ocr_parallel_spark.operators.dedup import excise_repeated_spans
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    rows = [
+        (1, "u1 u2 u3 u4 u5 u6 u7 u8"),              # unique, untouched
+        (2, "p1 p2 p3 " + span),                      # canonical owner
+        (3, "q1 q2 q3 q4 " + span),                   # non-canonical copy
+        (4, "w1 w2"),                                 # shorter than window
+        (5, None),                                    # NULL text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, norm string")
+    out = {r.doc_id: r for r in
+           excise_repeated_spans(docs, "norm", "doc_id", w=5).collect()}
+    assert len(out) == 5
+    # unique and short docs unchanged
+    assert out[1].deduped_text == rows[0][1] and out[1].n_removed == 0
+    assert out[4].deduped_text == "w1 w2" and out[4].n_removed == 0
+    assert out[5].deduped_text == "" and out[5].n_removed == 0
+    # the min-id owner keeps its copy byte-for-byte
+    assert out[2].deduped_text == rows[1][1] and out[2].n_removed == 0
+    # the non-canonical copy loses EXACTLY the shared 10-token span:
+    # in-span windows (6 of them) cover span tokens; boundary windows
+    # mix the differing prefixes and are not shared
+    assert out[3].deduped_text == "q1 q2 q3 q4"
+    assert out[3].n_removed == 10 and out[3].n_tokens == 14
+
+
+def test_excise_repeated_spans_three_copies_one_owner(spark):
+    """With three copies, the one min-id owner keeps the span and BOTH
+    later copies lose it — removal never cascades onto the canon."""
+    from ocr_parallel_spark.operators.dedup import excise_repeated_spans
+
+    span = "t1 t2 t3 t4 t5 t6 t7"
+    docs = spark.createDataFrame(
+        [(10, "a1 a2 " + span), (20, "b1 b2 b3 " + span), (30, "c1 " + span)],
+        "doc_id long, norm string",
+    )
+    out = {r.doc_id: r for r in
+           excise_repeated_spans(docs, "norm", "doc_id", w=4).collect()}
+    assert out[10].n_removed == 0
+    assert out[20].deduped_text == "b1 b2 b3" and out[20].n_removed == 7
+    assert out[30].deduped_text == "c1" and out[30].n_removed == 7
