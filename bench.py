@@ -68,6 +68,7 @@ HEADLINE = [
     "ordered_concat",
     "sessionize",
     "sketch_stats",
+    "cms_heavy",
     "weighted_sample",
     "sequence_pack",
     "shard_shuffle",

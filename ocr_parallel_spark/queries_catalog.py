@@ -633,6 +633,38 @@ def _doc_lines(spark, sf_dir):
     return d.select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
 
 
+# CMS gate sizing: 16k columns x 4 rows over the ~tens-of-thousands of
+# distinct corpus lines — collisions exist (the min-of-rows matters) but
+# the planted banners dominate their cells. Production sizing scales
+# width with the heavy-hitter threshold (eps ~ e/width), not key count.
+CMS_W = 16384
+CMS_D = 4
+
+
+def q_cms_heavy(spark, sf_dir):
+    """Count-Min heavy-hitter discovery (functions/cms.py) over the
+    corpus LINE stream — the sketch path to the boilerplate banners that
+    line_dedup counts exactly: build the bounded depth x width grid in
+    one map-combinable agg, estimate every distinct line, and pin the
+    CMS laws per line: est >= true (never undercounts, hence
+    'est >= threshold' has no false negatives — the candidate-prefilter
+    property) and exactly-reproducible estimates. The oracle replays
+    build and estimate cell-for-cell."""
+    from ocr_parallel_spark.functions.cms import cms_build, cms_estimate
+
+    lines = _doc_lines(spark, sf_dir).select("line")
+    grid = cms_build(lines, "line", CMS_W, CMS_D)
+    truth = lines.groupBy("line").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cms_estimate(truth, "line", grid, CMS_W, CMS_D)
+    return est.select(
+        "line",
+        "true_count",
+        "est_count",
+        (F.col("est_count") >= F.col("true_count")).alias("over_ok"),
+        (F.col("est_count") >= LINE_DEDUP_MIN_COUNT).alias("is_heavy_est"),
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style inter-document line dedup: drop every line occurring
     >= 5 times corpus-wide (the planted cookie/newsletter banners), keep
@@ -3171,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stability is already pinned by four rounds of green driver files.
     return {
         # -- round-5 additions (newest first) -------------------------------
+        "cms_heavy": q_cms_heavy,
         "excise_spans": q_excise_spans,
         "bloom_seen": q_bloom_seen,
         "semdedup": q_semdedup,
@@ -4109,6 +4142,56 @@ def oracle_sql() -> dict[str, str]:
                        doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
             )
+        """,
+        "cms_heavy": f"""
+            WITH {_DOCS_CTE},
+            t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs),
+            idx AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(
+                       CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS line_no
+              FROM t
+            ),
+            content AS (
+              SELECT doc_id, CAST(line_no AS INT) AS line_no,
+                     array_to_string(
+                       toks[(line_no-1)*8+1 : (line_no-1)*8+8], ' ') AS line
+              FROM idx
+            ),
+            alllines AS MATERIALIZED (
+              SELECT doc_id, 0 AS line_no,
+                     CASE WHEN doc_id % 2 = 0 THEN '{BOILER_A}'
+                          ELSE '{BOILER_B}' END AS line
+              FROM docs
+              UNION ALL SELECT doc_id, line_no, line FROM content
+            ),
+            cells AS MATERIALIZED (
+              SELECT i AS row_idx,
+                     ('0x' || substr(sha256(line), 1 + 8*i, 8))::UBIGINT
+                       % {CMS_W} AS col_idx,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM alllines,
+                   UNNEST(generate_series(0, {CMS_D - 1})) AS u(i)
+              GROUP BY 1, 2
+            ),
+            truth AS (
+              SELECT line, CAST(count(*) AS BIGINT) AS true_count
+              FROM alllines GROUP BY line
+            ),
+            est AS (
+              SELECT t2.line, t2.true_count,
+                     CAST(min(c.cnt) AS BIGINT) AS est_count
+              FROM truth t2
+              CROSS JOIN UNNEST(generate_series(0, {CMS_D - 1})) AS u(i)
+              JOIN cells c ON c.row_idx = u.i
+               AND c.col_idx = ('0x' || substr(sha256(t2.line), 1 + 8*u.i, 8))
+                     ::UBIGINT % {CMS_W}
+              GROUP BY t2.line, t2.true_count
+            )
+            SELECT line, true_count, est_count,
+                   est_count >= true_count AS over_ok,
+                   est_count >= {LINE_DEDUP_MIN_COUNT} AS is_heavy_est
+            FROM est
         """,
         "line_dedup": f"""
             WITH {_DOCS_CTE},
