@@ -309,6 +309,53 @@ def main() -> None:
     )
     sections.append(
         (
+            "SemDedup (k-means cells, within-cell epsilon-dup marks)",
+            "Centroids ride the plan as literals (driver-sampled k-means); "
+            "the only quadratic work is the within-cell self-join, bounded "
+            "by cell occupancy and the deterministic max_cell rank cap; "
+            "pairs carry (id, cell, unit-vector) only and candidates are "
+            "exact-cosine-verified inside codegen — no Python anywhere.",
+            plan_of(q["semdedup"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
+            "Bloom membership probe (cross-run dedup sidecar)",
+            "The probe side of bloom_seen: n_hashes BroadcastHashJoins "
+            "against the bounded word table — no hash exchange on the "
+            "corpus side, so probing 10^12 new rows is a map pass; the "
+            "build/agg exchanges visible here belong to the word table "
+            "(bounded at n_bits/64 rows) and the gate's truth join, both "
+            "absent when probing against a PERSISTED sidecar "
+            "(tests/test_bloom.py pins the persisted-probe plan at zero "
+            "hashpartitioning).",
+            plan_of(q["bloom_seen"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
+            "Count-Min heavy-hitter estimate",
+            "cms_heavy: the grid build is one map-combinable agg bounded "
+            "at depth x width cells; estimates are depth broadcast joins + "
+            "least() in codegen. The exchanges here serve the gate's exact "
+            "truth counts; a persisted-grid estimate is broadcast-only "
+            "(tests/test_cms.py pins it).",
+            plan_of(q["cms_heavy"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
+            "Span surgery (excise repeated windows)",
+            "Window text never leaves the map side — only (id, start, "
+            "32-byte hash) rows shuffle into the (doc-frequency, owner) "
+            "agg; the token-filter rebuild is an in-row higher-order "
+            "expression driven by per-doc bad-start arrays, paid only by "
+            "docs that joined a bad window.",
+            plan_of(q["excise_spans"](spark, SF), "simple"),
+        )
+    )
+    sections.append(
+        (
             "Scan pushdown / pruning",
             "Filter + projection reach the parquet reader (PushedFilters, "
             "2-column ReadSchema).",

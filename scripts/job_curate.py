@@ -42,6 +42,9 @@ def build_output(
     prior_bloom=None,
     bloom_bits: int = 0,
     bloom_hashes: int = 4,
+    embeddings=None,
+    sem_threshold: float = 0.9,
+    sem_cells: int = 64,
 ):
     """The batch curation composition; returns one verdict row per doc.
 
@@ -531,12 +534,59 @@ def build_output(
             "minhash_bands", F.lit(None).cast("array<bigint>")
         )
 
+    if embeddings is not None:
+        # SemDedup screen (--embeddings): embedding-level duplicate
+        # removal for pages whose TEXT differs but whose content does
+        # not (templated rewrites, boilerplate-divergent mirrors) —
+        # the layer MinHash cannot see. Runs LAST among the dup stages
+        # over docs that survived everything else, so a textual-dup
+        # canon never loses its slot to a semantic twin. Within-run
+        # (and --recompute) only: cross-run semantic dedup would need
+        # persisted per-doc embeddings, which the verdict table does
+        # not carry — documented boundary, mirroring where cross-run
+        # near-dup was before round 4.
+        from ocr_parallel_spark.functions.similarity import (
+            kmeans_centroids,
+            semdedup_marks,
+        )
+
+        sem_surv = j.filter(
+            F.col("drop_reason").isNull()
+            & (F.col("n_kept_lines") > 0)
+            & ~F.col("contaminated")
+            & ~F.col("_dup")
+            & ~F.col("_near")
+        ).select("doc_id")
+        vecs = sem_surv.join(
+            embeddings.select("doc_id", "embedding"), "doc_id"
+        )
+        if vecs.limit(1).count() > 0:
+            cents = kmeans_centroids(
+                vecs, n_cells=sem_cells, id_col="doc_id"
+            )
+            sem = (
+                semdedup_marks(
+                    vecs, cents, sem_threshold, id_col="doc_id"
+                )
+                .filter(F.col("is_sem_dup"))
+                .select("doc_id")
+                .withColumn("_sem", F.lit(True))
+            )
+            j = j.join(sem, "doc_id", "left").withColumn(
+                "_sem", F.coalesce(F.col("_sem"), F.lit(False))
+            )
+        else:
+            j = j.withColumn("_sem", F.lit(False))
+    else:
+        j = j.withColumn("_sem", F.lit(False))
+
     reason = F.coalesce(
         F.col("drop_reason"),
         F.when(F.col("n_kept_lines") == 0, F.lit("boilerplate"))
         .when(F.col("contaminated"), F.lit("contaminated"))
         .when(F.col("_dup"), F.lit("dup"))
-        .when(F.col("_near"), F.lit("near_dup")),
+        .when(F.col("_near"), F.lit("near_dup"))
+        .when(F.col("_sem"), F.lit("sem_dup")),
     )
     # The verdict table doubles as the CURATED CORPUS: kept docs carry
     # their cleaned text (dropped docs carry NULL — at 100 TB the
@@ -670,6 +720,23 @@ def main() -> None:
         help="fit a deterministic N-merge BPE on the input corpus and "
         "emit n_bpe_tokens (count of kept_text) on every kept verdict "
         "row; feeds job_pack --n-tokens-col n_bpe_tokens",
+    )
+    ap.add_argument(
+        "--embeddings",
+        help="parquet of per-doc embeddings (doc_id or vec_id + "
+        "embedding array): adds the SemDedup screen — k-means cells, "
+        "within-cell cosine >= --sem-threshold marks, min-id canon; "
+        "non-canonical members drop as sem_dup (within-run / recompute "
+        "scope; functions/similarity.py semdedup_marks)",
+    )
+    ap.add_argument("--sem-threshold", type=float, default=0.9)
+    ap.add_argument(
+        "--sem-cells",
+        type=int,
+        default=64,
+        help="SemDedup k-means cell count (size so avg occupancy keeps "
+        "the within-cell pair join tractable; occupancy is also "
+        "hard-capped in the operator)",
     )
     ap.add_argument(
         "--bloom-bits",
@@ -836,6 +903,15 @@ def main() -> None:
             with open(merges_path, "w") as fh:
                 _json.dump(merges_to_strings(bpe_merges), fh)
 
+    emb_df = None
+    if args.embeddings:
+        from pyspark.sql import functions as F
+
+        emb_df = spark.read.parquet(args.embeddings)
+        if "doc_id" not in emb_df.columns and "vec_id" in emb_df.columns:
+            emb_df = emb_df.withColumnRenamed("vec_id", "doc_id")
+        emb_df = emb_df.select("doc_id", "embedding")
+
     def transform(d):
         return build_output(
             spark,
@@ -868,6 +944,9 @@ def main() -> None:
             prior_kept_neardup=prior_neardup,
             prior_bloom=prior_bloom,
             bloom_bits=args.bloom_bits,
+            embeddings=emb_df,
+            sem_threshold=args.sem_threshold,
+            sem_cells=args.sem_cells,
         )
 
     if args.recompute:

@@ -153,6 +153,13 @@ def main() -> None:
         help="curate job: hashed-linear classifier screen (low_quality)",
     )
     ap.add_argument(
+        "--embeddings",
+        help="curate job: per-doc embeddings parquet — adds the SemDedup "
+        "screen (drop_reason sem_dup)",
+    )
+    ap.add_argument("--sem-threshold", type=float, default=None)
+    ap.add_argument("--sem-cells", type=int, default=None)
+    ap.add_argument(
         "--bloom-bits",
         type=int,
         default=0,
@@ -247,6 +254,12 @@ def main() -> None:
             cmd += ["--bpe-merges", str(args.bpe_merges)]
         if args.bloom_bits:
             cmd += ["--bloom-bits", str(args.bloom_bits)]
+        if args.embeddings:
+            cmd += ["--embeddings", args.embeddings]
+        if args.sem_threshold is not None:
+            cmd += ["--sem-threshold", str(args.sem_threshold)]
+        if args.sem_cells is not None:
+            cmd += ["--sem-cells", str(args.sem_cells)]
     if args.job == "pack":
         if args.verdicts:
             cmd += ["--verdicts", args.verdicts]

@@ -621,3 +621,48 @@ def test_lm_ref_screen(spark, sf_dir):
         if r.kept:
             assert r.surprise_x16 is None or r.surprise_x16 <= 300
     assert n_high > 0
+
+
+def test_sem_dedup_screen_drops_embedding_twins(spark):
+    """--embeddings adds the SemDedup stage: docs whose TEXT differs but
+    whose embeddings sit at cosine >= threshold drop as sem_dup (min-id
+    canon keeps); docs without an embedding row are untouched."""
+    body = (
+        "totally different subject matter entirely about gardens and "
+        "orchards with apples pears plums cherries apricots figs and "
+        "many other fruit trees growing happily in rows beside the old "
+        "farm house where the gardener tends them every single morning "
+    )
+    alt = (
+        "another long passage concerning sailing ships and the harbors "
+        "they visit carrying spices silks and letters across the wide "
+        "ocean to distant ports where merchants wait eagerly for news "
+        "of their cargo and the tides that will bring the fleet home "
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ok.org/a", body, "en", "s"),
+            (2, "https://ok.org/b", alt, "en", "s"),           # semantic twin of 1
+            (3, "https://ok.org/c", alt + "unique tail ", "en", "s"),  # no embedding
+        ],
+        "doc_id long, url string, text string, lang string, source string",
+    )
+    # doc 1 and 2: same direction; doc 3 has NO embedding row
+    emb = spark.createDataFrame(
+        [
+            (1, [10.0, 1.0] + [0.0] * 14),
+            (2, [10.0, 1.1] + [0.0] * 14),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = {r.doc_id: r for r in job.build_output(
+        spark, docs, None, None, embeddings=emb, sem_cells=1
+    ).collect()}
+    assert out[1].kept
+    assert out[2].drop_reason == "sem_dup" and not out[2].kept
+    assert out[3].kept
+    # and without embeddings the same corpus keeps everything
+    out2 = {r.doc_id: r for r in job.build_output(
+        spark, docs, None, None
+    ).collect()}
+    assert out2[2].kept
