@@ -56,6 +56,7 @@ HEADLINE = [
     "bm25_search",
     "dup_components",
     "line_dedup",
+    "line_dedup_cms",
     "theta_join_localization",
     "pii_scrub",
     "token_budget_mix",

@@ -32,6 +32,8 @@ def dedup_lines(
     id_col: str = "doc_id",
     line_no_col: str = "line_no",
     line_col: str = "line",
+    cms_width: int = 0,
+    cms_depth: int = 4,
 ) -> DataFrame:
     """Drop every line appearing in >= ``min_count`` DISTINCT documents
     corpus-wide; reassemble each document from its surviving lines in
@@ -48,15 +50,42 @@ def dedup_lines(
     counting and the join-back then shuffle 32-byte keys instead of
     arbitrarily long line bodies (the line text itself stays on the
     lines side and never crosses the count exchange).
+
+    ``cms_width`` > 0 turns on the Count-Min PREFILTER (functions/
+    cms.py): a bounded depth x width grid over the line-key multiset is
+    built first (map-combinable, cells shuffle — never occurrences),
+    and only occurrences whose estimate reaches ``min_count`` enter the
+    exact distinct-doc count. Because a CMS never undercounts and
+    distinct-doc count <= occurrence count <= estimate, a filtered-out
+    line provably sits below the threshold — results are IDENTICAL to
+    the exact path (the ``line_dedup_cms`` oracle pins them against the
+    plain line_dedup SQL), but the distinct-count exchange now carries
+    only boilerplate-candidate rows. At crawl scale that is the whole
+    game: almost every line is a singleton, and the exact path shuffles
+    each one just to prove it; size the grid at roughly the expected
+    heavy-hitter count x e per row.
     """
     key = F.sha2(F.col(line_col), 256).alias("_line_key")
     keyed = lines.select(id_col, line_no_col, line_col, key)
-    freq = keyed.groupBy("_line_key").agg(
+    count_src = keyed
+    if cms_width:
+        from ocr_parallel_spark.functions.cms import cms_build, cms_estimate
+
+        grid = cms_build(
+            keyed.select("_line_key"), "_line_key", cms_width, cms_depth
+        )
+        count_src = cms_estimate(
+            keyed, "_line_key", grid, cms_width, cms_depth, "_cms_est"
+        ).filter(F.col("_cms_est") >= min_count)
+    freq = count_src.groupBy("_line_key").agg(
         F.count_distinct(F.col(id_col)).alias("_line_docs")
     )
-    kept = F.col("_line_docs") < min_count
+    # left join + coalesce-0: under the prefilter, sub-threshold lines
+    # are absent from freq BY PROOF (est < min_count); without it the
+    # join is effectively inner (every key counted) — same results.
+    kept = F.coalesce(F.col("_line_docs"), F.lit(0)) < min_count
     return (
-        keyed.join(freq, "_line_key")
+        keyed.join(freq, "_line_key", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -678,6 +678,23 @@ def q_line_dedup(spark, sf_dir):
     return dedup_lines(_doc_lines(spark, sf_dir), min_count=LINE_DEDUP_MIN_COUNT)
 
 
+def q_line_dedup_cms(spark, sf_dir):
+    """Count-Min-PREFILTERED line dedup: identical semantics to
+    q_line_dedup — its oracle IS the plain line_dedup SQL — but only
+    occurrences whose CMS estimate reaches the threshold enter the
+    exact distinct-doc count (operators/linededup.py, cms_width). The
+    driver gate thus pins the approximate-prefilter path equal to the
+    exact answer: the no-false-negative law doing real work."""
+    from ocr_parallel_spark.operators.linededup import dedup_lines
+
+    return dedup_lines(
+        _doc_lines(spark, sf_dir),
+        min_count=LINE_DEDUP_MIN_COUNT,
+        cms_width=CMS_W,
+        cms_depth=CMS_D,
+    )
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style intra-document repetition signals: duplicate-line
     count (docs % 5 == 0 get their first line replanted at the tail) and
@@ -3203,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stability is already pinned by four rounds of green driver files.
     return {
         # -- round-5 additions (newest first) -------------------------------
+        "line_dedup_cms": q_line_dedup_cms,
         "cms_heavy": q_cms_heavy,
         "excise_spans": q_excise_spans,
         "bloom_seen": q_bloom_seen,
@@ -3408,7 +3426,7 @@ perdoc AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "normalize_text": f"SELECT doc_id, {NORM_SQL} AS norm_text FROM documents",
         "status_classify": (
             f"WITH {_DOCS_CTE} SELECT doc_id, {_STATUS_CASE} AS status FROM docs"
@@ -5038,6 +5056,10 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot t ON t.media_id = m.media_id
         """,
     }
+    # The CMS-prefiltered line dedup is pinned IDENTICAL to the exact
+    # path — its oracle is literally the plain line_dedup SQL.
+    out["line_dedup_cms"] = out["line_dedup"]
+    return out
 
 
 def _variants_sql() -> str:

@@ -844,3 +844,31 @@ def test_shard_shuffle_null_key_distinct(spark):
     rows = shard_shuffle(df, 4).collect()
     assert len(rows) == 3
     assert all(r.shard_id is not None and r.shard_pos is not None for r in rows)
+
+
+def test_dedup_lines_cms_prefilter_identical_results(spark):
+    """The CMS prefilter is a pure optimization: with a grid small
+    enough to force collisions, the prefiltered path still returns
+    byte-identical results to the exact path (a collision only ADDS a
+    candidate — never hides a heavy line)."""
+    from ocr_parallel_spark.operators.linededup import dedup_lines
+
+    rows = []
+    for d in range(40):
+        rows.append((d, 0, "the shared cookie banner line"))
+        rows.append((d, 1, f"unique content line number {d}"))
+        if d % 2 == 0:
+            rows.append((d, 2, "another frequent footer line"))
+    lines = spark.createDataFrame(rows, "doc_id long, line_no int, line string")
+    exact = sorted(map(tuple, dedup_lines(lines, min_count=5).collect()))
+    # width 8: collisions guaranteed (3 distinct-ish keys + 40 uniques)
+    cms = sorted(
+        map(tuple, dedup_lines(lines, min_count=5, cms_width=8).collect())
+    )
+    wide = sorted(
+        map(tuple, dedup_lines(lines, min_count=5, cms_width=65536).collect())
+    )
+    assert exact == cms == wide and len(exact) == 40
+    # sanity: the banners really were dropped, uniques kept
+    by_id = {t[0]: t for t in exact}
+    assert "cookie" not in by_id[0][3] and "unique content" in by_id[0][3]
