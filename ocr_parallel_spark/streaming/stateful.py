@@ -294,3 +294,133 @@ def streaming_near_dup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------- streaming sem-dedup --
+
+_SD_OUT_SCHEMA = "doc_id bigint, sem_rep bigint"
+_SD_STATE_SCHEMA = "ids array<bigint>, vecs array<binary>, norms array<double>"
+
+
+def _make_semdedup_fn(threshold: float, max_cell: int):
+    def dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            ids, vecs, norms = state.get
+            ids = list(ids)
+            vecs = [bytes(v) for v in vecs]
+            norms = list(norms)
+        else:
+            ids, vecs, norms = [], [], []
+        seen = set(ids)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update((ids, vecs, norms))
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values("doc_id")
+        mats = [np.frombuffer(v, dtype="<f8") for v in vecs]
+        out_ids, out_reps = [], []
+        for doc_id, vb, vn in zip(pdf["doc_id"], pdf["vec"], pdf["vnorm"]):
+            doc_id, vb, vn = int(doc_id), bytes(vb), float(vn)
+            v = np.frombuffer(vb, dtype="<f8")
+            best = None
+            for pid, pv, pn in zip(ids, mats, norms):
+                if pid >= doc_id:
+                    continue  # keep-earliest: only earlier docs own rep slots
+                d = pn * vn
+                if d > 0:
+                    # sequential left-to-right adds — the exact IEEE fold
+                    # Spark's aggregate() performs in the batch twin, so
+                    # stream == batch holds bit-for-bit
+                    s = 0.0
+                    for x, y in zip(pv, v):
+                        s += float(x) * float(y)
+                    cos = s / d
+                else:
+                    cos = 0.0
+                if round(cos, 4) >= threshold and (best is None or pid < best):
+                    best = pid
+            if best is not None:
+                out_ids.append(doc_id)
+                out_reps.append(best)
+            if len(ids) < max_cell and doc_id not in seen:
+                seen.add(doc_id)
+                ids.append(doc_id)
+                vecs.append(vb)
+                norms.append(vn)
+                mats.append(v)
+        state.update((ids, vecs, norms))
+        if out_ids:
+            yield pd.DataFrame({"doc_id": out_ids, "sem_rep": out_reps})
+
+    return dedup
+
+
+def streaming_sem_dedup(
+    docs_stream: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    max_cell: int = 4096,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming SemDedup — the stateful twin of
+    ``functions/similarity.py semdedup_marks`` with PRETRAINED
+    centroids: k-means is fit offline on a committed sample (the
+    build-once shape of the persisted IVF index) while the stream
+    assigns cells and screens arrivals. Cell assignment and the
+    per-row vector/norm prep run as the SAME stateless Spark
+    expressions the batch twin uses (``ivf_assign`` + ``_prep_vec``) —
+    identical by construction — then one Arrow pass packs the double
+    vector to bytes and the stateful exchange shuffles (cell, doc_id,
+    8B x dim vector, norm) rows. State per cell: the members seen so
+    far, capped at ``max_cell``; an arriving doc compares against its
+    cell's earlier members with the exact cosine the batch operator
+    computes (sequential IEEE fold) and emits (doc_id, sem_rep =
+    min-id match) — append mode, rows final.
+
+    Cap semantics mirror streaming_near_dup's deliberate divergence:
+    the batch twin caps by (xxhash64(id), id) rank while the stream —
+    which cannot rank what has not arrived — admits the first
+    ``max_cell`` arrivals and keeps screening against that prefix;
+    the pinned stream==batch equivalence holds for cells within the
+    cap. Re-delivered doc_ids are membership-checked (at-least-once
+    sources). State growth is bounded per cell but linear in cells x
+    cap x (8 x dim + 16) bytes; the periodic-recompute arbiter is the
+    batch-side answer to unbounded history, exactly as for near-dup."""
+    from ocr_parallel_spark.functions.similarity import _prep_vec, ivf_assign
+
+    assigned = ivf_assign(
+        docs_stream.select(id_col, vec_col), centroids, vec_col, 1
+    ).select(id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell"))
+    prepped = _prep_vec(assigned, vec_col, "_v").drop(vec_col)
+
+    def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "cell": pdf["cell"],
+                    "doc_id": pdf[id_col],
+                    "vec": [
+                        np.asarray(v, dtype="<f8").tobytes()
+                        for v in pdf["_vvec"]
+                    ],
+                    "vnorm": pdf["_vnorm"],
+                }
+            )
+
+    rows = prepped.mapInPandas(
+        pack, "cell int, doc_id bigint, vec binary, vnorm double"
+    )
+    return rows.groupBy("cell").applyInPandasWithState(
+        _make_semdedup_fn(threshold, max_cell),
+        outputStructType=_SD_OUT_SCHEMA,
+        stateStructType=_SD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -255,3 +255,76 @@ def test_streaming_near_dup_matches_batch_and_survives_restart(spark, tmp_path):
     assert got == expect
     assert expect.get(3) == 1 and expect.get(4) == 1  # incl. the cross-restart pair
     assert 2 not in expect and 5 not in expect
+
+
+def test_streaming_sem_dedup_matches_batch_and_survives_restart(spark, tmp_path):
+    """Streaming SemDedup == the batch semdedup_marks twin (same
+    pretrained centroids) on ascending-id arrivals, INCLUDING a twin
+    whose earlier member arrived before a restart — the cell state
+    (ids, packed vectors, norms) lives in the checkpointed store."""
+    from ocr_parallel_spark.functions.similarity import (
+        kmeans_centroids,
+        semdedup_marks,
+    )
+    from ocr_parallel_spark.streaming.stateful import streaming_sem_dedup
+
+    inp, out, ckpt = (
+        str(tmp_path / "sin"),
+        str(tmp_path / "sout"),
+        str(tmp_path / "sck"),
+    )
+    dim = 16
+
+    def vec(kind, jitter):
+        if kind == "a":
+            return [100.0 + jitter, 1.0] + [0.0] * (dim - 2)
+        if kind == "b":
+            return [0.0, 0.0, 80.0, jitter] + [0.0] * (dim - 4)
+        return [0.0] * 8 + [float(jitter) + 5.0] + [0.0] * (dim - 9)
+
+    chunk1 = [
+        (1, vec("a", 0.0)),
+        (2, vec("b", 0.0)),
+        (3, vec("a", 0.5)),       # sem twin of 1, same batch
+        (4, vec("c", 1.0)),       # singleton
+    ]
+    chunk2 = [
+        (5, vec("a", 1.0)),       # sem twin of 1, ACROSS the restart
+        (6, vec("b", 0.3)),       # sem twin of 2, across the restart
+    ]
+    schema = "doc_id long, embedding array<double>"
+    all_docs = spark.createDataFrame(chunk1 + chunk2, schema)
+    cents = kmeans_centroids(all_docs, n_cells=3, id_col="doc_id")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(inp)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            streaming_sem_dedup(stream, cents, 0.9)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write(chunk1)
+    run()
+    write(chunk2)
+    run()  # fresh query object, same checkpoint -> state restored
+
+    got = {r.doc_id: r.sem_rep for r in spark.read.parquet(out).collect()}
+    expect = {
+        r.vec_id: r.dup_of
+        for r in semdedup_marks(
+            all_docs.withColumnRenamed("doc_id", "vec_id"), cents, 0.9
+        ).collect()
+        if r.is_sem_dup
+    }
+    assert got == expect
+    assert expect.get(3) == 1 and expect.get(5) == 1 and expect.get(6) == 2
+    assert 1 not in expect and 2 not in expect and 4 not in expect
