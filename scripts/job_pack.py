@@ -117,6 +117,16 @@ def main() -> None:
         "text (kept_text) out of this verdicts snapshot table — no "
         "second read of the raw corpus (job_curate emits the column)",
     )
+    ap.add_argument(
+        "--verdicts-since",
+        type=int,
+        default=None,
+        help="--from-verdicts only: consume the verdicts INCREMENT "
+        "appended after this committed ordinal (io/snapshot.py "
+        "read_increment) — the curate->pack chain stops rescanning the "
+        "accumulated verdicts table on every pack run; errors on "
+        "rewritten lineage (post-recompute: run once without it)",
+    )
     ap.add_argument("--window-tokens", type=int, default=512)
     ap.add_argument(
         "--n-tokens-col",
@@ -148,8 +158,19 @@ def main() -> None:
 
     if bool(args.input) == bool(args.from_verdicts):
         raise SystemExit("exactly one of --input / --from-verdicts required")
+    if args.verdicts_since is not None and not args.from_verdicts:
+        raise SystemExit("--verdicts-since requires --from-verdicts")
     if args.from_verdicts:
-        verdicts = SnapshotTable(args.from_verdicts).read(spark)
+        vt = SnapshotTable(args.from_verdicts)
+        if args.verdicts_since is not None:
+            verdicts = vt.read_increment(spark, args.verdicts_since)
+            if verdicts is None:
+                print(json.dumps({"ordinal": -1, "noop": True,
+                                  "reason": "no verdicts appended since ordinal"}))
+                spark.stop()
+                return
+        else:
+            verdicts = vt.read(spark)
         if verdicts is None:
             raise SystemExit("--from-verdicts table is empty; run job_curate first")
         if "kept_text" not in verdicts.columns or "source" not in verdicts.columns:

@@ -59,6 +59,13 @@ def main() -> None:
         "out of this verdicts table — no raw-corpus --input needed",
     )
     ap.add_argument(
+        "--verdicts-since",
+        type=int,
+        default=None,
+        help="pack job + --from-verdicts: consume only the verdicts "
+        "increment appended after this committed ordinal",
+    )
+    ap.add_argument(
         "--window-tokens", type=int, help="pack job: context window length"
     )
     ap.add_argument(
@@ -265,6 +272,8 @@ def main() -> None:
             cmd += ["--verdicts", args.verdicts]
         if args.from_verdicts:
             cmd += ["--from-verdicts", args.from_verdicts]
+        if args.verdicts_since is not None:
+            cmd += ["--verdicts-since", str(args.verdicts_since)]
         if args.window_tokens is not None:
             cmd += ["--window-tokens", str(args.window_tokens)]
         if args.n_tokens_col:
