@@ -558,12 +558,21 @@ def build_output(
             & ~F.col("_near")
         ).select("doc_id")
         vecs = sem_surv.join(
-            embeddings.select("doc_id", "embedding"), "doc_id"
+            embeddings.filter(F.col("embedding").isNotNull()).select(
+                "doc_id", "embedding"
+            ),
+            "doc_id",
         )
-        if vecs.limit(1).count() > 0:
+        try:
+            # the centroid fit's bounded sample collect doubles as the
+            # emptiness probe — a separate limit(1).count() guard would
+            # run the whole screens DAG one extra time
             cents = kmeans_centroids(
                 vecs, n_cells=sem_cells, id_col="doc_id"
             )
+        except ValueError:  # no surviving doc has an embedding row
+            j = j.withColumn("_sem", F.lit(False))
+        else:
             sem = (
                 semdedup_marks(
                     vecs, cents, sem_threshold, id_col="doc_id"
@@ -575,8 +584,6 @@ def build_output(
             j = j.join(sem, "doc_id", "left").withColumn(
                 "_sem", F.coalesce(F.col("_sem"), F.lit(False))
             )
-        else:
-            j = j.withColumn("_sem", F.lit(False))
     else:
         j = j.withColumn("_sem", F.lit(False))
 
