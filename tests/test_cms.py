@@ -88,3 +88,32 @@ def test_cms_param_validation(spark):
         cms_build(s, "k", W, 9)
     with pytest.raises(ValueError):
         cms_estimate(s, "k", s, 1, 4)
+
+
+def test_cms_prefilter_volume_reduction_on_corpus_lines(spark, sf_dir):
+    """The number that matters at scale (the winnowed_spans lesson):
+    with the gate sizing, only ~12-15% of line occurrences survive the
+    prefilter into the exact distinct-count exchange — the singleton
+    majority provably stops shuffling. Every planted banner occurrence
+    must survive (no false negatives)."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark import queries_catalog as qc
+
+    lines = qc._doc_lines(spark, sf_dir).select(
+        F.sha2(F.col("line"), 256).alias("_line_key"), "line"
+    )
+    total = lines.count()
+    grid = cms_build(lines.select("_line_key"), "_line_key", qc.CMS_W, qc.CMS_D)
+    est = cms_estimate(lines, "_line_key", grid, qc.CMS_W, qc.CMS_D, "_e")
+    cand = est.filter(F.col("_e") >= qc.LINE_DEDUP_MIN_COUNT)
+    n_cand = cand.count()
+    assert n_cand * 4 < total  # under 25% of occurrences shuffle
+    # the planted boilerplate banners all survive the prefilter
+    n_banner = lines.filter(
+        F.col("line").isin(qc.BOILER_A, qc.BOILER_B)
+    ).count()
+    n_banner_cand = cand.filter(
+        F.col("line").isin(qc.BOILER_A, qc.BOILER_B)
+    ).count()
+    assert n_banner_cand == n_banner and n_banner > 0
