@@ -35,6 +35,7 @@ def build_output(
     quality_weights=None,
     lm_ref=None,
     lm_max_x16: int = 288,
+    lm_tail_drop: bool = False,
     graph_prior=None,
     bpe_merges=None,
     prior_kept_hashes=None,
@@ -230,12 +231,48 @@ def build_output(
                 )
             )
         )
-        ls = doc_surprise(normed, model).select(
-            "doc_id",
-            "surprise_x16",
-            # NULL surprise (< 3 tokens) keeps: too short to judge.
-            (F.col("surprise_x16") > lm_max_x16).alias("_highs"),
-        )
+        scored = doc_surprise(normed, model).select("doc_id", "surprise_x16")
+        if lm_tail_drop:
+            # CCNet's actual cut (--lm-drop-tail): no magic constant —
+            # drop the TAIL TERCILE of the scored distribution, cutoff
+            # derived exactly like q_lm_terciles (histogram over the
+            # bounded score domain, <= 369 distinct values at any
+            # corpus size, so the cumulative window is over a tiny
+            # frame; cut2 = smallest score whose cumulative count
+            # reaches 2/3 — scores strictly above it are tail).
+            hist = (
+                scored.filter(F.col("surprise_x16").isNotNull())
+                .groupBy("surprise_x16")
+                .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+            )
+            wcum = Window.orderBy("surprise_x16").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            wall = Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            cut = (
+                hist.select(
+                    "surprise_x16",
+                    F.sum("_c").over(wcum).alias("_cum"),
+                    F.sum("_c").over(wall).alias("_n"),
+                )
+                .filter(F.col("_cum") * 3 >= 2 * F.col("_n"))
+                .agg(F.min("surprise_x16").alias("_cut2"))
+            )
+            ls = scored.crossJoin(F.broadcast(cut)).select(
+                "doc_id",
+                "surprise_x16",
+                # NULL surprise (< 3 tokens) keeps: too short to judge.
+                (F.col("surprise_x16") > F.col("_cut2")).alias("_highs"),
+            )
+        else:
+            ls = scored.select(
+                "doc_id",
+                "surprise_x16",
+                # NULL surprise (< 3 tokens) keeps: too short to judge.
+                (F.col("surprise_x16") > lm_max_x16).alias("_highs"),
+            )
         screens = (
             screens.join(ls, "doc_id", "left")
             .withColumn(
@@ -729,6 +766,13 @@ def main() -> None:
         "row; feeds job_pack --n-tokens-col n_bpe_tokens",
     )
     ap.add_argument(
+        "--lm-drop-tail",
+        action="store_true",
+        help="LM screen: instead of the fixed --lm-max-x16, drop the "
+        "tail TERCILE of the scored distribution (CCNet's head/middle/"
+        "tail practice; cutoff derived exactly like lm_terciles)",
+    )
+    ap.add_argument(
         "--embeddings",
         help="parquet of per-doc embeddings (doc_id or vec_id + "
         "embedding array): adds the SemDedup screen — k-means cells, "
@@ -941,6 +985,7 @@ def main() -> None:
                 spark.read.parquet(args.lm_ref) if args.lm_ref else None
             ),
             lm_max_x16=args.lm_max_x16,
+            lm_tail_drop=args.lm_drop_tail,
             graph_prior=(
                 spark.read.parquet(args.graph_prior)
                 if args.graph_prior

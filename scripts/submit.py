@@ -149,6 +149,12 @@ def main() -> None:
         "average surprise; default 288)",
     )
     ap.add_argument(
+        "--lm-drop-tail",
+        action="store_true",
+        help="curate job: derive the LM cutoff from the scored "
+        "distribution (drop the tail tercile) instead of --lm-max-x16",
+    )
+    ap.add_argument(
         "--bpe-merges",
         type=int,
         help="curate job: fit an N-merge BPE and emit n_bpe_tokens on "
@@ -257,6 +263,8 @@ def main() -> None:
             cmd += ["--lm-ref", args.lm_ref]
         if args.lm_max_x16 is not None:
             cmd += ["--lm-max-x16", str(args.lm_max_x16)]
+        if args.lm_drop_tail:
+            cmd += ["--lm-drop-tail"]
         if args.bpe_merges:
             cmd += ["--bpe-merges", str(args.bpe_merges)]
         if args.bloom_bits:

@@ -666,3 +666,60 @@ def test_sem_dedup_screen_drops_embedding_twins(spark):
         spark, docs, None, None
     ).collect()}
     assert out2[2].kept
+
+
+def test_lm_drop_tail_derives_cutoff_from_distribution(spark, sf_dir):
+    """--lm-drop-tail: no magic threshold — the cutoff is the smallest
+    score whose cumulative count reaches 2/3 of scored docs (the
+    lm_terciles rule), and exactly the strictly-above-tail drops as
+    high_surprise. The test re-derives the cutoff independently from
+    the emitted surprise_x16 column."""
+    from ocr_parallel_spark.functions.curation import QT_TAINTS
+
+    base = _docs(spark, sf_dir)
+    taint = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" " + QT_TAINTS["mojibake"]))
+        .when(F.col("doc_id") % 9 == 3, F.lit(" " + QT_TAINTS["lorem"]))
+        .when(F.col("doc_id") % 9 == 6, F.lit(" " + QT_TAINTS["pii"]))
+        .otherwise(F.lit(""))
+    )
+    crawl = base.select(
+        "doc_id",
+        "url",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), taint).alias("text"),
+        "lang",
+        "source",
+    )
+    ref = base.filter(F.col("doc_id") % 3 != 0)
+    rows = job.build_output(
+        spark, crawl, None, None, lm_ref=ref, lm_tail_drop=True
+    ).collect()
+
+    scores = sorted(r.surprise_x16 for r in rows if r.surprise_x16 is not None)
+    n = len(scores)
+    # the lm_terciles cut rule, replayed in plain python
+    cum = 0
+    cut2 = None
+    from collections import Counter
+
+    for s, c in sorted(Counter(scores).items()):
+        cum += c
+        if cut2 is None and cum * 3 >= 2 * n:
+            cut2 = s
+    expect_drop = {
+        r.doc_id for r in rows
+        if r.surprise_x16 is not None and r.surprise_x16 > cut2
+    }
+    got_drop = {r.doc_id for r in rows if r.drop_reason == "high_surprise"}
+    # the screen can only drop docs that reached it (earlier screens
+    # outrank); every LM drop must be tail, and every tail doc whose
+    # earlier verdict was clean must be an LM drop
+    assert got_drop <= expect_drop
+    earlier = {
+        r.doc_id for r in rows
+        if r.drop_reason is not None and r.drop_reason != "high_surprise"
+    }
+    assert expect_drop - earlier == got_drop
+    assert len(got_drop) > 0
+    # tail fraction is about a third of scored docs (tie buckets allowed)
+    assert len(expect_drop) * 5 < n * 3  # < 60% sanity bound
