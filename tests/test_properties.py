@@ -404,3 +404,105 @@ def test_lm_spark_equals_python_mirror(spark):
         d: _py_score(t, got_model) for d, t in crawl_rows
     }
     assert got == want
+
+
+# ------------------------------------------------- bloom / cms sketch laws --
+# Python mirror of the sha2-hex-slice position derivation shared by
+# functions/bloom.py and functions/cms.py; the Spark == mirror pin lives
+# in test_sketch_mirror_matches_spark below (one session, many keys),
+# and the hypothesis laws then run mirror-only at pure-python speed.
+
+
+def _mirror_positions(key: str, modulus: int, n: int) -> list[int]:
+    import hashlib
+
+    h = hashlib.sha256(key.encode("utf-8")).hexdigest()
+    return [int(h[8 * i : 8 * i + 8], 16) % modulus for i in range(n)]
+
+
+def _mirror_bloom(keys, n_bits, k):
+    words: dict[int, int] = {}
+    for key in keys:
+        for p in _mirror_positions(key, n_bits, k):
+            words[p // 64] = words.get(p // 64, 0) | (1 << (p % 64))
+    return words
+
+
+def _mirror_bloom_probe(key, words, n_bits, k):
+    return all(
+        words.get(p // 64, 0) & (1 << (p % 64)) for p in _mirror_positions(key, n_bits, k)
+    )
+
+
+def _mirror_cms(keys, width, d):
+    cells: dict[tuple[int, int], int] = {}
+    for key in keys:
+        for i, p in enumerate(_mirror_positions(key, width, d)):
+            cells[(i, p)] = cells.get((i, p), 0) + 1
+    return cells
+
+
+def _mirror_cms_est(key, cells, width, d):
+    return min(
+        cells.get((i, p), 0) for i, p in enumerate(_mirror_positions(key, width, d))
+    )
+
+
+KEYS = st.lists(st.text(min_size=0, max_size=24), min_size=0, max_size=60)
+
+
+@settings(max_examples=120, deadline=None)
+@given(KEYS, st.lists(st.text(max_size=24), max_size=20))
+def test_bloom_mirror_no_false_negatives_and_merge_law(built, probes):
+    words = _mirror_bloom(built, 1024, 4)
+    for key in built:
+        assert _mirror_bloom_probe(key, words, 1024, 4)
+    # merge == rebuild (bitwise-or of word maps)
+    half = len(built) // 2
+    a, b = _mirror_bloom(built[:half], 1024, 4), _mirror_bloom(built[half:], 1024, 4)
+    merged = dict(a)
+    for w, v in b.items():
+        merged[w] = merged.get(w, 0) | v
+    assert merged == words
+
+
+@settings(max_examples=120, deadline=None)
+@given(KEYS)
+def test_cms_mirror_never_undercounts_and_merge_law(keys):
+    from collections import Counter
+
+    cells = _mirror_cms(keys, 128, 4)
+    truth = Counter(keys)
+    for key, c in truth.items():
+        assert _mirror_cms_est(key, cells, 128, 4) >= c
+    half = len(keys) // 2
+    a, b = _mirror_cms(keys[:half], 128, 4), _mirror_cms(keys[half:], 128, 4)
+    merged = Counter(a)
+    merged.update(b)
+    assert dict(merged) == cells
+
+
+def test_sketch_mirror_matches_spark(spark):
+    """Pin the Python mirror to the Spark derivation once per suite:
+    identical bloom words and cms cells for a shared key set, so the
+    hypothesis laws above genuinely govern the Spark operators."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.functions.bloom import bloom_build
+    from ocr_parallel_spark.functions.cms import cms_build
+
+    keys = [f"k-{i}" for i in range(200)] + ["", "unicode-é中"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got_words = {
+        int(r.word_idx): int(r.word)
+        for r in bloom_build(df, "k", 1024, 4).collect()
+    }
+    want_words = {w: v for w, v in _mirror_bloom(keys, 1024, 4).items()}
+    # Spark words are signed 64-bit; normalize the mirror to match
+    want_words = {w: v - (1 << 64) if v >= (1 << 63) else v for w, v in want_words.items()}
+    assert got_words == want_words
+    got_cells = {
+        (int(r.row_idx), int(r.col_idx)): int(r.cnt)
+        for r in cms_build(df, "k", 128, 4).collect()
+    }
+    assert got_cells == _mirror_cms(keys, 128, 4)
