@@ -143,6 +143,10 @@ def bloom_probe(
     maybe = hits[0]
     for h in hits[1:]:
         maybe = maybe & h
-    out = out.withColumn(out_col, maybe)
+    # NULL keys have NULL positions -> NULL hits; the contract is
+    # "never set, never seen", so the fold coalesces to a real false
+    # (a NULL here would silently drop the row from BOTH the
+    # maybe_seen slice and its complement).
+    out = out.withColumn(out_col, F.coalesce(maybe, F.lit(False)))
     drop = [c for i in range(n_hashes) for c in (f"_bp{i}", f"_bwi{i}", f"_bw{i}")]
     return out.drop(*drop)

@@ -439,8 +439,14 @@ def semdedup_marks(
     vector that has a lower-id cluster-mate at cosine >= ``threshold``.
     The lowest id per epsilon-group survives — the same arrival-order
     keep-first canon as the exact/MinHash dedup family (operators/
-    dedup.py keep-first, neardup.py canonical member), so a mark is
-    always resolvable to a kept representative (``dup_of``).
+    dedup.py keep-first, neardup.py canonical member). ``dup_of`` is
+    the LOWEST-id close partner; because epsilon-closeness is not
+    transitive, in a chain a < b < c with (a,b) and (b,c) close but
+    (a,c) not, c's dup_of is b, which is itself marked — a consumer
+    needing a KEPT representative follows the dup_of chain (bounded by
+    the chain's length) or runs the marks through
+    operators/graph.py connected_components, exactly like the
+    MinHash-cluster canon.
 
     Scale shape: the only quadratic work is the within-cell pair join,
     bounded by cell occupancy — the clustering exists precisely to turn

@@ -129,13 +129,14 @@ class SnapshotTable:
                 f"read_increment: missing snapshot (since={since_ordinal}, "
                 f"until={until_ordinal})"
             )
-        if not set(since["data_dirs"]) <= set(until["data_dirs"]):
+        since_set = set(since["data_dirs"])
+        if not since_set <= set(until["data_dirs"]):
             raise ValueError(
                 "read_increment: non-append lineage between ordinals "
                 f"{since['ordinal']} and {until['ordinal']} (overwrite/"
                 "compaction rewrote the layout); fall back to read()"
             )
-        new_dirs = [d for d in until["data_dirs"] if d not in set(since["data_dirs"])]
+        new_dirs = [d for d in until["data_dirs"] if d not in since_set]
         if not new_dirs:
             return None
         paths = [str(self.root / d) for d in new_dirs]

@@ -382,12 +382,22 @@ def streaming_sem_dedup(
     computes (sequential IEEE fold) and emits (doc_id, sem_rep =
     min-id match) — append mode, rows final.
 
+    Ordering contract (shared with streaming_near_dup): a doc can only
+    match EARLIER-arriving, LOWER-id members — within a micro-batch
+    docs screen in doc_id order, across batches in arrival order. On
+    id-ascending delivery this equals the batch twin exactly (the
+    pinned test); out-of-order delivery (twin's lower id arrives
+    later) misses that pair, because a stream cannot retroactively
+    re-screen emitted rows — the periodic --recompute arbiter is the
+    batch-side answer, as for every streaming dedup here.
+
     Cap semantics mirror streaming_near_dup's deliberate divergence:
     the batch twin caps by (xxhash64(id), id) rank while the stream —
     which cannot rank what has not arrived — admits the first
     ``max_cell`` arrivals and keeps screening against that prefix;
     the pinned stream==batch equivalence holds for cells within the
-    cap. Re-delivered doc_ids are membership-checked (at-least-once
+    cap. NULL embeddings are skipped (the batch twin leaves them
+    unmarked; the stream must not crash on them). Re-delivered doc_ids are membership-checked (at-least-once
     sources). State growth is bounded per cell but linear in cells x
     cap x (8 x dim + 16) bytes; the periodic-recompute arbiter is the
     batch-side answer to unbounded history, exactly as for near-dup."""
@@ -402,6 +412,11 @@ def streaming_sem_dedup(
         import numpy as np
 
         for pdf in it:
+            # a NULL embedding passes through the BATCH twin unmarked
+            # (its cosine falls to the otherwise-0.0 branch); mirror
+            # that here by skipping the row — packing None would kill
+            # the task and terminate the query
+            pdf = pdf[pdf["_vvec"].notna()]
             yield pd.DataFrame(
                 {
                     "cell": pdf["cell"],

@@ -234,6 +234,11 @@ def build_output(
         scored = doc_surprise(normed, model).select("doc_id", "surprise_x16")
         if lm_tail_drop:
             # CCNet's actual cut (--lm-drop-tail): no magic constant —
+            # NOTE the cut derives from THIS RUN's scored slice: under
+            # run_resumable that is the TODO delta, so the screen is
+            # slice-local exactly like line frequencies and near-dup
+            # components (the docstring's resume-scope note); the
+            # --recompute arbiter re-derives the corpus-global cut.
             # drop the TAIL TERCILE of the scored distribution, cutoff
             # derived exactly like q_lm_terciles (histogram over the
             # bounded score domain, <= 369 distinct values at any
@@ -587,6 +592,13 @@ def build_output(
             semdedup_marks,
         )
 
+        # pin the full upstream DAG (screens + the expensive LSH
+        # near-dup stage) ONCE: the centroid fit's driver collect is a
+        # separate action and semdedup_marks references the vectors
+        # from three plan branches — unpinned, the whole curation DAG
+        # would execute 2-4x (the bpe stage's load-bearing-checkpoint
+        # lesson below).
+        j = j.localCheckpoint(eager=False)
         sem_surv = j.filter(
             F.col("drop_reason").isNull()
             & (F.col("n_kept_lines") > 0)
@@ -595,9 +607,12 @@ def build_output(
             & ~F.col("_near")
         ).select("doc_id")
         vecs = sem_surv.join(
-            embeddings.filter(F.col("embedding").isNotNull()).select(
-                "doc_id", "embedding"
-            ),
+            # one row per doc_id, deterministically (min array): a
+            # doubly-delivered embedding row must not fan the doc's
+            # verdict out into duplicate rows
+            embeddings.filter(F.col("embedding").isNotNull())
+            .groupBy("doc_id")
+            .agg(F.min("embedding").alias("embedding")),
             "doc_id",
         )
         try:
@@ -770,7 +785,12 @@ def main() -> None:
         action="store_true",
         help="LM screen: instead of the fixed --lm-max-x16, drop the "
         "tail TERCILE of the scored distribution (CCNet's head/middle/"
-        "tail practice; cutoff derived exactly like lm_terciles)",
+        "tail practice; cutoff derived exactly like lm_terciles). The "
+        "cut is derived from THIS RUN's scored docs — under "
+        "incremental resume each delta gets its own cut (slice-local, "
+        "like line frequencies and near-dup components; see the "
+        "resume-scope note in build_output); --recompute re-derives "
+        "the corpus-global cut",
     )
     ap.add_argument(
         "--embeddings",

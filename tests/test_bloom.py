@@ -134,3 +134,13 @@ def test_job_bloom_prefilter_verdicts_identical(spark, tmp_path):
     got = {r[0]: r for r in rows_b}
     reason = plain.columns.index("drop_reason")
     assert got[5][reason] == "dup" and got[6][reason] is None
+
+
+def test_bloom_probe_null_key_is_false_not_null(spark):
+    """A NULL key is 'never seen' — maybe_seen must be a real false so
+    both the maybe_seen slice and its complement keep the row."""
+    words = bloom_build(_keys(spark, 0, 50), "k", BITS, 4)
+    probe = spark.createDataFrame([("key-1",), (None,)], "k string")
+    got = {r.k: r.maybe_seen for r in
+           bloom_probe(probe, "k", words, BITS, 4).collect()}
+    assert got["key-1"] is True and got[None] is False

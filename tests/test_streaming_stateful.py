@@ -328,3 +328,38 @@ def test_streaming_sem_dedup_matches_batch_and_survives_restart(spark, tmp_path)
     assert got == expect
     assert expect.get(3) == 1 and expect.get(5) == 1 and expect.get(6) == 2
     assert 1 not in expect and 2 not in expect and 4 not in expect
+
+
+def test_streaming_sem_dedup_skips_null_embeddings(spark, tmp_path):
+    """A NULL-embedding row passes through the batch twin unmarked; the
+    stream must skip it rather than kill the query."""
+    from ocr_parallel_spark.functions.similarity import kmeans_centroids
+    from ocr_parallel_spark.streaming.stateful import streaming_sem_dedup
+
+    inp, out, ckpt = (
+        str(tmp_path / "nin"), str(tmp_path / "nout"), str(tmp_path / "nck")
+    )
+    schema = "doc_id long, embedding array<double>"
+    rows = [
+        (1, [50.0, 1.0] + [0.0] * 14),
+        (2, None),
+        (3, [50.0, 1.5] + [0.0] * 14),  # twin of 1
+    ]
+    df = spark.createDataFrame(rows, schema)
+    cents = kmeans_centroids(df.filter("embedding IS NOT NULL"),
+                             n_cells=1, id_col="doc_id")
+    df.write.parquet(inp)
+    q = (
+        streaming_sem_dedup(
+            spark.readStream.schema(schema).parquet(inp), cents, 0.9
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.sem_rep for r in spark.read.parquet(out).collect()}
+    assert got == {3: 1}
