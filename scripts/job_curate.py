@@ -46,6 +46,7 @@ def build_output(
     embeddings=None,
     sem_threshold: float = 0.9,
     sem_cells: int = 64,
+    excise_spans: bool = False,
 ):
     """The batch curation composition; returns one verdict row per doc.
 
@@ -670,6 +671,53 @@ def build_output(
         *(["host_rank_mi"] if graph_prior is not None else []),
         *(["surprise_x16"] if lm_ref is not None else []),
     )
+    if excise_spans:
+        # Span surgery on the CURATED text (--excise-spans): repeated
+        # 15-token windows are cut from every non-canonical kept doc
+        # (operators/dedup.py excise_repeated_spans — min-id owner
+        # keeps; the boilerplate layer line dedup cannot see because it
+        # straddles line boundaries or rewraps). Runs AFTER the
+        # keep/drop verdicts (surgery never changes who is kept, only
+        # kept bytes) and BEFORE the BPE count (counts must price the
+        # shipped text). Within-run scope like the near-dup components
+        # (the resume-scope note; --recompute is the arbiter).
+        # localCheckpoint: `out` feeds the surgery branch AND the final
+        # join — unpinned, the whole curation DAG would run twice.
+        from ocr_parallel_spark.operators.dedup import excise_repeated_spans
+
+        out = out.localCheckpoint(eager=False)
+        # newlines reflow to spaces BEFORE windowing: kept_text wraps
+        # lines at per-doc offsets, so the same quoted paragraph
+        # tokenizes differently across docs and no window would ever
+        # match. Under this flag kept_text ships space-joined — the
+        # packer's whitespace/BPE counts are line-agnostic anyway.
+        surg = excise_repeated_spans(
+            out.filter("kept").select(
+                "doc_id",
+                F.translate(F.col("kept_text"), "\n", " ").alias("kept_text"),
+            ),
+            "kept_text",
+            "doc_id",
+            w=15,
+        ).select(
+            "doc_id",
+            F.col("deduped_text").alias("_sx_text"),
+            F.col("n_removed").alias("n_excised_tokens"),
+        )
+        out = (
+            out.join(surg, "doc_id", "left")
+            .withColumn(
+                "kept_text",
+                F.when(F.col("kept"), F.coalesce(F.col("_sx_text"),
+                                                 F.col("kept_text"))),
+            )
+            .withColumn(
+                "n_excised_tokens",
+                F.when(F.col("kept"),
+                       F.coalesce(F.col("n_excised_tokens"), F.lit(0))),
+            )
+            .drop("_sx_text")
+        )
     if bpe_merges is not None:
         # Tokenizer-faithful counts on the CURATED text (--bpe-merges):
         # one extra Arrow pass over kept docs only; dropped docs carry
@@ -779,6 +827,15 @@ def main() -> None:
         help="fit a deterministic N-merge BPE on the input corpus and "
         "emit n_bpe_tokens (count of kept_text) on every kept verdict "
         "row; feeds job_pack --n-tokens-col n_bpe_tokens",
+    )
+    ap.add_argument(
+        "--excise-spans",
+        action="store_true",
+        help="span SURGERY on the curated text: repeated 15-token "
+        "windows are cut from every non-canonical kept doc (min-id "
+        "owner keeps); verdicts unchanged, kept bytes shrink, "
+        "n_excised_tokens recorded; within-run scope (--recompute is "
+        "the arbiter)",
     )
     ap.add_argument(
         "--lm-drop-tail",
@@ -1019,6 +1076,7 @@ def main() -> None:
             embeddings=emb_df,
             sem_threshold=args.sem_threshold,
             sem_cells=args.sem_cells,
+            excise_spans=args.excise_spans,
         )
 
     if args.recompute:

@@ -155,6 +155,12 @@ def main() -> None:
         "distribution (drop the tail tercile) instead of --lm-max-x16",
     )
     ap.add_argument(
+        "--excise-spans",
+        action="store_true",
+        help="curate job: cut repeated 15-token windows out of every "
+        "non-canonical kept doc's curated text (span surgery)",
+    )
+    ap.add_argument(
         "--bpe-merges",
         type=int,
         help="curate job: fit an N-merge BPE and emit n_bpe_tokens on "
@@ -265,6 +271,8 @@ def main() -> None:
             cmd += ["--lm-max-x16", str(args.lm_max_x16)]
         if args.lm_drop_tail:
             cmd += ["--lm-drop-tail"]
+        if args.excise_spans:
+            cmd += ["--excise-spans"]
         if args.bpe_merges:
             cmd += ["--bpe-merges", str(args.bpe_merges)]
         if args.bloom_bits:

@@ -723,3 +723,39 @@ def test_lm_drop_tail_derives_cutoff_from_distribution(spark, sf_dir):
     assert len(got_drop) > 0
     # tail fraction is about a third of scored docs (tie buckets allowed)
     assert len(expect_drop) * 5 < n * 3  # < 60% sanity bound
+
+
+def test_excise_spans_surgery_on_kept_text(spark):
+    """--excise-spans: a repeated 15-token window is cut from the
+    non-canonical kept doc's curated text; the min-id owner keeps its
+    bytes, verdicts are unchanged, and n_excised_tokens is recorded."""
+    span = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    pre_a = "plenty of unique content words here for the screen " * 2
+    pre_b = (
+        "totally different subject matter entirely about gardens and "
+        "orchards with apples pears plums cherries apricots and figs "
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ok.org/a", pre_a + span, "en", "s"),
+            (2, "https://ok.org/b", pre_b + span, "en", "s"),
+        ],
+        "doc_id long, url string, text string, lang string, source string",
+    )
+    off = {r.doc_id: r for r in job.build_output(spark, docs, None, None).collect()}
+    on = {r.doc_id: r for r in job.build_output(
+        spark, docs, None, None, excise_spans=True
+    ).collect()}
+    assert all(r.kept for r in off.values()) and all(r.kept for r in on.values())
+    # the owner's curated TOKENS are untouched (text reflows to spaces)
+    assert on[1].kept_text.split() == off[1].kept_text.split()
+    assert on[1].n_excised_tokens == 0
+    assert on[2].n_excised_tokens == 20
+    for w in span.split():
+        assert w not in on[2].kept_text.split()
+    # everything before the span survives in order
+    assert on[2].kept_text.startswith("totally different subject")
+    assert "n_excised_tokens" not in off[1].asDict()
