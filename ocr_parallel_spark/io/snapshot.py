@@ -145,6 +145,54 @@ class SnapshotTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
 
+    def diff(
+        self,
+        spark: SparkSession,
+        ordinal_a: int,
+        ordinal_b: int,
+        key_col: str,
+    ) -> DataFrame | None:
+        """Row-level audit of what changed between two committed
+        snapshots — the companion to the recompute arbiter: after a
+        ``--recompute`` overwrite, ``diff(pre, post, "doc_id")`` is
+        exactly the verdicts the corpus-global rerun flipped. Returns
+        one row per affected key with ``change`` in
+        (added, removed, changed); unchanged keys are absent. Rows
+        compare on the COMMON non-key columns of the two ordinals
+        (schema evolution adds columns — comparing them would mark
+        every old row changed), by a canonical struct equality that is
+        null-safe. Both sides remain readable because snapshots are
+        immutable and expire_snapshots is the only deleter."""
+        a = self.read(spark, ordinal=ordinal_a)
+        b = self.read(spark, ordinal=ordinal_b)
+        if a is None or b is None:
+            raise ValueError(
+                f"diff: missing snapshot (a={ordinal_a}, b={ordinal_b})"
+            )
+        common = sorted(set(a.columns) & set(b.columns) - {key_col})
+        pa = a.select(
+            F.col(key_col),
+            F.struct(*[F.col(c) for c in common]).alias("_va"),
+        )
+        pb = b.select(
+            F.col(key_col).alias("_kb"),
+            F.struct(*[F.col(c) for c in common]).alias("_vb"),
+        )
+        j = pa.join(pb, F.col(key_col) == F.col("_kb"), "full_outer")
+        change = (
+            F.when(F.col(key_col).isNull(), F.lit("added"))
+            .when(F.col("_kb").isNull(), F.lit("removed"))
+            .when(~F.col("_va").eqNullSafe(F.col("_vb")), F.lit("changed"))
+        )
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(
+                F.coalesce(F.col(key_col), F.col("_kb")).alias(key_col),
+                "change",
+            )
+        )
+
     def _schemas_differ(self, data_dirs: list[str]) -> bool:
         """True when the live runs committed different column lists (or
         any run's manifest is unreadable — merge is the safe default)."""

@@ -211,3 +211,24 @@ def test_read_increment_rejects_rewritten_lineage(spark, tmp_path):
     # and a missing ordinal is an explicit error, not a silent full read
     with pytest.raises(ValueError, match="missing snapshot"):
         t.read_increment(spark, since_ordinal=99)
+
+
+def test_snapshot_diff_reports_added_removed_changed(spark, tmp_path):
+    """diff(pre, post, key) is exactly the rows a recompute/append
+    flipped: added keys, removed keys, changed values; unchanged keys
+    are absent; comparison is null-safe."""
+    t = SnapshotTable(str(tmp_path / "t12"))
+    df0 = spark.createDataFrame(
+        [("u1", 1), ("u2", None), ("u3", 3)], "url string, v int"
+    )
+    t.append(df0)                                        # ordinal 0
+    df1 = spark.createDataFrame(
+        [("u1", 1), ("u2", 9), ("u4", 4)], "url string, v int"
+    )
+    t.overwrite(df1)                                     # ordinal 1 (recompute)
+    got = {r.url: r.change for r in t.diff(spark, 0, 1, "url").collect()}
+    assert got == {"u2": "changed", "u3": "removed", "u4": "added"}
+    # evolved schema: a new column on ordinal 2 must not mark old rows
+    df2 = df1.withColumn("extra", F.lit("x"))
+    t.overwrite(df2)                                     # ordinal 2
+    assert t.diff(spark, 1, 2, "url").count() == 0
