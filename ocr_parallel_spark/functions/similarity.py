@@ -513,6 +513,32 @@ def semdedup_marks(
     )
 
 
+def semdedup_canon(
+    marks: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Resolve SemDedup marks to a KEPT canonical per doc: epsilon-
+    closeness is not transitive, so ``dup_of`` can point at a doc that
+    is itself marked (a < b < c chain — see ``semdedup_marks``); this
+    runs the (id, dup_of) edges through pointer-doubling connected
+    components, labeling every marked doc with its chain's minimum id —
+    which is unmarked by construction (it had no lower close partner).
+    Same composition as the MinHash cluster canon (q_minhash_clusters).
+    Output: one row per input doc — (id, canon_id, is_sem_dup);
+    canon_id == id for kept docs."""
+    from ocr_parallel_spark.operators.graph import connected_components
+
+    edges = marks.filter(F.col("is_sem_dup")).select(
+        F.col(id_col).alias("src"), F.col("dup_of").alias("dst")
+    )
+    cc = connected_components(
+        edges, nodes=marks.select(F.col(id_col).alias("node"))
+    )
+    return marks.select(id_col, "is_sem_dup").join(
+        cc.select(F.col("node").alias(id_col), F.col("component").alias("canon_id")),
+        id_col,
+    ).select(id_col, "canon_id", "is_sem_dup")
+
+
 def build_lsh_index(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -731,7 +731,15 @@ def build_output(
 
         out = out.localCheckpoint(eager=False)
         counts = bpe_token_counts(
-            out.filter("kept").select("doc_id", "kept_text"),
+            # count over space-reflowed text: kept_text's newlines are
+            # line FORMATTING, not token glue — "november\noscar" must
+            # price as two words, not one unknown char-fallback blob
+            # (also keeps counts identical whether or not the surgery
+            # stage reflowed the text already)
+            out.filter("kept").select(
+                "doc_id",
+                F.translate(F.col("kept_text"), "\n", " ").alias("kept_text"),
+            ),
             bpe_merges,
             "kept_text",
             "doc_id",

@@ -759,3 +759,39 @@ def test_excise_spans_surgery_on_kept_text(spark):
     # everything before the span survives in order
     assert on[2].kept_text.startswith("totally different subject")
     assert "n_excised_tokens" not in off[1].asDict()
+
+
+def test_excise_spans_runs_before_bpe_counts(spark):
+    """--excise-spans + --bpe-merges: the BPE count must price the
+    SHIPPED (post-surgery) text — the non-canonical copy's n_bpe_tokens
+    drops relative to the surgery-off run; the owner's does not."""
+    span = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    pre_a = "plenty of unique content words here for the screen " * 2
+    pre_b = (
+        "totally different subject matter entirely about gardens and "
+        "orchards with apples pears plums cherries apricots and figs "
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ok.org/a", pre_a + span, "en", "s"),
+            (2, "https://ok.org/b", pre_b + span, "en", "s"),
+        ],
+        "doc_id long, url string, text string, lang string, source string",
+    )
+    from ocr_parallel_spark.functions.tokenize import fit_bpe_merges
+    from ocr_parallel_spark.operators.classify import normalize_col
+
+    merges = fit_bpe_merges(
+        docs.select(normalize_col(F.col("text")).alias("norm")), "norm", 50
+    )
+    off = {r.doc_id: r for r in job.build_output(
+        spark, docs, None, None, bpe_merges=merges
+    ).collect()}
+    on = {r.doc_id: r for r in job.build_output(
+        spark, docs, None, None, bpe_merges=merges, excise_spans=True
+    ).collect()}
+    assert on[1].n_bpe_tokens == off[1].n_bpe_tokens
+    assert on[2].n_bpe_tokens < off[2].n_bpe_tokens

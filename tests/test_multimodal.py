@@ -512,3 +512,37 @@ def test_semdedup_max_cell_cap_bounds_pairing(spark):
     full = semdedup_marks(emb, cents, 0.9)
     n_full = sum(r.is_sem_dup for r in full.collect())
     assert n_full == 3 and n_marked <= 2
+
+
+def test_semdedup_canon_resolves_epsilon_chains(spark):
+    """a < b < c with (a,b) and (b,c) close but (a,c) not: c's dup_of
+    is the MARKED doc b; semdedup_canon resolves both to the kept chain
+    minimum a via connected components."""
+    from ocr_parallel_spark.functions.similarity import (
+        kmeans_centroids,
+        semdedup_canon,
+        semdedup_marks,
+    )
+
+    # unit-ish vectors on a slow arc: cos(a,b)=cos(b,c)~0.95, cos(a,c)~0.81
+    import math
+
+    def on_arc(theta):
+        return [math.cos(theta) * 10, math.sin(theta) * 10] + [0.0] * 14
+
+    t = math.acos(0.95)
+    docs = spark.createDataFrame(
+        [(1, on_arc(0.0)), (2, on_arc(t)), (3, on_arc(2 * t)),
+         (9, [0.0] * 8 + [5.0] + [0.0] * 7)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(docs, n_cells=2)
+    marks = semdedup_marks(docs, cents, 0.9)
+    got = {r.vec_id: (r.is_sem_dup, r.dup_of) for r in marks.collect()}
+    assert got[1] == (False, None)
+    assert got[2] == (True, 1)
+    assert got[3] == (True, 2)  # the chain: dup_of is itself marked
+    canon = {r.vec_id: (r.canon_id, r.is_sem_dup)
+             for r in semdedup_canon(marks).collect()}
+    assert canon[1] == (1, False) and canon[9] == (9, False)
+    assert canon[2] == (1, True) and canon[3] == (1, True)
