@@ -2243,6 +2243,41 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_semdedup_canon_law(spark, sf_dir):
+    """Driver-visible exact gate for the SemDedup canonical resolution
+    (functions/similarity.py semdedup_canon): epsilon-closeness is not
+    transitive, so raw dup_of can point at a marked doc — the canon
+    composition (connected components over (id, dup_of) edges) must
+    yield, for EVERY doc: a canon that is itself kept, a canon id <= the
+    doc's id, and canon == self exactly for kept docs. The oracle
+    recomputes the corpus size and pins the three laws TRUE."""
+    from ocr_parallel_spark.functions.similarity import (
+        kmeans_centroids,
+        semdedup_canon,
+        semdedup_marks,
+    )
+
+    emb = _planted_embeddings(spark, sf_dir)
+    marks = semdedup_marks(emb, kmeans_centroids(emb, n_cells=8), 0.9)
+    canon = semdedup_canon(marks)
+    kept = canon.filter(~F.col("is_sem_dup")).select(
+        F.col("vec_id").alias("_kid")
+    )
+    joined = canon.join(
+        kept.withColumn("_ck", F.lit(True)),
+        F.col("canon_id") == F.col("_kid"),
+        "left",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(F.coalesce(F.col("_ck"), F.lit(False))).alias("all_canons_kept"),
+        F.min(F.col("canon_id") <= F.col("vec_id")).alias("canon_le_id"),
+        F.min(
+            F.col("is_sem_dup") | (F.col("canon_id") == F.col("vec_id"))
+        ).alias("kept_are_self_canon"),
+    )
+
+
 def q_semdedup_recall(spark, sf_dir):
     """Driver-visible exact gate for the SemDedup scale path (the
     ann_recall pattern): the truth marks are the vectors with a lower-id
@@ -3226,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": q_bloom_seen,
         "semdedup": q_semdedup,
         "semdedup_recall": q_semdedup_recall,
+        "semdedup_canon_law": q_semdedup_canon_law,
         "lm_surprise": q_lm_surprise,
         "lm_separation": q_lm_separation,
         "lm_terciles": q_lm_terciles,
@@ -4802,6 +4838,13 @@ def oracle_sql() -> dict[str, str]:
                    (m.maybe_seen AND k.h NOT IN (SELECT h FROM committed))
                      AS is_fp
             FROM k JOIN m USING (doc_id)
+        """,
+        "semdedup_canon_law": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                   true AS all_canons_kept,
+                   true AS canon_le_id,
+                   true AS kept_are_self_canon
+            FROM embeddings WHERE vec_id < 1000
         """,
         "semdedup_recall": """
             WITH e0 AS (
