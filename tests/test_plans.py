@@ -216,3 +216,26 @@ def test_warc_read_pipelines_without_exchange(spark, sf_dir):
     # plan reads bottom-up scan -> gen -> strip; no Exchange anywhere
     assert "Exchange" not in p
     assert p.count("MapInPandas") == 2
+
+
+def test_semdedup_plan_equality_join_no_python(spark, sf_dir):
+    """The within-cell pair join must hash on the cell EQUALITY (never
+    a nested-loop/cartesian over the corpus — the inequality is a
+    post-filter), with no Python stage anywhere: centroids are plan
+    literals, cosine is codegen."""
+    from ocr_parallel_spark.queries_catalog import q_semdedup
+
+    p = plan_of(q_semdedup(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_excise_spans_plan_no_python_no_nlj(spark, sf_dir):
+    """Span surgery is pure expressions + hash joins: window hashing,
+    ownership agg, and the in-row token filter all stay in codegen."""
+    from ocr_parallel_spark.queries_catalog import q_excise_spans
+
+    p = plan_of(q_excise_spans(spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p
