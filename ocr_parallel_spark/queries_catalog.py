@@ -1671,6 +1671,64 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_dup_weights(spark, sf_dir):
+    """Soft dedup (the downweight-don't-drop alternative): per doc, its
+    exact-content cluster size and the 1/size training weight in
+    integer millis — trainers that keep duplicates but rescale their
+    loss contribution read this instead of the keep-first verdict. One
+    keyed window on sha2(norm); weight arithmetic is integer division,
+    identical in both engines."""
+    d = _docs(spark, sf_dir)
+    sha = F.sha2(F.coalesce(F.col("norm"), F.lit("")), 256)
+    w = Window.partitionBy(sha)
+    return d.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    ).withColumn(
+        "weight_milli",
+        F.expr("CAST(1000 AS BIGINT) div cluster_size"),
+    )
+
+
+def q_eval_overlap(spark, sf_dir):
+    """Per-eval-doc contamination REPORT — the inverse direction of
+    q_decontaminate: for each benchmark doc, how many of its distinct
+    word 8-grams leak from the (non-bench) corpus, and the leak
+    fraction in integer millis. This is the number an eval-integrity
+    review reads ('is this benchmark still valid against this
+    corpus?'); decontaminate answers the training-side question ('which
+    corpus docs must go?'). The BENCH gram set is tiny by nature and
+    broadcast; corpus grams stream map-side into the join, and only
+    (bench_id, gram) hit pairs reach the distinct+count exchanges."""
+    from ocr_parallel_spark.functions.curation import word_ngrams
+
+    d = _docs(spark, sf_dir)
+    grams = word_ngrams(F.split(F.col("norm"), " "), 8)
+    g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    bg = g.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    totals = bg.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    corp = g.filter(F.col("doc_id") % 50 != 7).select("gram")
+    leaked = (
+        corp.join(F.broadcast(bg), "gram")
+        .select("bench_id", "gram")
+        .distinct()
+        .groupBy("bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked"))
+    )
+    return (
+        totals.join(leaked, "bench_id", "left")
+        .withColumn("n_leaked", F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long"))
+        .withColumn(
+            "leak_milli",
+            F.expr("CAST(1000 * n_leaked AS BIGINT) div n_grams"),
+        )
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (the GPT-3/Gopher eval-overlap step):
     flag every doc sharing at least one word 8-gram with the benchmark
@@ -3259,6 +3317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": q_cms_heavy,
         "excise_spans": q_excise_spans,
         "bloom_seen": q_bloom_seen,
+        "dup_weights": q_dup_weights,
+        "eval_overlap": q_eval_overlap,
         "semdedup": q_semdedup,
         "semdedup_recall": q_semdedup_recall,
         "semdedup_canon_law": q_semdedup_canon_law,
@@ -4159,6 +4219,47 @@ def oracle_sql() -> dict[str, str]:
                 OR len(regexp_extract_all(t, '{REPL_CHAR}')) > 0
                 AS suspect_encoding
             FROM t
+        """,
+        "dup_weights": f"""
+            WITH {_DOCS_CTE},
+            s AS (
+              SELECT doc_id,
+                     count(*) OVER (
+                       PARTITION BY sha256(COALESCE(norm, ''))
+                     ) AS cluster_size
+              FROM docs
+            )
+            SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(1000 // cluster_size AS BIGINT) AS weight_milli
+            FROM s
+        """,
+        "eval_overlap": f"""
+            WITH {_DOCS_CTE},
+            t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM docs),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= 8
+                  THEN list_transform(generate_series(1, len(toks)-7),
+                         i -> array_to_string(toks[i:i+7], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END)) AS gram
+              FROM t
+            ),
+            bg AS (SELECT doc_id AS bench_id, gram FROM g
+                   WHERE doc_id % 50 = 7),
+            tot AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_grams
+                    FROM bg GROUP BY 1),
+            corp AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 <> 7),
+            lk AS (
+              SELECT bench_id, CAST(count(*) AS BIGINT) AS n_leaked
+              FROM (SELECT DISTINCT bench_id, bg.gram
+                    FROM bg JOIN corp USING (gram))
+              GROUP BY 1
+            )
+            SELECT t2.bench_id, t2.n_grams,
+                   CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+                   CAST(1000 * COALESCE(l.n_leaked, 0) // t2.n_grams
+                     AS BIGINT) AS leak_milli
+            FROM tot t2 LEFT JOIN lk l USING (bench_id)
         """,
         "decontaminate": f"""
             WITH {_DOCS_CTE},
