@@ -506,3 +506,88 @@ def test_sketch_mirror_matches_spark(spark):
         for r in cms_build(df, "k", 128, 4).collect()
     }
     assert got_cells == _mirror_cms(keys, 128, 4)
+
+
+# ------------------------------------------------------- span-surgery laws --
+
+
+def _mirror_excise(docs: dict[int, str], w: int = 5):
+    """Pure-python mirror of operators/dedup.py excise_repeated_spans
+    (sha256 window keys match Spark's sha2 byte-for-byte)."""
+    import hashlib
+
+    toks = {d: (t or "").split(" ") for d, t in docs.items()}
+    wins: dict[str, list[tuple[int, int]]] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - w + 1):
+            h = hashlib.sha256(" ".join(ts[i : i + w]).encode()).hexdigest()
+            wins.setdefault(h, []).append((d, i + 1))
+    out = {}
+    bad: dict[int, list[int]] = {}
+    for h, occ in wins.items():
+        ids = {d for d, _ in occ}
+        if len(ids) >= 2:
+            owner = min(ids)
+            for d, i in occ:
+                if d != owner:
+                    bad.setdefault(d, []).append(i)
+    for d, ts in toks.items():
+        bs = bad.get(d, [])
+        kept = [
+            t for p, t in enumerate(ts, start=1)
+            if not any(p - w + 1 <= s <= p for s in bs)
+        ]
+        out[d] = (len(ts), len(ts) - len(kept), " ".join(kept), kept)
+    return out
+
+
+WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+DOCS = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.lists(WORD, min_size=0, max_size=30).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(DOCS)
+def test_excise_mirror_laws(docs):
+    out = _mirror_excise(docs, 5)
+    ids = sorted(docs)
+    for d, (n, removed, text, kept) in out.items():
+        ts = (docs[d] or "").split(" ")
+        # kept tokens are an ordered subsequence of the input
+        it = iter(ts)
+        assert all(any(t == x for x in it) for t in kept)
+        assert removed == len(ts) - len(kept) >= 0
+        assert text == " ".join(kept)
+    # the globally minimal id can lose tokens only to an EVEN lower
+    # owner — there is none, so it never loses anything
+    assert out[ids[0]][1] == 0
+
+
+def test_excise_mirror_matches_spark(spark):
+    """Pin the mirror to the Spark operator on a corpus that exercises
+    sharing, chains, short docs, and empty text."""
+    from ocr_parallel_spark.operators.dedup import excise_repeated_spans
+
+    span = "s1 s2 s3 s4 s5 s6 s7"
+    docs = {
+        1: "a1 a2 " + span,
+        2: "b1 b2 b3 " + span,
+        3: "c1 " + span + " tail1 tail2",
+        4: "short one",
+        5: "",
+        6: "u1 u2 u3 u4 u5 u6 u7 u8",
+    }
+    sdf = spark.createDataFrame(
+        list(docs.items()), "doc_id long, norm string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.deduped_text)
+        for r in excise_repeated_spans(sdf, "norm", "doc_id", w=5).collect()
+    }
+    assert got == {
+        d: (n, r, t) for d, (n, r, t, _) in _mirror_excise(docs, 5).items()
+    }
