@@ -50,6 +50,8 @@ HEADLINE = [
     "full_process",
     "simhash_near_dups",
     "decontaminate",
+    "eval_overlap",
+    "dup_weights",
     "corpus_curation",
     "pagerank",
     "dsir_weights",

@@ -356,6 +356,20 @@ def partition_counters(df: DataFrame) -> list[dict]:
     return [r.asDict() for r in sorted(rows, key=lambda r: r.partition_id)]
 
 
+def reason_histogram(df: DataFrame) -> dict | None:
+    """Drop-reason histogram for lineage (None when the table carries
+    no ``drop_reason`` column). Bounded driver materialization: one row
+    per distinct reason — a fixed enum in every producer."""
+    if "drop_reason" not in df.columns:
+        return None
+    rows = (
+        df.groupBy(F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("r"))
+        .count()
+        .collect()
+    )
+    return {r.r: r["count"] for r in sorted(rows, key=lambda r: r.r)}
+
+
 def run_resumable(
     source: DataFrame,
     table: SnapshotTable,
@@ -376,6 +390,11 @@ def run_resumable(
     info["rows_written"] = n
     if n:
         info["partitions"] = partition_counters(result)
+        reasons = reason_histogram(result)
+        if reasons is not None:
+            # the curation datasheet: every run's verdict breakdown
+            # rides its snapshot (the A1/A5 metrics-persistence shape)
+            info["reasons"] = reasons
     if n == 0:
         # Nothing new to process: leave the table at its current snapshot
         # and report a no-op instead of committing an empty append.

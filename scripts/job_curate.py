@@ -1089,11 +1089,20 @@ def main() -> None:
 
     if args.recompute:
         # Full-corpus arbiter: corpus-global verdicts recomputed over
-        # the entire input and committed as an overwrite snapshot.
-        snap = table.overwrite(
-            transform(docs),
-            lineage={"input": args.input, "mode": "recompute"},
-        )
+        # the entire input and committed as an overwrite snapshot. The
+        # result is pinned so the verdict-breakdown histogram and the
+        # write share one execution (run_resumable does the same).
+        from pyspark import StorageLevel
+
+        from ocr_parallel_spark.io.snapshot import reason_histogram
+
+        result = transform(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        lineage = {"input": args.input, "mode": "recompute"}
+        reasons = reason_histogram(result)
+        if reasons is not None:
+            lineage["reasons"] = reasons
+        snap = table.overwrite(result, lineage=lineage)
+        result.unpersist()
     else:
         snap = run_resumable(
             docs,

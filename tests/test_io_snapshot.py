@@ -232,3 +232,22 @@ def test_snapshot_diff_reports_added_removed_changed(spark, tmp_path):
     df2 = df1.withColumn("extra", F.lit("x"))
     t.overwrite(df2)                                     # ordinal 2
     assert t.diff(spark, 1, 2, "url").count() == 0
+
+
+def test_reason_histogram_rides_lineage(spark, tmp_path):
+    """A committed run whose rows carry drop_reason records its verdict
+    breakdown in the snapshot lineage (kept = NULL reason)."""
+    t = SnapshotTable(str(tmp_path / "t13"))
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", "dup"), ("u3", "dup"), ("u4", "lang")],
+        "url string, drop_reason string",
+    )
+    snap = run_resumable(df, t, spark, lambda d: d, key_col="url")
+    assert snap["lineage"]["reasons"] == {"dup": 2, "kept": 1, "lang": 1}
+    # tables without the column stay histogram-free
+    t2 = SnapshotTable(str(tmp_path / "t14"))
+    snap2 = run_resumable(
+        spark.createDataFrame([("u1", 1)], "url string, v int"),
+        t2, spark, lambda d: d, key_col="url",
+    )
+    assert "reasons" not in snap2["lineage"]
