@@ -45,7 +45,8 @@ def main() -> None:
     ap.add_argument("--run", action="store_true", help="exec spark-submit")
     ap.add_argument(
         "--job",
-        choices=["extract", "full-process", "curate", "pack", "train-quality"],
+        choices=["extract", "full-process", "curate", "pack", "train-quality",
+                 "index"],
         default="extract",
         help="which batch job to submit",
     )
@@ -186,6 +187,23 @@ def main() -> None:
         "hashes prefilters the cross-run exact-dedup semi-join "
         "(broadcast-only probes; ~10 bits per expected committed key)",
     )
+    ap.add_argument(
+        "--index-kind",
+        choices=["ivf", "lsh"],
+        default=None,
+        help="index job: which ANN index to build/maintain",
+    )
+    ap.add_argument(
+        "--index-cells",
+        type=int,
+        default=None,
+        help="index job (ivf): k-means cell count",
+    )
+    ap.add_argument(
+        "--index-rebuild",
+        action="store_true",
+        help="index job: refit the geometry and overwrite (drift arbiter)",
+    )
     ap.add_argument("--targets", help="targets CSV (full-process job only)")
     ap.add_argument(
         "--start-marker",
@@ -222,6 +240,7 @@ def main() -> None:
                 "curate": "job_curate.py",
                 "pack": "job_pack.py",
                 "train-quality": "job_train_quality.py",
+                "index": "job_index.py",
             }[args.job]
         ),
         "--output", args.output,
@@ -298,6 +317,13 @@ def main() -> None:
             cmd += ["--shards", str(args.shards)]
         if args.shards_output:
             cmd += ["--shards-output", args.shards_output]
+    if args.job == "index":
+        if args.index_kind:
+            cmd += ["--kind", args.index_kind]
+        if args.index_cells is not None:
+            cmd += ["--cells", str(args.index_cells)]
+        if args.index_rebuild:
+            cmd += ["--rebuild"]
     if args.job == "full-process":
         cmd += ["--targets", args.targets]
         for m in args.start_marker or []:
