@@ -46,6 +46,7 @@ def build_output(
     embeddings=None,
     sem_threshold: float = 0.9,
     sem_cells: int = 64,
+    sem_centroids=None,
     excise_spans: bool = False,
 ):
     """The batch curation composition; returns one verdict row per doc.
@@ -617,11 +618,16 @@ def build_output(
             "doc_id",
         )
         try:
-            # the centroid fit's bounded sample collect doubles as the
-            # emptiness probe — a separate limit(1).count() guard would
-            # run the whole screens DAG one extra time
-            cents = kmeans_centroids(
-                vecs, n_cells=sem_cells, id_col="doc_id"
+            # PINNED centroids (e.g. job_index's persisted fit) keep
+            # the cell geometry identical across incremental runs;
+            # without them the fit is slice-local — the bounded sample
+            # collect doubles as the emptiness probe (a separate
+            # limit(1).count() guard would run the whole screens DAG
+            # one extra time)
+            cents = (
+                sem_centroids
+                if sem_centroids is not None
+                else kmeans_centroids(vecs, n_cells=sem_cells, id_col="doc_id")
             )
         except ValueError:  # no surviving doc has an embedding row
             j = j.withColumn("_sem", F.lit(False))
@@ -867,6 +873,12 @@ def main() -> None:
     )
     ap.add_argument("--sem-threshold", type=float, default=0.9)
     ap.add_argument(
+        "--sem-centroids",
+        help="json list of k-means centroids (job_index --kind ivf "
+        "writes one): pins the SemDedup cell geometry across "
+        "incremental runs instead of a slice-local refit",
+    )
+    ap.add_argument(
         "--sem-cells",
         type=int,
         default=64,
@@ -1039,6 +1051,12 @@ def main() -> None:
             with open(merges_path, "w") as fh:
                 _json.dump(merges_to_strings(bpe_merges), fh)
 
+    sem_cents = None
+    if args.sem_centroids:
+        import json as _json
+
+        with open(args.sem_centroids) as fh:
+            sem_cents = _json.load(fh)
     emb_df = None
     if args.embeddings:
         from pyspark.sql import functions as F
@@ -1084,6 +1102,7 @@ def main() -> None:
             embeddings=emb_df,
             sem_threshold=args.sem_threshold,
             sem_cells=args.sem_cells,
+            sem_centroids=sem_cents,
             excise_spans=args.excise_spans,
         )
 

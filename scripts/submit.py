@@ -180,6 +180,11 @@ def main() -> None:
     ap.add_argument("--sem-threshold", type=float, default=None)
     ap.add_argument("--sem-cells", type=int, default=None)
     ap.add_argument(
+        "--sem-centroids",
+        help="curate job: pinned k-means centroids json (job_index "
+        "output) for cross-run-stable SemDedup cells",
+    )
+    ap.add_argument(
         "--bloom-bits",
         type=int,
         default=0,
@@ -302,6 +307,8 @@ def main() -> None:
             cmd += ["--sem-threshold", str(args.sem_threshold)]
         if args.sem_cells is not None:
             cmd += ["--sem-cells", str(args.sem_cells)]
+        if args.sem_centroids:
+            cmd += ["--sem-centroids", args.sem_centroids]
     if args.job == "pack":
         if args.verdicts:
             cmd += ["--verdicts", args.verdicts]

@@ -795,3 +795,47 @@ def test_excise_spans_runs_before_bpe_counts(spark):
     ).collect()}
     assert on[1].n_bpe_tokens == off[1].n_bpe_tokens
     assert on[2].n_bpe_tokens < off[2].n_bpe_tokens
+
+
+def test_sem_dedup_pinned_centroids(spark):
+    """sem_centroids pins the cell geometry: marks computed under the
+    supplied centroids equal a direct semdedup_marks run with them, and
+    the slice never refits."""
+    from ocr_parallel_spark.functions.similarity import (
+        kmeans_centroids,
+        semdedup_marks,
+    )
+
+    body = (
+        "totally different subject matter entirely about gardens and "
+        "orchards with apples pears plums cherries apricots figs and "
+        "many other fruit trees growing happily in rows beside the old "
+        "farm house where the gardener tends them every single morning "
+    )
+    alt = (
+        "another long passage concerning sailing ships and the harbors "
+        "they visit carrying spices silks and letters across the wide "
+        "ocean to distant ports where merchants wait eagerly for news "
+        "of their cargo and the tides that will bring the fleet home "
+    )
+    docs = spark.createDataFrame(
+        [(1, "https://ok.org/a", body, "en", "s"),
+         (2, "https://ok.org/b", alt, "en", "s")],
+        "doc_id long, url string, text string, lang string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [10.0, 1.0] + [0.0] * 14), (2, [10.0, 1.1] + [0.0] * 14)],
+        "doc_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(emb, n_cells=1, id_col="doc_id")
+    out = {r.doc_id: r for r in job.build_output(
+        spark, docs, None, None, embeddings=emb, sem_centroids=cents
+    ).collect()}
+    direct = {
+        r.vec_id: r.is_sem_dup
+        for r in semdedup_marks(
+            emb.withColumnRenamed("doc_id", "vec_id"), cents, 0.9
+        ).collect()
+    }
+    assert direct == {1: False, 2: True}
+    assert out[1].kept and out[2].drop_reason == "sem_dup"
