@@ -17,6 +17,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Hard per-cell occupancy bound for SemDedup pairing (the MAX_BAND_BUCKET
+# pattern from operators/neardup.py): a dup-heavy hot cell pairs at most
+# MAX_CELL members (O(MAX_CELL^2) work) instead of growing quadratically
+# without bound. Shared by semdedup_marks' within-run pair join and
+# job_curate's cross-run combined (new + committed) cell cap.
+MAX_CELL = 4096
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -431,7 +438,7 @@ def semdedup_marks(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cell: int = 4096,
+    max_cell: int = MAX_CELL,
 ) -> DataFrame:
     """SemDedup-style semantic dedup (Abbas et al. 2023, public): cluster
     embeddings with k-means (``kmeans_centroids`` — driver-sampled, the

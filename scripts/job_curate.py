@@ -47,6 +47,7 @@ def build_output(
     sem_threshold: float = 0.9,
     sem_cells: int = 64,
     sem_centroids=None,
+    prior_sem=None,
     excise_spans: bool = False,
 ):
     """The batch curation composition; returns one verdict row per doc.
@@ -112,6 +113,20 @@ def build_output(
     the cross-run exact rule. Kept docs' band signatures persist in the
     verdicts table to make this one band-explode join, not a re-hash of
     the committed corpus.
+
+    ``prior_sem`` (``doc_id``, ``sem_cell``, ``sem_emb`` of committed
+    KEPT docs — main() feeds it on incremental ``--embeddings`` runs
+    when ``--sem-centroids`` pins the geometry): new surviving vectors
+    probe the committed embeddings cell-by-cell and a new doc at
+    cosine >= ``sem_threshold`` of a committed kept doc drops as
+    ``sem_dup`` — the committed doc keeps its slot, completing the
+    cross-run story for the third dup layer (exact, near, semantic).
+    Only sound under a PINNED geometry: the committed ``sem_cell``
+    values were assigned under specific centroids, and a slice-local
+    refit would put the same vector in a different cell (missed pairs,
+    never false drops — every drop is exact-cosine-verified). Kept
+    docs persist (``sem_cell``, ``sem_emb``) in the verdicts table,
+    mirroring ``minhash_bands``.
 
     Resume scope note: under run_resumable the remaining corpus-global
     signals (line frequencies, the within-run near-dup components) see
@@ -584,12 +599,12 @@ def build_output(
         # not (templated rewrites, boilerplate-divergent mirrors) —
         # the layer MinHash cannot see. Runs LAST among the dup stages
         # over docs that survived everything else, so a textual-dup
-        # canon never loses its slot to a semantic twin. Within-run
-        # (and --recompute) only: cross-run semantic dedup would need
-        # persisted per-doc embeddings, which the verdict table does
-        # not carry — documented boundary, mirroring where cross-run
-        # near-dup was before round 4.
+        # canon never loses its slot to a semantic twin. Cross-run
+        # scope when prior_sem is fed (committed kept embeddings under
+        # a pinned geometry); within-run / --recompute otherwise.
         from ocr_parallel_spark.functions.similarity import (
+            MAX_CELL,
+            cosine,
             kmeans_centroids,
             semdedup_marks,
         )
@@ -630,18 +645,95 @@ def build_output(
                 else kmeans_centroids(vecs, n_cells=sem_cells, id_col="doc_id")
             )
         except ValueError:  # no surviving doc has an embedding row
-            j = j.withColumn("_sem", F.lit(False))
+            j = (
+                j.withColumn("_sem", F.lit(False))
+                .withColumn("sem_cell", F.lit(None).cast("long"))
+                .withColumn("sem_emb", F.lit(None).cast("array<double>"))
+            )
         else:
+            # sem0 feeds three branches (within-run marks, the
+            # cross-run probe's cell map, and verdict persistence) —
+            # pin it once, the `banded` rule
+            sem0 = semdedup_marks(
+                vecs, cents, sem_threshold, id_col="doc_id"
+            ).localCheckpoint(eager=False)
             sem = (
-                semdedup_marks(
-                    vecs, cents, sem_threshold, id_col="doc_id"
-                )
-                .filter(F.col("is_sem_dup"))
+                sem0.filter(F.col("is_sem_dup"))
                 .select("doc_id")
                 .withColumn("_sem", F.lit(True))
             )
-            j = j.join(sem, "doc_id", "left").withColumn(
-                "_sem", F.coalesce(F.col("_sem"), F.lit(False))
+            if prior_sem is not None:
+                # Cross-run SemDedup: committed kept embeddings
+                # (persisted as sem_emb under the SAME pinned
+                # geometry) probe the new run's surviving vectors
+                # cell-by-cell; a verified new twin drops, the
+                # committed doc keeps its slot. The cap bounds the
+                # COMBINED (new + committed) cell occupancy at
+                # MAX_CELL — one hot cell joins at most (MAX_CELL/2)^2
+                # pairs, the same total-occupancy rule the cross-run
+                # band join applies (ADVICE r4); overflow cells pass
+                # through unprobed, a bounded recall trade.
+                new_side = sem0.select(
+                    "doc_id", F.col("cell").cast("long").alias("cell")
+                ).join(vecs, "doc_id")
+                pri = prior_sem.select(
+                    F.col("doc_id").alias("_p_id"),
+                    F.col("sem_cell").alias("cell"),
+                    F.col("sem_emb").alias("_p_emb"),
+                )
+                occ = (
+                    new_side.select("cell")
+                    .unionByName(pri.select("cell"))
+                    .groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") <= MAX_CELL)
+                    .select("cell")
+                )
+                cross_hit = (
+                    new_side.join(occ, "cell", "semi")
+                    .join(pri.join(occ, "cell", "semi"), "cell")
+                    .filter(
+                        # same 4-decimal rounding as semdedup_marks, so
+                        # a pair at the threshold boundary gets the
+                        # same verdict within-run and cross-run
+                        F.round(
+                            cosine(
+                                F.col("embedding").cast("array<double>"),
+                                F.col("_p_emb"),
+                            ),
+                            4,
+                        )
+                        >= sem_threshold
+                    )
+                    .select("doc_id")
+                    .distinct()
+                    .withColumn("_sem", F.lit(True))
+                )
+                sem = sem.unionByName(cross_hit).distinct()
+            j = (
+                j.join(sem, "doc_id", "left")
+                .withColumn("_sem", F.coalesce(F.col("_sem"), F.lit(False)))
+                # persist the semantic-dedup state on the verdict row
+                # (the minhash_bands pattern): cell + embedding of
+                # every doc that carried a vector this run
+                .join(
+                    # cell is an int literal inside semdedup_marks; cast
+                    # long so vector-less runs' NULL branch matches
+                    sem0.select(
+                        "doc_id", F.col("cell").cast("long").alias("sem_cell")
+                    )
+                    .join(
+                        vecs.select(
+                            "doc_id",
+                            F.col("embedding")
+                            .cast("array<double>")
+                            .alias("sem_emb"),
+                        ),
+                        "doc_id",
+                    ),
+                    "doc_id",
+                    "left",
+                )
             )
     else:
         j = j.withColumn("_sem", F.lit(False))
@@ -676,6 +768,16 @@ def build_output(
         F.when(reason.isNull(), F.col("minhash_bands")).alias("minhash_bands"),
         *(["host_rank_mi"] if graph_prior is not None else []),
         *(["surprise_x16"] if lm_ref is not None else []),
+        *(
+            # the cross-run SemDedup state (kept docs only — a dropped
+            # doc never owns a semantic slot), the minhash_bands rule
+            [
+                F.when(reason.isNull(), F.col("sem_cell")).alias("sem_cell"),
+                F.when(reason.isNull(), F.col("sem_emb")).alias("sem_emb"),
+            ]
+            if embeddings is not None
+            else []
+        ),
     )
     if excise_spans:
         # Span surgery on the CURATED text (--excise-spans): repeated
@@ -868,8 +970,12 @@ def main() -> None:
         help="parquet of per-doc embeddings (doc_id or vec_id + "
         "embedding array): adds the SemDedup screen — k-means cells, "
         "within-cell cosine >= --sem-threshold marks, min-id canon; "
-        "non-canonical members drop as sem_dup (within-run / recompute "
-        "scope; functions/similarity.py semdedup_marks)",
+        "non-canonical members drop as sem_dup. Kept docs persist "
+        "(sem_cell, sem_emb) on their verdicts, and incremental runs "
+        "with --sem-centroids screen new docs against the committed "
+        "embeddings too (cross-run scope; without pinned centroids "
+        "the screen is within-run / recompute only; "
+        "functions/similarity.py semdedup_marks)",
     )
     ap.add_argument("--sem-threshold", type=float, default=0.9)
     ap.add_argument(
@@ -962,6 +1068,7 @@ def main() -> None:
     # incremental runs (recompute re-derives everything, so none there).
     prior_hashes = None
     prior_neardup = None
+    prior_sem = None
     if not args.recompute:
         committed = table.read(spark)
         if committed is not None and "content_sha" in committed.columns:
@@ -974,6 +1081,24 @@ def main() -> None:
                 prior_neardup = committed.filter("kept").select(
                     "doc_id", "kept_text", "minhash_bands"
                 )
+            if args.embeddings and "sem_emb" in committed.columns:
+                if args.sem_centroids:
+                    # cross-run SemDedup is only sound under the pinned
+                    # geometry the committed sem_cell values were
+                    # assigned in (build_output docstring)
+                    prior_sem = committed.filter(
+                        "kept and sem_emb is not null"
+                    ).select("doc_id", "sem_cell", "sem_emb")
+                else:
+                    import sys as _sys
+
+                    print(
+                        "warning: committed verdicts carry sem_emb but no "
+                        "--sem-centroids was given; cross-run SemDedup "
+                        "skipped (a slice-local refit would not match the "
+                        "committed cell geometry)",
+                        file=_sys.stderr,
+                    )
 
     # Bloom sidecar (--bloom-bits): a persisted word table over the
     # committed KEPT hashes lives beside the verdicts. Loaded only when
@@ -1103,6 +1228,7 @@ def main() -> None:
             sem_threshold=args.sem_threshold,
             sem_cells=args.sem_cells,
             sem_centroids=sem_cents,
+            prior_sem=prior_sem,
             excise_spans=args.excise_spans,
         )
 

@@ -839,3 +839,134 @@ def test_sem_dedup_pinned_centroids(spark):
     }
     assert direct == {1: False, 2: True}
     assert out[1].kept and out[2].drop_reason == "sem_dup"
+
+
+def test_cross_run_sem_dedup_against_committed_embeddings(spark, tmp_path):
+    """Incremental --embeddings under a PINNED geometry must catch
+    semantic twins SPLIT ACROSS RUNS: the committed kept doc's persisted
+    (sem_cell, sem_emb) lets a run-2 embedding twin drop as 'sem_dup'
+    with no within-run partner; an orthogonal-embedding doc and a doc
+    without an embedding row stay kept."""
+    body = (
+        "totally different subject matter entirely about gardens and "
+        "orchards with apples pears plums cherries apricots figs and "
+        "many other fruit trees growing happily in rows beside the old "
+        "farm house where the gardener tends them every single morning "
+    )
+    alt = (
+        "another long passage concerning sailing ships and the harbors "
+        "they visit carrying spices silks and letters across the wide "
+        "ocean to distant ports where merchants wait eagerly for news "
+        "of their cargo and the tides that will bring the fleet home "
+    )
+    third = (
+        "a completely separate treatise on mountain weather patterns "
+        "describing how cold fronts meet warm valley air and produce "
+        "sudden storms that shepherds learn to read from the shape of "
+        "clouds gathering along the high ridgeline before every noon "
+    )
+    schema = "doc_id long, url string, text string, lang string, source string"
+    run1 = spark.createDataFrame(
+        [(10, "https://ok.org/a", body, "en", "s")], schema
+    )
+    all_docs = run1.union(
+        spark.createDataFrame(
+            [
+                (20, "https://ok.org/b", alt, "en", "s"),    # embedding twin of 10
+                (21, "https://ok.org/c", third, "en", "s"),  # orthogonal embedding
+                (22, "https://ok.org/d", alt + "unique tail ", "en", "s"),  # no vector
+            ],
+            schema,
+        )
+    )
+    emb = spark.createDataFrame(
+        [
+            (10, [10.0, 1.0] + [0.0] * 14),
+            (20, [10.0, 1.1] + [0.0] * 14),
+            (21, [0.0, 0.0, 7.0] + [0.0] * 13),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    # pinned geometry shared by both runs (the job_index shape)
+    cents = [[1.0, 0.1] + [0.0] * 14, [0.0, 0.0, 1.0] + [0.0] * 13]
+    table = SnapshotTable(str(tmp_path / "verdicts"))
+
+    def run(docs):
+        committed = table.read(spark)
+        prior_h = prior_sem = None
+        if committed is not None:
+            prior_h = committed.filter("kept").select("content_sha")
+            prior_sem = committed.filter("kept and sem_emb is not null").select(
+                "doc_id", "sem_cell", "sem_emb"
+            )
+        return run_resumable(
+            docs, table, spark,
+            lambda todo: job.build_output(
+                spark, todo, None, None, embeddings=emb,
+                sem_centroids=cents, prior_sem=prior_sem,
+                prior_kept_hashes=prior_h,
+            ),
+            key_col="doc_id",
+        )
+
+    run(run1)
+    first = {r.doc_id: r for r in table.read(spark).collect()}
+    assert first[10].kept
+    assert first[10].sem_emb is not None and first[10].sem_cell == 0
+    run(all_docs)
+    got = {r.doc_id: r for r in table.read(spark).collect()}
+    assert len(got) == 4
+    assert got[10].kept
+    assert got[20].drop_reason == "sem_dup" and got[20].sem_emb is None, got[20]
+    assert got[21].kept and got[21].sem_cell == 1, got[21]
+    assert got[22].kept and got[22].sem_cell is None, got[22]
+
+
+def test_cross_run_sem_dedup_skipped_without_prior(spark, tmp_path):
+    """Without prior_sem (main() skips it when --sem-centroids is
+    absent) a run-2 semantic twin of a committed doc stays KEPT — the
+    documented within-run boundary, pinned so the skip is a visible
+    contract rather than an accident."""
+    body = (
+        "totally different subject matter entirely about gardens and "
+        "orchards with apples pears plums cherries apricots figs and "
+        "many other fruit trees growing happily in rows beside the old "
+        "farm house where the gardener tends them every single morning "
+    )
+    alt = (
+        "another long passage concerning sailing ships and the harbors "
+        "they visit carrying spices silks and letters across the wide "
+        "ocean to distant ports where merchants wait eagerly for news "
+        "of their cargo and the tides that will bring the fleet home "
+    )
+    schema = "doc_id long, url string, text string, lang string, source string"
+    run1 = spark.createDataFrame(
+        [(10, "https://ok.org/a", body, "en", "s")], schema
+    )
+    all_docs = run1.union(
+        spark.createDataFrame([(20, "https://ok.org/b", alt, "en", "s")], schema)
+    )
+    emb = spark.createDataFrame(
+        [(10, [10.0, 1.0] + [0.0] * 14), (20, [10.0, 1.1] + [0.0] * 14)],
+        "doc_id long, embedding array<double>",
+    )
+    table = SnapshotTable(str(tmp_path / "verdicts2"))
+
+    def run(docs):
+        committed = table.read(spark)
+        prior_h = None
+        if committed is not None:
+            prior_h = committed.filter("kept").select("content_sha")
+        return run_resumable(
+            docs, table, spark,
+            lambda todo: job.build_output(
+                spark, todo, None, None, embeddings=emb, sem_cells=1,
+                prior_kept_hashes=prior_h,
+            ),
+            key_col="doc_id",
+        )
+
+    run(run1)
+    run(all_docs)
+    got = {r.doc_id: r for r in table.read(spark).collect()}
+    assert got[10].kept and got[20].kept
