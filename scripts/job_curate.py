@@ -632,6 +632,12 @@ def build_output(
             .agg(F.min("embedding").alias("embedding")),
             "doc_id",
         )
+        # sem_emb persists in the INPUT's own element type: a float32
+        # source stays float32 (half the state bytes of a double cast —
+        # at 10^12 docs the persisted embeddings dominate the verdict
+        # table's size), and every cosine casts to double at use, which
+        # is exact for float32, so verdicts are identical either way.
+        emb_t = embeddings.schema["embedding"].dataType
         try:
             # PINNED centroids (e.g. job_index's persisted fit) keep
             # the cell geometry identical across incremental runs;
@@ -648,7 +654,7 @@ def build_output(
             j = (
                 j.withColumn("_sem", F.lit(False))
                 .withColumn("sem_cell", F.lit(None).cast("long"))
-                .withColumn("sem_emb", F.lit(None).cast("array<double>"))
+                .withColumn("sem_emb", F.lit(None).cast(emb_t))
             )
         else:
             # sem0 feeds three branches (within-run marks, the
@@ -699,7 +705,7 @@ def build_output(
                         F.round(
                             cosine(
                                 F.col("embedding").cast("array<double>"),
-                                F.col("_p_emb"),
+                                F.col("_p_emb").cast("array<double>"),
                             ),
                             4,
                         )
@@ -724,10 +730,7 @@ def build_output(
                     )
                     .join(
                         vecs.select(
-                            "doc_id",
-                            F.col("embedding")
-                            .cast("array<double>")
-                            .alias("sem_emb"),
+                            "doc_id", F.col("embedding").alias("sem_emb")
                         ),
                         "doc_id",
                     ),

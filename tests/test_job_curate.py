@@ -948,7 +948,9 @@ def test_cross_run_sem_dedup_skipped_without_prior(spark, tmp_path):
     )
     emb = spark.createDataFrame(
         [(10, [10.0, 1.0] + [0.0] * 14), (20, [10.0, 1.1] + [0.0] * 14)],
-        "doc_id long, embedding array<double>",
+        # float32 on purpose: sem_emb must persist in the INPUT's own
+        # element type (double would silently 2x the committed state)
+        "doc_id long, embedding array<float>",
     )
     table = SnapshotTable(str(tmp_path / "verdicts2"))
 
@@ -968,5 +970,7 @@ def test_cross_run_sem_dedup_skipped_without_prior(spark, tmp_path):
 
     run(run1)
     run(all_docs)
-    got = {r.doc_id: r for r in table.read(spark).collect()}
+    final = table.read(spark)
+    got = {r.doc_id: r for r in final.collect()}
     assert got[10].kept and got[20].kept
+    assert dict(final.dtypes)["sem_emb"] == "array<float>"
