@@ -239,3 +239,44 @@ def test_excise_spans_plan_no_python_no_nlj(spark, sf_dir):
     p = plan_of(q_excise_spans(spark, sf_dir), "simple")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p
+
+
+def test_cross_run_semdedup_plan_hash_joins_no_python(spark, sf_dir):
+    """The cross-run SemDedup probe (new surviving vectors vs committed
+    sem_emb) must stay hash-equi-joined on the cell with the occupancy
+    cap as semi-joins — never a nested-loop/cartesian against the
+    committed corpus — and pure codegen: the curation composition keeps
+    zero Python stages even with the cross-run branch active."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "job_curate_plan",
+        pathlib.Path(__file__).resolve().parent.parent
+        / "scripts"
+        / "job_curate.py",
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    docs = spark.createDataFrame(
+        [(1, "https://ok.org/a", "plenty of unique content words here "
+          "for the screen to keep this document alive", "en", "s")],
+        "doc_id long, url string, text string, lang string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    prior = spark.createDataFrame(
+        [(99, 0, [0.9, 0.1, 0.0, 0.0])],
+        "doc_id long, sem_cell long, sem_emb array<double>",
+    )
+    out = job.build_output(
+        spark, docs, None, None,
+        embeddings=emb,
+        sem_centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        prior_sem=prior,
+    )
+    p = plan_of(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
