@@ -69,10 +69,28 @@ def main() -> None:
     cent_path = os.path.join(args.output, IVF_CENTROIDS_FILE)
 
     if args.kind == "ivf":
+        prior = table.current_snapshot()
         if os.path.exists(cent_path) and not args.rebuild:
             with open(cent_path) as fh:
                 centroids = json.load(fh)
+            committed_cells = ((prior or {}).get("lineage") or {}).get("cells")
+            if committed_cells is not None and committed_cells != len(centroids):
+                raise SystemExit(
+                    f"centroids file has {len(centroids)} cells but the "
+                    f"committed index was built with {committed_cells}; "
+                    "the file was replaced after the fit — pass --rebuild "
+                    "to refit and overwrite"
+                )
         else:
+            if prior is not None and not args.rebuild:
+                # a refit here would hand new vectors a DIFFERENT cell
+                # geometry than the committed assignments — refuse
+                # rather than silently split the index
+                raise SystemExit(
+                    "committed ivf index exists but its centroids file "
+                    f"({cent_path}) is missing; pass --rebuild to refit "
+                    "and overwrite the whole index"
+                )
             centroids = kmeans_centroids(vectors, n_cells=args.cells)
             os.makedirs(args.output, exist_ok=True)
             with open(cent_path, "w") as fh:

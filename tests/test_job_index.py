@@ -132,3 +132,36 @@ def test_committed_index_feeds_ivf_topk(spark, sf_dir, tmp_path, capsys):
     b = sorted(map(tuple, ivf_topk(emb, queries, cents, k=5,
                                    nprobe=4).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_missing_or_replaced_centroids_refuses_append(
+    spark, sf_dir, tmp_path, capsys
+):
+    """An incremental ivf run must never assign new vectors under a
+    geometry other than the committed one: a DELETED centroids file
+    (refit would be slice-local) and a REPLACED one (different cell
+    count than the committed lineage) both refuse instead of silently
+    splitting the index; --rebuild is the stated way out."""
+    import os
+
+    out = str(tmp_path / "ivf")
+    half = str(tmp_path / "h.parquet")
+    _emb(spark, sf_dir, 50).write.parquet(half)
+    _run_index(spark, ["--input", half, "--output", out, "--cells", "4"])
+    capsys.readouterr()
+    cent = f"{out}/{job.IVF_CENTROIDS_FILE}"
+    saved = open(cent).read()
+    os.remove(cent)
+    with pytest.raises(SystemExit, match="missing"):
+        _run_index(spark, ["--input", half, "--output", out, "--cells", "4"])
+    # replaced with a different-geometry fit
+    cents = json.loads(saved)
+    with open(cent, "w") as fh:
+        json.dump(cents[:2], fh)
+    with pytest.raises(SystemExit, match="replaced after the fit"):
+        _run_index(spark, ["--input", half, "--output", out, "--cells", "4"])
+    # restoring the original file resumes cleanly (no-op append)
+    with open(cent, "w") as fh:
+        fh.write(saved)
+    _run_index(spark, ["--input", half, "--output", out, "--cells", "4"])
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["noop"]
