@@ -48,6 +48,7 @@ def build_output(
     sem_cells: int = 64,
     sem_centroids=None,
     prior_sem=None,
+    sem_emb_type=None,
     excise_spans: bool = False,
 ):
     """The batch curation composition; returns one verdict row per doc.
@@ -124,9 +125,14 @@ def build_output(
     Only sound under a PINNED geometry: the committed ``sem_cell``
     values were assigned under specific centroids, and a slice-local
     refit would put the same vector in a different cell (missed pairs,
-    never false drops — every drop is exact-cosine-verified). Kept
-    docs persist (``sem_cell``, ``sem_emb``) in the verdicts table,
-    mirroring ``minhash_bands``.
+    never false drops — every drop is exact-cosine-verified). main()
+    proves the pin rather than assuming it: runs with
+    ``--sem-centroids`` record a digest of the centroid values in the
+    snapshot lineage (``sem_geo``), the prior is fed only on a digest
+    MATCH, and a mismatch refuses outright. Kept docs persist
+    (``sem_cell``, ``sem_emb``) in the verdicts table, mirroring
+    ``minhash_bands``; ``sem_emb_type`` (fed from the committed
+    column) pins the persisted array element type across runs.
 
     Resume scope note: under run_resumable the remaining corpus-global
     signals (line frequencies, the within-run near-dup components) see
@@ -604,7 +610,8 @@ def build_output(
         # a pinned geometry); within-run / --recompute otherwise.
         from ocr_parallel_spark.functions.similarity import (
             MAX_CELL,
-            cosine,
+            _prep_vec,
+            cosine_from_norms,
             kmeans_centroids,
             semdedup_marks,
         )
@@ -637,7 +644,11 @@ def build_output(
         # at 10^12 docs the persisted embeddings dominate the verdict
         # table's size), and every cosine casts to double at use, which
         # is exact for float32, so verdicts are identical either way.
-        emb_t = embeddings.schema["embedding"].dataType
+        # Once a table HAS committed sem_emb rows, its type wins
+        # (sem_emb_type, fed by main()): appending a different array
+        # type would poison the table — parquet mergeSchema cannot
+        # reconcile float and double pages under one column.
+        emb_t = sem_emb_type or embeddings.schema["embedding"].dataType
         try:
             # PINNED centroids (e.g. job_index's persisted fit) keep
             # the cell geometry identical across incremental runs;
@@ -673,20 +684,32 @@ def build_output(
                 # (persisted as sem_emb under the SAME pinned
                 # geometry) probe the new run's surviving vectors
                 # cell-by-cell; a verified new twin drops, the
-                # committed doc keeps its slot. The cap bounds the
+                # committed doc keeps its slot. Only within-run
+                # SURVIVORS probe (a within-run-marked doc drops
+                # anyway): they'd otherwise inflate the occupancy
+                # count and waste pair-join work. The cap bounds the
                 # COMBINED (new + committed) cell occupancy at
                 # MAX_CELL — one hot cell joins at most (MAX_CELL/2)^2
                 # pairs, the same total-occupancy rule the cross-run
                 # band join applies (ADVICE r4); overflow cells pass
-                # through unprobed, a bounded recall trade.
-                new_side = sem0.select(
-                    "doc_id", F.col("cell").cast("long").alias("cell")
-                ).join(vecs, "doc_id")
-                pri = prior_sem.select(
-                    F.col("doc_id").alias("_p_id"),
-                    F.col("sem_cell").alias("cell"),
-                    F.col("sem_emb").alias("_p_emb"),
-                )
+                # through unprobed, a bounded recall trade. Norms are
+                # materialized once per ROW (_prep_vec) — inside the
+                # pair condition they would recompute per pair.
+                new_side = _prep_vec(
+                    sem0.filter(~F.col("is_sem_dup"))
+                    .select("doc_id", F.col("cell").cast("long").alias("cell"))
+                    .join(vecs, "doc_id"),
+                    "embedding",
+                    "_x",
+                ).select("doc_id", "cell", "_xvec", "_xnorm")
+                pri = _prep_vec(
+                    prior_sem.select(
+                        F.col("sem_cell").alias("cell"),
+                        F.col("sem_emb").alias("_p_emb"),
+                    ),
+                    "_p_emb",
+                    "_p",
+                ).select("cell", "_pvec", "_pnorm")
                 occ = (
                     new_side.select("cell")
                     .unionByName(pri.select("cell"))
@@ -699,13 +722,16 @@ def build_output(
                     new_side.join(occ, "cell", "semi")
                     .join(pri.join(occ, "cell", "semi"), "cell")
                     .filter(
-                        # same 4-decimal rounding as semdedup_marks, so
-                        # a pair at the threshold boundary gets the
-                        # same verdict within-run and cross-run
+                        # same arithmetic AND 4-decimal rounding as
+                        # semdedup_marks, so a pair at the threshold
+                        # boundary gets the same verdict within-run
+                        # and cross-run
                         F.round(
-                            cosine(
-                                F.col("embedding").cast("array<double>"),
-                                F.col("_p_emb").cast("array<double>"),
+                            cosine_from_norms(
+                                F.col("_xvec"),
+                                F.col("_pvec"),
+                                F.col("_xnorm"),
+                                F.col("_pnorm"),
                             ),
                             4,
                         )
@@ -730,7 +756,8 @@ def build_output(
                     )
                     .join(
                         vecs.select(
-                            "doc_id", F.col("embedding").alias("sem_emb")
+                            "doc_id",
+                            F.col("embedding").cast(emb_t).alias("sem_emb"),
                         ),
                         "doc_id",
                     ),
@@ -1069,9 +1096,25 @@ def main() -> None:
 
     # Committed kept-doc hashes make exact dedup cross-run correct on
     # incremental runs (recompute re-derives everything, so none there).
+    # Pinned SemDedup centroids load early: the committed-state block
+    # below gates cross-run screening on their digest matching the
+    # committed lineage's.
+    sem_cents = None
+    sem_geo = None
+    if args.sem_centroids:
+        import hashlib as _hashlib
+        import json as _json
+
+        with open(args.sem_centroids) as fh:
+            sem_cents = _json.load(fh)
+        sem_geo = _hashlib.sha256(
+            _json.dumps(sem_cents).encode()
+        ).hexdigest()[:16]
+
     prior_hashes = None
     prior_neardup = None
     prior_sem = None
+    sem_emb_type = None
     if not args.recompute:
         committed = table.read(spark)
         if committed is not None and "content_sha" in committed.columns:
@@ -1085,16 +1128,41 @@ def main() -> None:
                     "doc_id", "kept_text", "minhash_bands"
                 )
             if args.embeddings and "sem_emb" in committed.columns:
-                if args.sem_centroids:
+                import sys as _sys
+
+                # appends must match the committed column's array type
+                # regardless of cross-run gating — mixing float and
+                # double pages under one parquet column poisons reads
+                sem_emb_type = committed.schema["sem_emb"].dataType
+                committed_geo = (
+                    (table.current_snapshot() or {}).get("lineage") or {}
+                ).get("sem_geo")
+                if args.sem_centroids and committed_geo == sem_geo:
                     # cross-run SemDedup is only sound under the pinned
                     # geometry the committed sem_cell values were
-                    # assigned in (build_output docstring)
+                    # assigned in (build_output docstring) — proven by
+                    # the lineage digest, not assumed from flag presence
                     prior_sem = committed.filter(
                         "kept and sem_emb is not null"
                     ).select("doc_id", "sem_cell", "sem_emb")
+                elif args.sem_centroids and committed_geo is not None:
+                    raise SystemExit(
+                        "--sem-centroids does not match the geometry the "
+                        "committed sem_cell values were assigned under "
+                        f"(lineage sem_geo {committed_geo!r} != {sem_geo!r});"
+                        " use the original centroids file, or --recompute "
+                        "to re-derive the whole table under the new one"
+                    )
+                elif args.sem_centroids:
+                    print(
+                        "warning: committed verdicts predate geometry "
+                        "lineage (no sem_geo recorded — slice-local fit "
+                        "or older commit); cross-run SemDedup skipped. "
+                        "Run --recompute with --sem-centroids to adopt a "
+                        "pinned geometry",
+                        file=_sys.stderr,
+                    )
                 else:
-                    import sys as _sys
-
                     print(
                         "warning: committed verdicts carry sem_emb but no "
                         "--sem-centroids was given; cross-run SemDedup "
@@ -1179,12 +1247,6 @@ def main() -> None:
             with open(merges_path, "w") as fh:
                 _json.dump(merges_to_strings(bpe_merges), fh)
 
-    sem_cents = None
-    if args.sem_centroids:
-        import json as _json
-
-        with open(args.sem_centroids) as fh:
-            sem_cents = _json.load(fh)
     emb_df = None
     if args.embeddings:
         from pyspark.sql import functions as F
@@ -1232,6 +1294,7 @@ def main() -> None:
             sem_cells=args.sem_cells,
             sem_centroids=sem_cents,
             prior_sem=prior_sem,
+            sem_emb_type=sem_emb_type,
             excise_spans=args.excise_spans,
         )
 
@@ -1246,6 +1309,8 @@ def main() -> None:
 
         result = transform(docs).persist(StorageLevel.MEMORY_AND_DISK)
         lineage = {"input": args.input, "mode": "recompute"}
+        if sem_geo is not None:
+            lineage["sem_geo"] = sem_geo
         reasons = reason_histogram(result)
         if reasons is not None:
             lineage["reasons"] = reasons
@@ -1258,7 +1323,10 @@ def main() -> None:
             spark,
             transform,
             key_col="doc_id",
-            lineage={"input": args.input},
+            lineage={
+                "input": args.input,
+                **({"sem_geo": sem_geo} if sem_geo is not None else {}),
+            },
         )
     if args.bloom_bits and not snap.get("noop"):
         # Keep the sidecar covering the NEW ordinal: append runs fold

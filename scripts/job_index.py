@@ -68,16 +68,32 @@ def main() -> None:
     table = SnapshotTable(args.output)
     cent_path = os.path.join(args.output, IVF_CENTROIDS_FILE)
 
+    import hashlib
+
+    def _geo_sha(cents) -> str:
+        return hashlib.sha256(json.dumps(cents).encode()).hexdigest()[:16]
+
     if args.kind == "ivf":
         prior = table.current_snapshot()
         if os.path.exists(cent_path) and not args.rebuild:
             with open(cent_path) as fh:
                 centroids = json.load(fh)
-            committed_cells = ((prior or {}).get("lineage") or {}).get("cells")
-            if committed_cells is not None and committed_cells != len(centroids):
+            lin = (prior or {}).get("lineage") or {}
+            committed_cells = lin.get("cells")
+            committed_sha = lin.get("centroids_sha")
+            if (
+                committed_cells is not None
+                and committed_cells != len(centroids)
+            ) or (
+                # digest over the VALUES: a same-count refit must not
+                # pass the guard (count alone would)
+                committed_sha is not None
+                and committed_sha != _geo_sha(centroids)
+            ):
                 raise SystemExit(
-                    f"centroids file has {len(centroids)} cells but the "
-                    f"committed index was built with {committed_cells}; "
+                    f"centroids file ({len(centroids)} cells, sha "
+                    f"{_geo_sha(centroids)}) does not match the committed "
+                    f"index (cells {committed_cells}, sha {committed_sha}); "
                     "the file was replaced after the fit — pass --rebuild "
                     "to refit and overwrite"
                 )
@@ -99,7 +115,11 @@ def main() -> None:
         def build(todo):
             return build_ivf_index(todo, centroids)
 
-        lineage = {"kind": "ivf", "cells": len(centroids)}
+        lineage = {
+            "kind": "ivf",
+            "cells": len(centroids),
+            "centroids_sha": _geo_sha(centroids),
+        }
     else:
         prior = table.current_snapshot()
         params = {

@@ -154,10 +154,18 @@ def test_ivf_missing_or_replaced_centroids_refuses_append(
     os.remove(cent)
     with pytest.raises(SystemExit, match="missing"):
         _run_index(spark, ["--input", half, "--output", out, "--cells", "4"])
-    # replaced with a different-geometry fit
+    # replaced with a different-geometry fit (fewer cells)
     cents = json.loads(saved)
     with open(cent, "w") as fh:
         json.dump(cents[:2], fh)
+    with pytest.raises(SystemExit, match="replaced after the fit"):
+        _run_index(spark, ["--input", half, "--output", out, "--cells", "4"])
+    # replaced with the SAME cell count but different values — the
+    # value digest must catch what the count alone cannot
+    perturbed = [list(c) for c in cents]
+    perturbed[0][0] += 1.0
+    with open(cent, "w") as fh:
+        json.dump(perturbed, fh)
     with pytest.raises(SystemExit, match="replaced after the fit"):
         _run_index(spark, ["--input", half, "--output", out, "--cells", "4"])
     # restoring the original file resumes cleanly (no-op append)
