@@ -78,9 +78,13 @@ def curate_docs(docs: DataFrame, blocked_hosts: DataFrame) -> DataFrame:
         (counts["email"] + counts["phone"] + counts["ip"]).alias("n_pii"),
     )
     blocked = F.broadcast(
-        blocked_hosts.select(F.lower(F.col("host")).alias("host")).withColumn(
-            "_blocked", F.lit(True)
-        )
+        # distinct AFTER lowercasing: caller rows that collide once
+        # lowered ('Example.com' + 'example.com') would otherwise fan
+        # every doc on that host into duplicate verdict rows through
+        # the left join
+        blocked_hosts.select(F.lower(F.col("host")).alias("host"))
+        .distinct()
+        .withColumn("_blocked", F.lit(True))
     )
     d = d.join(blocked, "host", "left")
     reason = (
@@ -110,17 +114,10 @@ def run_curation_available_now(
     """Drain all pending doc files through the curation screen and stop
     (availableNow); re-runs process only new files via the checkpoint's
     file-source log."""
+    from ocr_parallel_spark.streaming.sink import drain_available_now
+
     out = curate_docs(read_docs_stream(spark, input_dir), blocked_hosts)
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return drain_available_now(out, output_dir, checkpoint_dir)
 
 
 def quality_screen_docs(docs: DataFrame, weights: dict[int, int]) -> DataFrame:

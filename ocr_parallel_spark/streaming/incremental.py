@@ -101,16 +101,9 @@ def run_available_now(
     (file-source log) and suppresses already-seen urls within the TTL
     (bounded dedup state) — both recovered from the checkpoint. Returns
     the finished query (for state-store metrics via ``recentProgress``)."""
+    from ocr_parallel_spark.streaming.sink import drain_available_now
+
     out = incremental_extraction(
         read_pages_stream(spark, input_dir), max_bytes, dedup_ttl
     )
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    return drain_available_now(out, output_dir, checkpoint_dir)

@@ -88,22 +88,19 @@ def run_rollup_available_now(
     checkpoint_dir: str,
     window: str = "10 minutes",
     watermark: str = "20 minutes",
-) -> None:
+):
     """Drain pending event files through the rollup and stop
     (availableNow). Append output mode: a window row is emitted ONCE,
     when the watermark passes its end — the sink only ever sees
     finalized windows, so downstream consumers never reconcile
     partial aggregates. Windows the watermark has not passed stay in
     the checkpoint state and emit on a later drain."""
-    q = (
+    from ocr_parallel_spark.streaming.sink import drain_available_now
+
+    return drain_available_now(
         windowed_user_stats(
             read_events_stream(spark, input_dir), window, watermark
-        )
-        .writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        ),
+        output_dir,
+        checkpoint_dir,
     )
-    q.awaitTermination()

@@ -25,6 +25,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _round4_half_up(x: float) -> float:
+    """Spark's ``F.round(col, 4)`` exactly: Java's
+    ``BigDecimal.valueOf(x)`` parses the double's SHORTEST decimal
+    repr (= Python ``repr``) and quantizes HALF_UP. Python's built-in
+    ``round()`` is NOT equivalent — it rounds the exact binary value
+    half-to-even (repr "0.90025" -> 0.9002 built-in vs 0.9003 Spark;
+    exact tie 0.03125 -> 0.0312 vs 0.0313) — so a streaming twin that
+    used it would diverge from its batch operator at threshold
+    boundaries. Pinned against a literal F.round sweep in
+    tests/test_streaming.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def windowed_lang_counts(
     pages_stream: DataFrame,
     window: str = "1 hour",
@@ -89,7 +106,20 @@ _PACK_OUT_SCHEMA = (
     "doc_id bigint, source string, n_tokens bigint, tok_offset bigint, "
     "win_start bigint, win_end bigint, n_windows bigint, is_split boolean"
 )
-_PACK_STATE_SCHEMA = "next_offset bigint"
+_PACK_STATE_SCHEMA = "next_offset bigint, seen array<bigint>"
+
+# Re-delivery guard window: the packer remembers the last PACK_SEEN_CAP
+# doc_ids per source and silently drops a re-arrival — without this an
+# at-least-once source (kafka producer retries, a doc landing in two
+# ingest files) would pack the doc TWICE and permanently shift every
+# later offset in the source (the offset state never self-corrects).
+# BOUNDED by design, unlike the dedup operators' per-bucket membership:
+# pack state is keyed per SOURCE (a handful of keys), so an unbounded
+# seen-set would hold the whole corpus's ids in a few state rows.
+# Producer-side duplicates cluster in adjacent micro-batches; a dup
+# older than the window is the batch packer's --recompute arbiter case,
+# the same contract as every streaming dedup here.
+PACK_SEEN_CAP = 8192
 
 
 def _make_pack_fn(window_tokens: int):
@@ -97,16 +127,31 @@ def _make_pack_fn(window_tokens: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         parts = [p for p in pdfs if len(p)]
-        off = state.get[0] if state.exists else 0
+        if state.exists:
+            off, seen_arr = state.get
+            seen_list = list(seen_arr)
+        else:
+            off, seen_list = 0, []
         if not parts:
-            state.update((off,))
+            state.update((off, seen_list))
             return
-        pdf = pd.concat(parts, ignore_index=True).sort_values("doc_id")
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values("doc_id")
+            # in-batch duplicates collapse to the first row; cross-batch
+            # re-deliveries drop against the recent-seen window
+            .drop_duplicates("doc_id", keep="first")
+        )
+        pdf = pdf[~pdf["doc_id"].isin(set(seen_list))]
+        if not len(pdf):
+            state.update((off, seen_list))
+            return
         n = pdf["n_tokens"].to_numpy()
         starts = n.cumsum() - n + off
         ends = starts + n - 1
         ws, we = starts // window_tokens, ends // window_tokens
-        state.update((int(off + n.sum()),))
+        seen_list.extend(int(d) for d in pdf["doc_id"])
+        state.update((int(off + n.sum()), seen_list[-PACK_SEEN_CAP:]))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),
@@ -133,9 +178,13 @@ def streaming_sequence_pack(
     run over the concatenated arrivals would give. Within a micro-batch
     docs pack in doc_id order; across batches, in arrival order — the
     streaming contract (a global order does not exist on an unbounded
-    stream). Equivalence with the batch operator on identical, ordered
-    input is pinned in pytest. Append operator mode: emitted rows are
-    final."""
+    stream). Re-delivered doc_ids inside the last ``PACK_SEEN_CAP``
+    arrivals per source are dropped rather than re-packed (an
+    at-least-once duplicate would otherwise shift every later offset
+    permanently — see PACK_SEEN_CAP for why the guard is a bounded
+    window here, not the dedup operators' full membership set).
+    Equivalence with the batch operator on identical, ordered input is
+    pinned in pytest. Append operator mode: emitted rows are final."""
     from ocr_parallel_spark.operators.classify import normalize_col
 
     # Coalesce NULL text like the batch twin (job_pack.build_output):
@@ -332,16 +381,20 @@ def _make_semdedup_fn(threshold: float, max_cell: int):
                     continue  # keep-earliest: only earlier docs own rep slots
                 d = pn * vn
                 if d > 0:
-                    # sequential left-to-right adds — the exact IEEE fold
-                    # Spark's aggregate() performs in the batch twin, so
-                    # stream == batch holds bit-for-bit
-                    s = 0.0
-                    for x, y in zip(pv, v):
-                        s += float(x) * float(y)
-                    cos = s / d
+                    # cumsum's sequential left-to-right adds over the
+                    # elementwise IEEE products are the exact fold
+                    # Spark's aggregate() performs in the batch twin
+                    # (bit-for-bit; np.sum would pairwise-sum and
+                    # diverge) — at C speed instead of a per-element
+                    # Python loop over up to max_cell members
+                    cos = (
+                        float(np.cumsum(pv * v)[-1]) / d if len(v) else 0.0
+                    )
                 else:
                     cos = 0.0
-                if round(cos, 4) >= threshold and (best is None or pid < best):
+                if _round4_half_up(cos) >= threshold and (
+                    best is None or pid < best
+                ):
                     best = pid
             if best is not None:
                 out_ids.append(doc_id)

@@ -224,3 +224,26 @@ def test_lm_screen_stream_equals_batch(spark, sf_dir, tmp_path):
         d: (r.n_grams, r.sum_surprise, r.surprise_x16, r.high_surprise)
         for d, r in screened.items()
     }
+
+
+def test_blocklist_duplicates_do_not_fan_verdicts(spark, sf_dir):
+    """A blocklist whose rows collide after lowercasing ('Site-3...' +
+    'site-3...') must still yield exactly ONE verdict row per doc — the
+    broadcast side dedups post-normalization, or the left join would
+    emit every doc on that host once per colliding row."""
+    from ocr_parallel_spark.streaming.curation import curate_docs
+
+    docs = _docs_with_urls(spark, sf_dir)
+    messy = spark.createDataFrame(
+        [("Site-3.example.com",), ("site-3.example.com",),
+         ("SITE-3.EXAMPLE.COM",)],
+        "host string",
+    )
+    out = curate_docs(docs, messy)
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    blocked = out.filter("drop_reason = 'blocked'")
+    assert blocked.count() > 0
+    assert set(
+        r.host for r in blocked.select("host").distinct().collect()
+    ) == {"site-3.example.com"}

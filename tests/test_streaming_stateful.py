@@ -363,3 +363,80 @@ def test_streaming_sem_dedup_skips_null_embeddings(spark, tmp_path):
     q.awaitTermination()
     got = {r.doc_id: r.sem_rep for r in spark.read.parquet(out).collect()}
     assert got == {3: 1}
+
+
+def test_round4_half_up_matches_spark_round(spark):
+    """The streaming SemDedup threshold comparison must round exactly as
+    the batch twin's F.round(col, 4): Java HALF_UP over the double's
+    shortest decimal repr. Python's built-in round() diverges on
+    decimal-repr boundaries (0.90025 -> 0.9002 built-in, 0.9003 Spark)
+    and exact binary ties (0.03125 -> 0.0312 vs 0.0313); pin the helper
+    against Spark itself across hand-picked boundaries plus a dense
+    sweep around the default 0.9 threshold."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.streaming.stateful import _round4_half_up
+
+    vals = [0.90025, 0.90015, 0.03125, 0.89995, 0.9, 0.0, 1.0,
+            0.99995, 0.00005, 0.12344999, 0.123450001, -0.90025]
+    vals += [k / 200000.0 for k in range(179980, 180021)]  # 0.8999..0.90011
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, x double"
+    )
+    got = {
+        r.i: r.r
+        for r in df.select("i", F.round("x", 4).alias("r")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == _round4_half_up(v), (v, got[i], _round4_half_up(v))
+
+
+def test_streaming_sequence_pack_drops_redelivered_docs(spark, tmp_path):
+    """An at-least-once source that re-delivers a doc (and a micro-batch
+    containing the same doc twice) must pack it ONCE: a second emission
+    would permanently shift every later offset in the source. Offsets
+    must equal a batch pack over the distinct docs."""
+    from ocr_parallel_spark.streaming.stateful import streaming_sequence_pack
+
+    inp, out, ckpt = (
+        str(tmp_path / "rin"),
+        str(tmp_path / "rout"),
+        str(tmp_path / "rck"),
+    )
+    schema = "doc_id bigint, source string, text string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            streaming_sequence_pack(stream, 4)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: docs 1 (3 tokens) and 2 (2 tokens), doc 2 duplicated
+    # WITHIN the batch
+    write([(1, "s", "a b c"), (2, "s", "d e"), (2, "s", "d e")])
+    run()
+    # run 2: doc 2 re-delivered ACROSS batches + genuinely new doc 3
+    write([(2, "s", "d e"), (3, "s", "f g h i")])
+    run()
+
+    got = {
+        r.doc_id: (r.n_tokens, r.tok_offset)
+        for r in spark.read.parquet(out).collect()
+    }
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == 3, f"re-delivered doc packed twice: {n_rows} rows"
+    assert got[1] == (3, 0)
+    assert got[2] == (2, 3)
+    assert got[3] == (4, 5), "offset drifted: re-delivery advanced the stream"
