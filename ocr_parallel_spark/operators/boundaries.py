@@ -77,20 +77,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Reference constants (text_localization.py:361,365,370,381,386,425,465,
-# 501,580,634,646,659,682,685,695).
+# 501,580,634,646,659,682,685,695). The caps that other modules also
+# consume live in config.py — ONE source of truth, so a parity edit
+# there cannot silently diverge from this operator's copy.
+from ocr_parallel_spark.config import (  # noqa: E402
+    MAX_FALLBACK_PAGES,
+    MAX_PAGES_WITH_BOUNDARIES,
+    MAX_PAGES_WITHOUT_BOUNDARIES,
+    MAX_SEARCH_LENGTH,
+)
+from ocr_parallel_spark.config import DENSE_RANGE_GAP as DENSE_GAP  # noqa: E402
+
 START_WINDOW = 300
 START_STRIDE = 50
 START_MIN_COVERAGE = (1, 2)  # >= 1/2 of tokens, as an exact ratio
 FALLBACK_WINDOW = 200
 FALLBACK_MIN_COVERAGE = (7, 10)  # >= 7/10
-MAX_SEARCH_LENGTH = 3000
 HARD_END_CAP = 2000
 SECTION_FALLBACK_CHARS = 500
-MAX_FALLBACK_PAGES = 5
-MAX_PAGES_WITH_BOUNDARIES = 15
-MAX_PAGES_WITHOUT_BOUNDARIES = 20
 DENSE_MIN_MATCHES = 10  # strictly more than this triggers densest-run
-DENSE_GAP = 3
 EXPAND_BEFORE_IDX = 2
 EXPAND_AFTER_IDX = 5
 NUMERIC_BEFORE = 2

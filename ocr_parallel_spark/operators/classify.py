@@ -47,8 +47,12 @@ def filter_oversized(
     df: DataFrame, payload_col: str = "html", max_bytes: int = MAX_PAYLOAD_BYTES
 ) -> DataFrame:
     """P5: drop payloads over the ingestion cap (pushdown-friendly filter;
-    dropped rows are counted by the caller via observe/agg)."""
-    return df.filter(F.length(F.col(payload_col)) <= max_bytes)
+    dropped rows are counted by the caller via observe/agg). octet_length,
+    not length: the cap is BYTES (reference main.py:42-74 checks
+    Content-Length) and length() counts characters on a string column —
+    a multi-byte UTF-8 payload would under-measure ~3x. Identical on
+    binary columns."""
+    return df.filter(F.octet_length(F.col(payload_col)) <= max_bytes)
 
 
 def validate_page_range(

@@ -59,9 +59,16 @@ def mark_exact_content_dups(
         "content_sha256",
         F.when(F.col(text_col).isNotNull(), content_key(text_col)),
     )
-    w = Window.partitionBy("content_sha256").orderBy(
-        *[F.col(c) for c in order_cols]
-    )
+    # NULL-text error rows must not share ONE window partition: at crawl
+    # scale a ~1% error rate funnels billions of rows through a single
+    # task for outputs the when() guards mask anyway. Spreading them by
+    # url keeps every partition bounded; the \x00 prefix cannot collide
+    # with a hex sha.
+    w = Window.partitionBy(
+        F.coalesce(
+            F.col("content_sha256"), F.concat(F.lit("\x00"), F.col("url"))
+        )
+    ).orderBy(*[F.col(c) for c in order_cols])
     return (
         hashed.withColumn(
             "_rn",

@@ -27,20 +27,26 @@ def with_input_idx(
     (non-overlapping sorted ranges, partition id order == key order), rank
     within each partition, then add per-partition row-count offsets. The
     only unpartitioned window runs over the per-partition counts — one row
-    per partition, never the data. The two consumers of the range exchange
-    (counts + join probe) share it via Spark's ReusedExchange, so the
-    sampled range boundaries are computed once."""
+    per partition, never the data. localCheckpoint pins the (row -> _pid)
+    mapping: the counts branch and the join probe would otherwise
+    recompute it independently, and a nondeterministic upstream or
+    divergent AQE decisions could hand the two subtrees different pids —
+    silently wrong indices (the _two_level_offsets rule,
+    operators/chunking.py)."""
     cols = [F.col(c) for c in order_cols]
     parted = (
         df.repartitionByRange(num_partitions, *cols)
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    local = parted.withColumn("_pid", F.spark_partition_id()).withColumn(
+    base = parted.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    local = base.withColumn(
         "_local",
         F.row_number().over(Window.partitionBy("_pid").orderBy(*cols)) - 1,
     )
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    counts = base.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )  # over #partitions rows only — O(partitions), not O(rows)

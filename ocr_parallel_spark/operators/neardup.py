@@ -295,31 +295,10 @@ def signature_near_dup_marks(
     against. Candidate generation is the capped band self-join;
     verification compares the two 64-slot signatures with zip_with
     (JVM-side, no Python)."""
-    ex = sigs.select(
-        id_col, F.posexplode("bands").alias("band_idx", "band_hash")
-    )
-    if max_bucket:
-        sizes = ex.groupBy("band_idx", "band_hash").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
-        ex = (
-            ex.join(sizes, ["band_idx", "band_hash"])
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
-    l, r = ex.alias("l"), ex.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    # candidate generation IS pairs_from_banded — one definition of the
+    # bucket-cap + banded self-join, so a cap/predicate fix cannot drift
+    # between this batch twin and the other callers
+    cands = pairs_from_banded(sigs, id_col, max_bucket)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sig_b"))
     agree = F.size(
