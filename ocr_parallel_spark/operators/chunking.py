@@ -327,14 +327,18 @@ def shard_shuffle(
     correlates consecutive batches, so real pipelines hash-shuffle
     units across shard files exactly once, reproducibly.
 
-    Each row gets ``shard_id`` (first 4 hex chars of
-    sha2-256('<seed>|<key...>') mod ``n_shards`` — the repo's shared
+    Each row gets ``shard_id`` (first 12 hex chars — 48 bits — of
+    sha2-256('<seed>|<key...>') mod ``n_shards``; the repo's shared
     seeded-hash derivation, DuckDB-mirrorable) and ``shard_pos``
     (0-based rank within the shard, ordered by the NEXT 12 hex chars
     of the same digest with the key string as tiebreak — a uniform
     pseudo-random permutation derived from the seed alone, so re-runs,
     task retries, and the SQL oracle agree bit-for-bit; no Spark
     ``rand()``, whose per-partition streams reshuffle under AQE).
+    48 bits, not a shorter slice: the id space must dominate any
+    realistic ``n_shards`` — a 16-bit slice would cap distinct shards
+    at 65,536 and bias the modulo long before that, while 2^48 keeps
+    the bias negligible even at the ~400k shards a 100 TB pack needs.
 
     Scale shape: computing the keys is map-side; the rank is one hash
     exchange on ``shard_id`` + per-shard sort — and one task per shard
@@ -356,9 +360,9 @@ def shard_shuffle(
     h = F.sha2(key, 256)
     out = df.withColumn("_shard_key", key).withColumn(
         "shard_id",
-        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards),
+        (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % n_shards),
     ).withColumn(
-        "_shard_sort", F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
+        "_shard_sort", F.conv(F.substring(h, 13, 12), 16, 10).cast("long")
     )
     w = Window.partitionBy("shard_id").orderBy("_shard_sort", "_shard_key")
     return (

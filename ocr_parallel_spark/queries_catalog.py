@@ -4080,9 +4080,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT source, win_id, key,
-                     CAST(('0x' || substr(sha256(key), 1, 4))::UBIGINT
+                     CAST(('0x' || substr(sha256(key), 1, 12))::UBIGINT
                           % {SHARD_N} AS BIGINT) AS shard_id,
-                     ('0x' || substr(sha256(key), 5, 12))::UBIGINT AS sk
+                     ('0x' || substr(sha256(key), 13, 12))::UBIGINT AS sk
               FROM k
             )
             SELECT source, win_id, shard_id,

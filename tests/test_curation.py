@@ -872,3 +872,22 @@ def test_dedup_lines_cms_prefilter_identical_results(spark):
     # sanity: the banners really were dropped, uniques kept
     by_id = {t[0]: t for t in exact}
     assert "cookie" not in by_id[0][3] and "unique content" in by_id[0][3]
+
+
+def test_shard_shuffle_id_space_exceeds_16_bits(spark):
+    """The shard id derives from a 48-bit digest slice: with n_shards
+    beyond 65,536 the ids must actually reach the upper range (a 16-bit
+    slice would leave every id < 65,536 and ~84% of a 400k-shard layout
+    permanently empty)."""
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.operators.chunking import shard_shuffle
+
+    rows = spark.range(20000).select(
+        F.lit("s").alias("source"), F.col("id").alias("win_id")
+    )
+    ids = shard_shuffle(rows, 1_000_000).agg(
+        F.max("shard_id").alias("mx"), F.min("shard_id").alias("mn")
+    ).collect()[0]
+    assert ids.mx > 65535, f"shard ids capped at 16 bits (max {ids.mx})"
+    assert ids.mn >= 0
