@@ -18,15 +18,33 @@ from ocr_parallel_spark.config import MAX_PAYLOAD_BYTES
 
 NOT_FOUND_MARKERS = ("inmueble no encontrado", "no encontrado", "not found")
 
+# Python re's \s, exactly (Unicode White_Space plus the \x1c-\x1f
+# separators Python keeps for history): the kernel's clean_text is the
+# normalization ground truth, and NO engine default matches it — Java \s
+# and RE2 \s are ASCII-only (NBSP survives), Java (?U)\s drops \x1c-\x1f.
+# One explicit class is the only expression all engines agree on; the
+# SQL oracles interpolate the same WS_CLASS string. The class holds the
+# LITERAL characters (none is a class metacharacter) rather than \x{h}
+# escapes: the escaped form's braces would detonate inside the catalog's
+# .format()-built SQL templates, and RE2 has no \uhhhh syntax.
+WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008"
+    "\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+WS_CLASS = "[" + WS_CHARS + "]"
+
 
 def normalize_col(col: Column | str) -> Column:
     """F1 chain as built-ins: literal ``\\n`` -> space, newline -> space,
     whitespace runs -> one space, trim. Byte-equal to
-    ``kernel.normalize.clean_text`` (asserted in tests)."""
+    ``kernel.normalize.clean_text`` (asserted in tests) — including on
+    Unicode whitespace (NBSP and friends), via WS_CLASS rather than the
+    ASCII-only Java ``\\s``."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"\\n", " ")  # literal backslash-n sequence
     c = F.regexp_replace(c, r"\n", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, WS_CLASS + "+", " ")
     return F.trim(c)
 
 

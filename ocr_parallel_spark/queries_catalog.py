@@ -43,10 +43,15 @@ from ocr_parallel_spark.operators.sessionize import densest_range, sessionize
 TCHUNK, TOVERLAP = 8, 2
 TSTEP = TCHUNK - TOVERLAP
 
-# The SQL twin of operators.classify.normalize_col (F1 chain).
+# The SQL twin of operators.classify.normalize_col (F1 chain). The
+# whitespace class is the SAME WS_CLASS string the Spark side compiles
+# (\x{h} escapes parse identically in Java regex and RE2) — Python \s
+# semantics in all three engines, never the ASCII-only engine default.
+from ocr_parallel_spark.operators.classify import WS_CLASS as _WS
+
 NORM_SQL = (
     "trim(regexp_replace(regexp_replace(regexp_replace("
-    "text, '\\\\n', ' ', 'g'), '\\n', ' ', 'g'), '\\s+', ' ', 'g'))"
+    f"text, '\\\\n', ' ', 'g'), '\\n', ' ', 'g'), '{_WS}+', ' ', 'g'))"
 )
 
 # Inline localization targets (J2): tiny dimension side, broadcast.
@@ -4799,7 +4804,7 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY doc_id, n_chars) AS first20_details
             FROM r GROUP BY source
         """,
-        "extract_text_pin": """
+        "extract_text_pin": f"""
             -- Independent re-derivation of the kernel's expected output
             -- text from the synthesis rules (pages.py), entirely in SQL:
             -- survivors of keep-first url dedup are exactly the
@@ -4844,7 +4849,7 @@ def oracle_sql() -> dict[str, str]:
                          'Document number ' || content_id,
                          trim(regexp_replace(regexp_replace(regexp_replace(
                            raw_body, '\\\\n', ' ', 'g'), '\\n', ' ', 'g'),
-                           '\\s+', ' ', 'g')))
+                           '{_WS}+', ' ', 'g')))
                      END AS etext
               FROM body
             )

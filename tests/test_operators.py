@@ -421,3 +421,32 @@ def test_excise_repeated_spans_three_copies_one_owner(spark):
     assert out[10].n_removed == 0
     assert out[20].deduped_text == "b1 b2 b3" and out[20].n_removed == 7
     assert out[30].deduped_text == "c1" and out[30].n_removed == 7
+
+
+def test_normalize_col_matches_kernel_on_unicode_whitespace(spark):
+    """The JVM normalize twin must be byte-equal to the kernel's
+    clean_text INCLUDING Unicode whitespace: Java's default \\s is
+    ASCII-only, so NBSP/thin-space/ideographic-space would survive the
+    collapse and split sha-256 content keys between the two paths.
+    WS_CLASS carries Python re's exact \\s set; this sweeps every
+    character in it plus a mixed torture string."""
+    import re
+
+    from ocr_parallel_spark.kernel.normalize import clean_text
+    from ocr_parallel_spark.operators.classify import WS_CHARS, normalize_col
+
+    # the class IS Python's \\s over the BMP — if Python's definition
+    # ever moves, this catches the drift at the source
+    assert set(WS_CHARS) == {
+        chr(i) for i in range(0x11000) if re.match(r"\s", chr(i))
+    }
+    cases = ["x" + "y".join(WS_CHARS) + "z",
+             "A\u00a0B   C\u3000D\u2009 E\\nF\nG  H\u202fI ",
+             "", " ", "\u00a0", "plain ascii  text"]
+    got = [
+        r.n
+        for r in spark.createDataFrame([(s,) for s in cases], "t string")
+        .select(F.coalesce(normalize_col("t"), F.lit("")).alias("n"))
+        .collect()
+    ]
+    assert got == [clean_text(s) for s in cases]
