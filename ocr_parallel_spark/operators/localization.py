@@ -108,11 +108,17 @@ def expand_variants(
 
 
 def wordify(upper_text: Column) -> Column:
-    """Collapse non-word chars to single spaces and pad — turns ASCII
-    ``\\b``-bounded matching into plain substring containment."""
+    """Collapse non-word chars to single spaces and pad — turns
+    ``\\b``-bounded matching into plain substring containment. The word
+    class is ``\\p{L}\\p{N}_`` (all Unicode letters/digits), matching
+    the REFERENCE's Python ``\\b`` (text_localization.py:190), which is
+    Unicode: in 'CESIÓN123' there is NO boundary before the digits, so
+    token '123' must not hit — an ASCII class would space out the 'Ó'
+    and invent one. ``\\p{L}\\p{N}`` parses identically in Java regex
+    and RE2, so the SQL oracles replay the same class."""
     return F.concat(
         F.lit(" "),
-        F.regexp_replace(upper_text, r"[^A-Z0-9_]+", " "),
+        F.regexp_replace(upper_text, r"[^\p{L}\p{N}_]+", " "),
         F.lit(" "),
     )
 
@@ -146,9 +152,10 @@ def match_score(tokens_col: Column, text_col: Column) -> Column:
     (aggregate over the array) — whole-stage codegen, no Python.
 
     Word-boundary check without a per-token dynamic regex: non-word chars
-    are collapsed to single spaces ONCE per row (``\\b`` is defined by the
-    ASCII word class in both Java and RE2), so ``\\b123\\b`` becomes a
-    plain ``contains(' 123 ')`` over the padded wordified text — the
+    are collapsed to single spaces ONCE per row (the Unicode word class —
+    see :func:`wordify` for why ASCII would diverge from the reference's
+    Python ``\\b``), so ``\\b123\\b`` becomes a plain
+    ``contains(' 123 ')`` over the padded wordified text — the
     per-(row, token) work is substring search, never regex compilation.
 
     NOTE: this convenience form builds upper/wordified inline, which the

@@ -3582,8 +3582,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT t.target_id, d.doc_id,
                      round(CAST(list_sum(list_transform(t.tokens, tok ->
                        CASE WHEN regexp_matches(tok, '^\\d+$')
-                            THEN CASE WHEN regexp_matches(upper(d.norm),
-                                   '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                            THEN CASE WHEN contains(' ' || regexp_replace(upper(d.norm),
+                                   '[^\\p{{L}}\\p{{N}}_]+', ' ', 'g') || ' ',
+                                   ' ' || tok || ' ') THEN 1 ELSE 0 END
                             ELSE CASE WHEN contains(upper(d.norm), tok)
                                  THEN 1 ELSE 0 END
                        END)) AS DOUBLE) / len(t.tokens), 4) AS score
@@ -5008,8 +5009,9 @@ def oracle_sql() -> dict[str, str]:
               FROM chunks c CROSS JOIN targets t
               WHERE CAST(list_sum(list_transform(t.tokens, tok ->
                 CASE WHEN regexp_matches(tok, '^\\d+$')
-                     THEN CASE WHEN regexp_matches(upper(c.chunk_text),
-                            '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                     THEN CASE WHEN contains(' ' || regexp_replace(upper(c.chunk_text),
+                            '[^\\p{{L}}\\p{{N}}_]+', ' ', 'g') || ' ',
+                            ' ' || tok || ' ') THEN 1 ELSE 0 END
                      ELSE CASE WHEN contains(upper(c.chunk_text), tok)
                           THEN 1 ELSE 0 END
                 END)) AS DOUBLE) / len(t.tokens) >= 0.6
@@ -5035,8 +5037,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT t.target_id, d.doc_id,
                      CAST(list_sum(list_transform(t.tokens, tok ->
                 CASE WHEN regexp_matches(tok, '^\\d+$')
-                     THEN CASE WHEN regexp_matches(upper(d.norm),
-                            '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                     THEN CASE WHEN contains(' ' || regexp_replace(upper(d.norm),
+                            '[^\\p{{L}}\\p{{N}}_]+', ' ', 'g') || ' ',
+                            ' ' || tok || ' ') THEN 1 ELSE 0 END
                      ELSE CASE WHEN contains(upper(d.norm), tok)
                           THEN 1 ELSE 0 END
                 END)) AS DOUBLE) / len(t.tokens) AS s
@@ -5082,8 +5085,9 @@ def oracle_sql() -> dict[str, str]:
               FROM chunks c CROSS JOIN targets t
               WHERE CAST(list_sum(list_transform(t.tokens, tok ->
                 CASE WHEN regexp_matches(tok, '^\\d+$')
-                     THEN CASE WHEN regexp_matches(upper(c.chunk_text),
-                            '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                     THEN CASE WHEN contains(' ' || regexp_replace(upper(c.chunk_text),
+                            '[^\\p{{L}}\\p{{N}}_]+', ' ', 'g') || ' ',
+                            ' ' || tok || ' ') THEN 1 ELSE 0 END
                      ELSE CASE WHEN contains(upper(c.chunk_text), tok)
                           THEN 1 ELSE 0 END
                 END)) AS DOUBLE) / len(t.tokens) >= 0.6
@@ -5231,8 +5235,9 @@ def _variants_sql() -> str:
     def score(tokens: str) -> str:
         hits = f"""list_sum(list_transform({tokens}, tok ->
             CASE WHEN regexp_matches(tok, '^\\d+$')
-                 THEN CASE WHEN regexp_matches(upper(d.norm),
-                        '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                 THEN CASE WHEN contains(' ' || regexp_replace(upper(d.norm),
+                        '[^\\p{{L}}\\p{{N}}_]+', ' ', 'g') || ' ',
+                        ' ' || tok || ' ') THEN 1 ELSE 0 END
                  ELSE CASE WHEN contains(upper(d.norm), tok)
                       THEN 1 ELSE 0 END
             END))"""
@@ -5461,8 +5466,9 @@ def _boundaries_sql() -> str:
     page_match = """
         len(t.tokens) > 0 AND 5 * list_sum(list_transform(t.tokens, tok ->
             CASE WHEN regexp_matches(tok, '^\\d+$')
-                 THEN CASE WHEN regexp_matches(upper(d.norm),
-                        '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                 THEN CASE WHEN contains(' ' || regexp_replace(upper(d.norm),
+                        '[^\\p{L}\\p{N}_]+', ' ', 'g') || ' ',
+                        ' ' || tok || ' ') THEN 1 ELSE 0 END
                  ELSE CASE WHEN contains(upper(d.norm), tok)
                       THEN 1 ELSE 0 END
             END)) >= 3 * len(t.tokens)
@@ -5490,8 +5496,9 @@ def _boundaries_sql() -> str:
           FROM chunks c CROSS JOIN targets_b t
           WHERE CAST(list_sum(list_transform(t.tokens, tok ->
             CASE WHEN regexp_matches(tok, '^\\d+$')
-                 THEN CASE WHEN regexp_matches(upper(c.chunk_text),
-                        '\\b' || tok || '\\b') THEN 1 ELSE 0 END
+                 THEN CASE WHEN contains(' ' || regexp_replace(upper(c.chunk_text),
+                        '[^\\p{{L}}\\p{{N}}_]+', ' ', 'g') || ' ',
+                        ' ' || tok || ' ') THEN 1 ELSE 0 END
                  ELSE CASE WHEN contains(upper(c.chunk_text), tok)
                       THEN 1 ELSE 0 END
             END)) AS DOUBLE) / len(t.tokens) >= 0.6

@@ -450,3 +450,27 @@ def test_normalize_col_matches_kernel_on_unicode_whitespace(spark):
         .collect()
     ]
     assert got == [clean_text(s) for s in cases]
+
+
+def test_digit_boundary_matches_python_word_class(spark):
+    """Digit tokens bound by the reference's Python \\b (Unicode word
+    chars): an accented letter flush against the digits is NOT a
+    boundary, so '123' must not hit 'CESI\u00d3N123' — an ASCII word
+    class would space the accented letter out and invent the boundary —
+    while punctuation/space-bounded digits still hit."""
+    from ocr_parallel_spark.operators.localization import match_score
+
+    rows = [
+        ("CESI\u00d3N123 TRAS", 0.0),   # digit glued to accented letter
+        ("CESION 123 TRAS", 1.0),        # space-bounded
+        ("NO(123)SI", 1.0),              # punctuation-bounded
+        ("X1234 Y", 0.0),                # longer number, no boundary
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
+    got = [
+        r.s
+        for r in df.select(
+            match_score(F.array(F.lit("123")), F.col("t")).alias("s")
+        ).collect()
+    ]
+    assert got == [e for _, e in rows], got
