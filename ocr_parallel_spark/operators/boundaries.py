@@ -18,13 +18,21 @@ Reference semantics (/root/reference/app/utils/text_localization.py):
   ``match.start()``; the earliest wins. If nothing fires and more than
   2000 chars remain, hard-cap at start + 2000; else no end boundary.
 - F7 ``find_section_end`` (:474-501): next section heading, else
-  paragraph end, else position + 500. After the F1 normalization chain
-  the text has single spaces and newlines ONLY at the "\\n\\n" page
-  separators, so the heading regex (``\\n\\n+[A-Z\\s]{10,}\\n``) cannot
-  fire and the paragraph-end regex (``\\.\\s*\\n\\n+``) reduces to the
-  literal ".\\n\\n" with match end = position + 3 — implemented exactly
-  that way in both engines (the regex generality is dead weight
-  post-normalization; documented rather than pretended).
+  paragraph end, else position + 500. Post-F1 the text has single
+  spaces and newlines only at the "\\n\\n" page separators; this
+  implementation reduces the rule to the literal ".\\n\\n" with match
+  end = position + 3, in both engines. DOCUMENTED DIVERGENCE from the
+  reference on two edge shapes: (a) a candidate page whose ENTIRE
+  normalized body is >= 10 chars of [A-ZÁÉÍÓÚÑ space] (an
+  all-uppercase heading/cover page) satisfies the reference's heading
+  regex — the separator's own newlines are in its ``\\s`` class — so
+  the reference would end the section AT that page break while this
+  rule scans past it; (b) an EMPTY candidate page makes a 4-newline
+  separator run, where the reference's ``\\.\\s*\\n\\n+`` match end
+  consumes the whole run (position + 5) vs + 3 here. Both engines of
+  the ``full_process_boundaries`` gate pin THIS rule, so the pair
+  stays exact; the reference comparison diverges only on documents
+  containing those page shapes.
 - F9 ``refine_pages_with_boundaries`` (:540-708): per-page re-match of
   the target (full F4 semantics at threshold 0.6); if no page matches,
   return the first MAX_FALLBACK_PAGES=5 candidates (W6) with no
@@ -43,6 +51,13 @@ Deliberate divergences:
   number 0 as "not found" (Python truthiness); its page numbers start at
   1 so the bug is latent. Our page ids start at 0, so the check is
   IS NOT NULL.
+- candidate page numbers MISSING from the pages table: the reference
+  keeps the bare numbers in its fallback and index-expansion lists
+  (they count as index positions during expand_page_range), while this
+  implementation's pages join drops them — a gap page (OCR-failed)
+  shifts expansion windows by one position relative to the reference.
+  Both gate engines replay the join-drop rule, so the pair stays
+  exact; flagged here rather than silently absorbed.
 - ``clean_text_between_pages`` (:715-796) applies the boundary positions
   (computed over the CANDIDATE-pages concat) to offsets recomputed over
   the FINAL pages after header-regex cleaning — a latent frame
