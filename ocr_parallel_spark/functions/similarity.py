@@ -17,6 +17,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ocr_parallel_spark.fanout import fan_out
+
 # Hard per-cell occupancy bound for SemDedup pairing (the MAX_BAND_BUCKET
 # pattern from operators/neardup.py): a dup-heavy hot cell pairs at most
 # MAX_CELL members (O(MAX_CELL^2) work) instead of growing quadratically
@@ -80,7 +82,9 @@ def brute_force_topk(
         "_q",
         "_q",
     ).drop("_q")
-    v = _prep_vec(vectors.select(id_col, vec_col), vec_col, "_v").drop(vec_col)
+    v = _prep_vec(
+        fan_out(vectors.select(id_col, vec_col)), vec_col, "_v"
+    ).drop(vec_col)
     pairs = v.crossJoin(F.broadcast(q))
     scored = pairs.withColumn(
         "cos_sim",
@@ -339,9 +343,9 @@ def build_ivf_index(
     ``build_lsh_index``'s bucket rows. Persist together with
     ``centroids_to_df`` (queries still need the centroids to pick probe
     cells) and pass back via ``ivf_topk(index=...)``."""
-    return ivf_assign(vectors.select(id_col, vec_col), centroids, vec_col, 1).select(
-        id_col, F.element_at("ivf_cells", 1).alias("cell")
-    )
+    return ivf_assign(
+        fan_out(vectors.select(id_col, vec_col)), centroids, vec_col, 1
+    ).select(id_col, F.element_at("ivf_cells", 1).alias("cell"))
 
 
 def ivf_topk(
@@ -380,7 +384,7 @@ def ivf_topk(
         # the index exists to skip) and the corpus is scanned once,
         # not twice (inner + anti).
         joined = ivf_assign(
-            vectors.select(id_col, vec_col).join(
+            fan_out(vectors.select(id_col, vec_col)).join(
                 index.select(id_col, F.col("cell").alias("_idx_cell")),
                 id_col,
                 "left",
@@ -400,7 +404,7 @@ def ivf_topk(
         )
     else:
         assigned = ivf_assign(
-            vectors.select(id_col, vec_col), centroids, vec_col, 1
+            fan_out(vectors.select(id_col, vec_col)), centroids, vec_col, 1
         ).select(id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell"))
     # drop the raw vectors after prep: only the double-cast copy + norm
     # cross the broadcast/join (no dead array bytes per candidate row)
@@ -474,7 +478,7 @@ def semdedup_marks(
     from pyspark.sql import Window
 
     assigned = ivf_assign(
-        vectors.select(id_col, vec_col), centroids, vec_col, 1
+        fan_out(vectors.select(id_col, vec_col)), centroids, vec_col, 1
     ).select(id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell"))
     wcell = Window.partitionBy("cell").orderBy(
         F.xxhash64(F.col(id_col)), F.col(id_col)
@@ -559,7 +563,7 @@ def build_lsh_index(
     persist the result (and pass it back via ``lsh_topk(index=...)``)
     to amortize the hashing across query batches."""
     return with_lsh_buckets(
-        vectors.select(id_col, vec_col), vec_col, dim, n_planes, n_tables
+        fan_out(vectors.select(id_col, vec_col)), vec_col, dim, n_planes, n_tables
     ).select(id_col, F.explode("lsh_buckets").alias("lsh_bucket"))
 
 
@@ -651,7 +655,9 @@ def lsh_topk(
         .select(query_id_col, id_col)
         .distinct()
     )
-    v = _prep_vec(vectors.select(id_col, vec_col), vec_col, "_v").drop(vec_col)
+    v = _prep_vec(
+        fan_out(vectors.select(id_col, vec_col)), vec_col, "_v"
+    ).drop(vec_col)
     q = _prep_vec(
         queries.select(query_id_col, F.col(vec_col).alias("_q")), "_q", "_q"
     ).drop("_q")

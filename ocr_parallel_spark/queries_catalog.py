@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ocr_parallel_spark.fanout import fan_out
 from ocr_parallel_spark.functions.similarity import brute_force_topk
 from ocr_parallel_spark.functions.text_quality import (
     detect_lang,
@@ -66,13 +67,16 @@ TARGETS = [
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+    # fan_out BELOW the normalize projection: the whole catalog's per-row
+    # expression work pipelines onto the scan, and a sub-split parquet
+    # file would otherwise run it all on ONE core (guide §2.2/§6).
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")).withColumn(
         "norm", normalize_col("text")
     )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 # ---------------------------------------------------------------- queries ---
@@ -110,7 +114,7 @@ def q_dedup_savings(spark, sf_dir):
 
 def q_keep_first(spark, sf_dir):
     """D2 keep-first dedup window on lineitem: first line per order."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = fan_out(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     # (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
     # keep-first order is a total order over the output columns —
     # deterministic survivor at any parallelism (the D2 discipline).
@@ -354,7 +358,7 @@ def q_extraction_pipeline(spark, sf_dir):
     from ocr_parallel_spark.pages import synthesize_pages
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
-    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+    pages = fan_out(synthesize_pages(spark, sf_dir).drop("doc_id"))
     out = run_extraction_pipeline(pages)
     return out.select(
         "url", "status", "error_type", "text", "content_sha256",
@@ -383,7 +387,7 @@ def q_embedding_neardup(spark, sf_dir):
         + ((F.expr("vec_id div 100") + j) % 5).cast("double"),
     )
     emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
         .filter(F.col("vec_id") < 1000)
         .select(
             "vec_id",
@@ -590,7 +594,7 @@ def q_url_canonicalize(spark, sf_dir):
     marking. Pure expressions; the oracle re-derives every rule."""
     from ocr_parallel_spark.functions.urls import canonical_url
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     base = F.concat(
         F.lit("HTTPS://Site-"),
         (F.col("doc_id") % 7).cast("string"),
@@ -774,7 +778,7 @@ def q_stratified_sample(spark, sf_dir):
     DuckDB oracle agree bit-for-bit."""
     from ocr_parallel_spark.functions.curation import stratified_keep
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     bucket, kept = stratified_keep(
         F.col("lang"), F.col("doc_id"), {"en": 0x40}, 0x80, "seed42"
     )
@@ -793,7 +797,7 @@ def q_sketch_stats(spark, sf_dir):
     (HLL: 3-sigma = 15% relative; percentiles: approx must land between
     the exact p±0.01 rank neighbors — a rank-error bound, which is what
     the sketch actually guarantees)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
     per = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users_exact"),
@@ -830,7 +834,7 @@ def q_weighted_sample(spark, sf_dir):
     100 TB the shuffle carries ~k rows per stratum per map task, not
     the corpus. The u+1 offset keeps ln() finite at u=0; n_chars >= 1
     in this corpus (min 48) so the weight never divides by zero."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     u = (
         F.conv(
             F.substring(
@@ -1165,7 +1169,7 @@ def q_robots_filter(spark, sf_dir):
     convention host = site-(doc_id%7), path = /p/doc_id."""
     from ocr_parallel_spark.functions.robots import apply_robots, parse_robots
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
         "doc_id",
         F.concat(
             F.lit("site-"), (F.col("doc_id") % 7).cast("string"),
@@ -1353,7 +1357,7 @@ def q_extract_links(spark, sf_dir):
                 }
             )
 
-    return pages.select("doc_id", "html").mapInPandas(
+    return fan_out(pages.select("doc_id", "html")).mapInPandas(
         links_of, "doc_id long, n_links long, links string"
     )
 
@@ -1399,7 +1403,7 @@ def _anchor_links(spark, sf_dir):
                 }
             )
 
-    return pages.select("doc_id", "html").mapInPandas(
+    return fan_out(pages.select("doc_id", "html")).mapInPandas(
         anchors_of, "doc_id long, href string, anchor string"
     )
 
@@ -1516,7 +1520,7 @@ def q_resolve_links(spark, sf_dir):
                 }
             )
 
-    return pages.select("doc_id", "url", "html").mapInPandas(
+    return fan_out(pages.select("doc_id", "url", "html")).mapInPandas(
         resolved_of, "doc_id long, n_links long, resolved string"
     )
 
@@ -2275,7 +2279,7 @@ def _planted_embeddings(spark, sf_dir, cap: int = 1000):
         + ((F.expr("vec_id div 100") + j) % 5).cast("double"),
     )
     return (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
         .filter(F.col("vec_id") < cap)
         .select(
             "vec_id",
@@ -2500,7 +2504,7 @@ def q_domain_stats(spark, sf_dir):
     blocked domains can't evade via 'HTTPS://' or ':443'."""
     from ocr_parallel_spark.functions.urls import host_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     url = F.concat(
         F.lit("https://site-"),
         (F.col("doc_id") % 7).cast("string"),
@@ -2903,7 +2907,7 @@ def q_capped_details(spark, sf_dir):
     determinism, sliced, serialized to one string (hashable for the
     driver's canonical compare; a consumer wanting the array keeps the
     slice output)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     details = F.array_join(
         F.transform(
             F.slice(
@@ -2932,7 +2936,7 @@ def q_pipeline_counts(spark, sf_dir):
     from ocr_parallel_spark.pages import synthesize_pages
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
-    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+    pages = fan_out(synthesize_pages(spark, sf_dir).drop("doc_id"))
     out = run_extraction_pipeline(pages)
     return out.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -2954,7 +2958,7 @@ def q_extract_text_pin(spark, sf_dir):
     from ocr_parallel_spark.pages import synthesize_pages
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
-    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
+    pages = fan_out(synthesize_pages(spark, sf_dir).drop("doc_id"))
     out = run_extraction_pipeline(pages, near_dups=False)
     return out.select(
         "url",
@@ -3191,7 +3195,7 @@ def q_json_extract(spark, sf_dir):
     """F13 JSON extraction (full_extractor_service.py:188-212): find the
     JSON array in a text blob, parse, pluck fields. Built-ins only:
     regexp_extract + from_json + explode."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     blob = F.concat(
         F.lit('noise [{"encontrado": '),
         F.when(F.col("doc_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
