@@ -167,7 +167,10 @@ class _BlockParser(HTMLParser):
         if self._cur.start < 0:
             self._cur.start = pos
         self._cur.end = pos + len(data)
-        self._cur.parts.append(data)
+        # store the CLEANED run: extract_blocks joins parts with single
+        # spaces, and re-cleaning each part there doubled the kernel's
+        # hottest call (round-6 profile) for byte-identical output.
+        self._cur.parts.append(stripped)
         n = len(stripped)
         self._cur.total_chars += n
         if self._link_depth > 0:
@@ -186,7 +189,9 @@ def extract_blocks(html: str) -> list[dict]:
     parser.close()
     out = []
     for b in parser.blocks:
-        text = clean_text(" ".join(clean_text(p) for p in b.parts))
+        # parts are already cleaned runs (see handle_data); the outer
+        # clean_text is then an identity pass kept as a cheap guard.
+        text = clean_text(" ".join(b.parts))
         if not text:
             continue
         density = (b.link_chars / b.total_chars) if b.total_chars else 0.0
