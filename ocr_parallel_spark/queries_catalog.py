@@ -1776,10 +1776,17 @@ def q_token_budget_mix(spark, sf_dir):
     (domain), order docs by a seeded hash (a deterministic shuffle — no
     'first N by id' crawl-order bias), accumulate token counts, and take
     docs while the running total stays inside the 500-token budget.
-    One shuffle keyed on source; windows parallelize across sources (at
-    100 TB a skewed mega-domain would get the salted two-stage variant —
-    see q_salted_rollup — but budget-take is order-dependent, so the
-    default is the honest single window per domain)."""
+    Scale shape (round-6, the r5 verdict's item 3): budget-take is
+    order-dependent, but the running total does NOT need one window
+    task per domain — the two-level distributed prefix sum from
+    pack_sequences (operators/chunking.py _two_level_offsets) computes
+    the identical cumulative sums with every window group bounded by
+    one range partition, so a mega-domain (the CC reality) spans many
+    tasks instead of becoming a straggler/OOM. Offsets are ordered by
+    the same (seeded hash, doc_id) total order; the oracle and the
+    output are unchanged."""
+    from ocr_parallel_spark.operators.chunking import _two_level_offsets
+
     d = _docs(spark, sf_dir)
     n_tokens = F.size(F.split(F.col("norm"), " "))
     order_key = F.substring(
@@ -1789,13 +1796,9 @@ def q_token_budget_mix(spark, sf_dir):
         "doc_id", "source", n_tokens.cast("long").alias("n_tokens"),
         order_key.alias("_ok"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("_ok", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_tokens").over(w)
-    return d.select(
+    off = _two_level_offsets(d, "doc_id", "source", order_cols=["_ok", "doc_id"])
+    cum = F.col("tok_offset") + F.col("n_tokens")
+    return off.select(
         "doc_id",
         "source",
         "n_tokens",

@@ -891,3 +891,63 @@ def test_shard_shuffle_id_space_exceeds_16_bits(spark):
     ).collect()[0]
     assert ids.mx > 65535, f"shard ids capped at 16 bits (max {ids.mx})"
     assert ids.mn >= 0
+
+
+def test_token_budget_mix_two_level_equals_window(spark, sf_dir):
+    """Round-6: token_budget_mix moved its per-source running total from
+    a single window task per domain onto the two-level prefix sum. The
+    cumulative sums (and therefore the take decisions) must be
+    byte-identical to the single-window form, and each source must span
+    >1 range partition when the partition count is pinned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ocr_parallel_spark.operators.chunking import _two_level_offsets
+    from ocr_parallel_spark.operators.classify import normalize_col
+    from ocr_parallel_spark.queries_catalog import q_token_budget_mix
+
+    fast = sorted(
+        q_token_budget_mix(spark, sf_dir).collect(), key=lambda r: r.doc_id
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", normalize_col("text").alias("norm")
+    )
+    order_key = F.substring(
+        F.sha2(F.concat(F.lit("mix1|"), F.col("doc_id").cast("string")), 256),
+        1,
+        16,
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("norm"), " ")).cast("long").alias("n_tokens"),
+        order_key.alias("_ok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_ok", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    slow = sorted(
+        d.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            cum.cast("long").alias("cum_tokens"),
+            (cum <= 500).alias("taken"),
+        ).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert fast == slow and len(fast) > 0
+    # scale claim: with a pinned partition count, a source spans >1 task
+    off = _two_level_offsets(
+        d, "doc_id", "source", num_parts=8, order_cols=["_ok", "doc_id"]
+    )
+    spans = (
+        off.groupBy("source")
+        .agg(F.countDistinct("_pack_pid").alias("n_pids"))
+        .agg(F.max("n_pids").alias("mx"))
+        .collect()[0]
+    )
+    assert spans.mx > 1, "a source must span multiple range partitions"
