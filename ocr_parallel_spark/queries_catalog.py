@@ -627,14 +627,15 @@ BOILER_B = "subscribe to our newsletter for weekly updates"
 LINE_DEDUP_MIN_COUNT = 5
 
 
-def _doc_lines(spark, sf_dir):
+def _doc_lines(spark, sf_dir, docs=None):
     """Shared line synthesis for the line-granular curation queries:
     re-linearize each single-line synthetic doc into 8-token lines
     (functions/curation.py word_lines) and prepend a deterministic
-    boilerplate banner at line_no 0."""
+    boilerplate banner at line_no 0. ``docs`` lets a composite caller
+    supply an already-materialized (doc_id, norm) frame (round 6)."""
     from ocr_parallel_spark.functions.curation import word_lines
 
-    d = _docs(spark, sf_dir)
+    d = docs if docs is not None else _docs(spark, sf_dir)
     boiler = F.when(F.col("doc_id") % 2 == 0, F.lit(BOILER_A)).otherwise(
         F.lit(BOILER_B)
     )
@@ -674,7 +675,7 @@ def q_cms_heavy(spark, sf_dir):
     )
 
 
-def q_line_dedup(spark, sf_dir):
+def q_line_dedup(spark, sf_dir, docs=None):
     """CCNet-style inter-document line dedup: drop every line occurring
     >= 5 times corpus-wide (the planted cookie/newsletter banners), keep
     the rare content lines, reassemble each doc in order. Generalizes the
@@ -684,7 +685,9 @@ def q_line_dedup(spark, sf_dir):
     the reassembled text byte-for-byte."""
     from ocr_parallel_spark.operators.linededup import dedup_lines
 
-    return dedup_lines(_doc_lines(spark, sf_dir), min_count=LINE_DEDUP_MIN_COUNT)
+    return dedup_lines(
+        _doc_lines(spark, sf_dir, docs), min_count=LINE_DEDUP_MIN_COUNT
+    )
 
 
 def q_line_dedup_cms(spark, sf_dir):
@@ -1713,7 +1716,12 @@ def q_eval_overlap(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     grams = word_ngrams(F.split(F.col("norm"), " "), 8)
-    g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    # g feeds the bench side AND the corpus probe — checkpoint so the
+    # tokenize + 8-gram explode runs once (the repeated_spans
+    # discipline; round 6).
+    g = d.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    ).localCheckpoint(eager=False)
     bg = g.filter(F.col("doc_id") % 50 == 7).select(
         F.col("doc_id").alias("bench_id"), "gram"
     )
@@ -1738,7 +1746,7 @@ def q_eval_overlap(spark, sf_dir):
     )
 
 
-def q_decontaminate(spark, sf_dir):
+def q_decontaminate(spark, sf_dir, docs=None):
     """Benchmark decontamination (the GPT-3/Gopher eval-overlap step):
     flag every doc sharing at least one word 8-gram with the benchmark
     set (here: docs with doc_id % 50 == 7 stand in for an external eval
@@ -1750,9 +1758,12 @@ def q_decontaminate(spark, sf_dir):
     shared grams on both sides."""
     from ocr_parallel_spark.functions.curation import word_ngrams
 
-    d = _docs(spark, sf_dir)
+    d = docs if docs is not None else _docs(spark, sf_dir)
     grams = word_ngrams(F.split(F.col("norm"), " "), 8)
-    g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    # g feeds the broadcast bench-gram set AND the probe side (round 6).
+    g = d.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    ).localCheckpoint(eager=False)
     bench = F.broadcast(
         g.filter(F.col("doc_id") % 50 == 7).select("gram").distinct()
     )
@@ -1872,11 +1883,14 @@ def q_quality_trained(spark, sf_dir):
         .when(F.col("doc_id") % 9 == 6, F.lit(" " + QT_TAINTS["pii"]))
         .otherwise(F.lit(""))
     )
+    # planted feeds the fit, the held-out scorer, and the label join —
+    # three consumers of the same normalize+taint chain; materialize it
+    # once (round 6).
     planted = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(F.coalesce(F.col("norm"), F.lit("")), taint).alias("norm"),
         (F.col("doc_id") % 3 == 0).alias("label_low"),
-    )
+    ).localCheckpoint(eager=False)
     w = train_quality_weights(planted.filter(F.col("doc_id") % 5 != 0))
     evald = planted.filter(F.col("doc_id") % 5 == 0)
     ev = evald.select("doc_id", "label_low").join(
@@ -1930,14 +1944,22 @@ def _lm_frames(spark, sf_dir):
         .when(F.col("doc_id") % 9 == 6, F.lit(" " + QT_TAINTS["pii"]))
         .otherwise(F.lit(""))
     )
-    d = _docs(spark, sf_dir)
-    crawl = d.select(
-        "doc_id",
-        F.concat(F.coalesce(F.col("norm"), F.lit("")), taint).alias("norm"),
+    # Materialize (doc_id, norm) ONCE: crawl scoring, the fit's reference
+    # split, and the final left join each re-ran the scan + normalize
+    # chain, and the optimizer's inferred explode filter (size(positions)
+    # > 0 — it embeds the whole normalize chain) was pushed below the
+    # fan-out exchange onto the single scan task. The checkpoint is a
+    # plan barrier AND a shared materialization: measured 2.6s -> 1.8s
+    # at sf0.1 (round 6).
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.coalesce(F.col("norm"), F.lit("")).alias("norm"))
+        .localCheckpoint(eager=False)
     )
-    ref = d.filter(F.col("doc_id") % 3 != 0).select(
-        "doc_id", F.coalesce(F.col("norm"), F.lit("")).alias("norm")
+    crawl = base.select(
+        "doc_id", F.concat(F.col("norm"), taint).alias("norm")
     )
+    ref = base.filter(F.col("doc_id") % 3 != 0)
     return crawl, ref
 
 
@@ -2753,7 +2775,18 @@ def q_curation_pipeline(spark, sf_dir):
     from ocr_parallel_spark.functions.curation import pii_counts
     from ocr_parallel_spark.functions.text_quality import detect_lang_from_hits
 
-    d, hits = _with_lang_hits(_docs(spark, sf_dir))
+    # ONE materialization of (doc_id, norm) shared by the scalar
+    # screens, the line-dedup branch, and the decontamination branch:
+    # each previously re-ran the scan + normalize chain, and the
+    # explode-inferred filters pushed that chain below the fan-out
+    # exchange onto the single scan task (round 6 — the lm_frames fix,
+    # applied to the composite).
+    shared = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "norm")
+        .localCheckpoint(eager=False)
+    )
+    d, hits = _with_lang_hits(shared)
     # Materialize the tainted texts as columns BEFORE counting (the
     # discipline of q_pii_scrub/q_encoding_quality): each is referenced
     # by 2-3 regexp counts, and Catalyst won't inline a multiply-
@@ -2774,10 +2807,12 @@ def q_curation_pipeline(spark, sf_dir):
             | (F.regexp_count(moji, F.lit(REPL_CHAR)) > 0)
         ).alias("suspect_encoding"),
     )
-    lined = q_line_dedup(spark, sf_dir).select(
+    lined = q_line_dedup(spark, sf_dir, docs=shared).select(
         "doc_id", F.col("n_kept").alias("n_kept_lines"), "kept_text"
     )
-    cont = q_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    cont = q_decontaminate(spark, sf_dir, docs=shared).select(
+        "doc_id", "contaminated"
+    )
     j = scalars.join(lined, "doc_id").join(cont, "doc_id")
     w = Window.partitionBy(F.sha2(F.col("kept_text"), 256)).orderBy("doc_id")
     j = j.withColumn("_dup", F.row_number().over(w) > 1)
