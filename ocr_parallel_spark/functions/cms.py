@@ -104,6 +104,12 @@ def cms_estimate(
     joins against the (bounded) cell table; no exchange on ``df``'s
     side. A missing cell means the key was never built: estimate 0."""
     _check_params(width, depth)
+    # The grid is consumed by ``depth`` differently-filtered broadcast
+    # builds; without a boundary each broadcast re-runs the full grid
+    # aggregation (they canonicalize differently, so exchange reuse
+    # cannot dedupe them). The grid is bounded at depth x width cells —
+    # materializing it once is safe at any corpus size (round 6).
+    cms = cms.localCheckpoint(eager=False)
     cols = _cms_cols(F.col(key_col), width, depth)
     out = df
     ests: list[Column] = []

@@ -640,7 +640,13 @@ def _doc_lines(spark, sf_dir, docs=None):
         F.lit(BOILER_B)
     )
     lines_arr = F.concat(F.array(boiler), word_lines(F.split(F.col("norm"), " ")))
-    return d.select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
+    # dedup_lines (and the CMS variant) read the lines lineage 2-3x;
+    # its own contract says callers with expensive upstream lineage —
+    # normalize + the word_lines HOF here — should materialize first
+    # (round 6; operators/linededup.py docstring).
+    return d.select(
+        "doc_id", F.posexplode(lines_arr).alias("line_no", "line")
+    ).localCheckpoint(eager=False)
 
 
 # CMS gate sizing: 16k columns x 4 rows over the ~tens-of-thousands of
