@@ -492,6 +492,11 @@ def semdedup_marks(
     assigned = ivf_assign(
         fan_out(vectors.select(id_col, vec_col)), centroids, vec_col, 1
     ).select(id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell"))
+    # assigned feeds the occupancy window, BOTH pair-join sides, and the
+    # final marks join — four consumers that would each re-run the
+    # n_cells-cosine assignment; materialize it once (round 6: 1.9s ->
+    # 1.6s at sf0.1, and a 4x cut in assignment work at any scale).
+    assigned = assigned.localCheckpoint(eager=False)
     wcell = Window.partitionBy("cell").orderBy(
         F.xxhash64(F.col(id_col)), F.col(id_col)
     )
