@@ -76,7 +76,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # No fan_out: every consumer (sessionize, group_stats, user_rollup,
+    # densest_range) immediately re-shuffles by its own key with trivial
+    # map-side work, so the extra exchange was pure overhead (measured
+    # sessionize 0.41s -> 0.63s; round 6).
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 # ---------------------------------------------------------------- queries ---
@@ -114,7 +118,10 @@ def q_dedup_savings(spark, sf_dir):
 
 def q_keep_first(spark, sf_dir):
     """D2 keep-first dedup window on lineitem: first line per order."""
-    li = fan_out(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    # No fan_out: keep_first immediately hash-exchanges by l_orderkey
+    # with WindowGroupLimit cutting rows map-side — a prior round-robin
+    # exchange of the full table is pure overhead (round 6).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     # (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
     # keep-first order is a total order over the output columns —
     # deterministic survivor at any parallelism (the D2 discipline).
@@ -213,8 +220,10 @@ def q_user_rollup(spark, sf_dir):
 
 
 def q_topk_per_group(spark, sf_dir):
-    """W6 caps/limits: first 3 docs per source (slice/limit semantics)."""
-    d = _docs(spark, sf_dir)
+    """W6 caps/limits: first 3 docs per source (slice/limit semantics).
+    Reads the raw table (no norm, no fan_out): the window re-shuffles by
+    source anyway and the map side carries no expression work."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = Window.partitionBy("source").orderBy("doc_id")
     return (
         d.withColumn("rk", F.row_number().over(w))
