@@ -3370,64 +3370,14 @@ def q_simhash_near_dups(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver records correctness for exactly the
-    # FIRST 50 dict entries (observed: CORRECTNESS_r03 and r04 both contain
-    # positions 1-50 of this literal).  Least-driver-validated queries go
-    # FIRST — newest additions at the very top, then the 29 entries that had
-    # only judge-mirror coverage through round 4, then the veterans whose
-    # stability is already pinned by four rounds of green driver files.
+    # FIRST 50 dict entries. Round-6 rotation (the r5 verdict's item 4):
+    # the 50 veterans below have had NO driver-recorded row since round 4
+    # (the r5 window covered the newest entries), so they rotate to the
+    # front — every query then has a driver row at most two rounds old.
+    # The rotated-out entries all carry green r5 driver rows; every entry
+    # in BOTH halves is green in the local mirror (scripts/
+    # check_oracles.py) at sf0.001 and sf0.01 this round.
     return {
-        # -- round-5 additions (newest first) -------------------------------
-        "line_dedup_cms": q_line_dedup_cms,
-        "cms_heavy": q_cms_heavy,
-        "excise_spans": q_excise_spans,
-        "bloom_seen": q_bloom_seen,
-        "dup_weights": q_dup_weights,
-        "eval_overlap": q_eval_overlap,
-        "semdedup": q_semdedup,
-        "semdedup_recall": q_semdedup_recall,
-        "semdedup_canon_law": q_semdedup_canon_law,
-        "lm_surprise": q_lm_surprise,
-        "lm_separation": q_lm_separation,
-        "lm_terciles": q_lm_terciles,
-        "shard_shuffle": q_shard_shuffle,
-        "quality_trained": q_quality_trained,
-        "anchor_text_salted": q_anchor_text_salted,
-        "graph_prior": q_graph_prior,
-        "pack_tokenized": q_pack_tokenized,
-        "minhash_estimate_recall": q_minhash_estimate_recall,
-        "bpe_counts": q_bpe_counts,
-        "wet_extract": q_wet_extract,
-        # -- round-4 additions, never driver-recorded before round 5 --------
-        "winnowed_spans": q_winnowed_spans,
-        "sequence_pack": q_sequence_pack,
-        "pack_windows": q_pack_windows,
-        "quality_classifier": q_quality_classifier,
-        "anchor_text": q_anchor_text,
-        "resolve_links": q_resolve_links,
-        "pagerank_dangling": q_pagerank_dangling,
-        "pagerank_by_host": q_pagerank_by_host,
-        # -- round-3-late entries, driver-unseen through round 4 ------------
-        "robots_filter": q_robots_filter,
-        "pagerank": q_pagerank,
-        "extract_links": q_extract_links,
-        "dsir_weights": q_dsir_weights,
-        "bm25_search": q_bm25_search,
-        "pii_scrub": q_pii_scrub,
-        "media_meta": q_media_meta,
-        "video_frames": q_video_frames,
-        "audio_chunks": q_audio_chunks,
-        "media_resize_plan": q_media_resize_plan,
-        "media_features": q_media_features,
-        "two_pass_localization": q_two_pass_localization,
-        "salted_rollup": q_salted_rollup,
-        "json_extract": q_json_extract,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "minhash_verified_pairs": q_minhash_verified_pairs,
-        "minhash_clusters": q_minhash_clusters,
-        "simhash_near_dups": q_simhash_near_dups,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "extraction_pipeline": q_extraction_pipeline,
         # -- veterans: green in driver files r01-r04 -------------------------
         "normalize_text": q_normalize_text,
         "status_classify": q_status_classify,
@@ -3479,6 +3429,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "dup_components": q_dup_components,
         "warc_charset": q_warc_charset,
+        # -- recorded green by the round-5 driver window --------------------
+        "line_dedup_cms": q_line_dedup_cms,
+        "cms_heavy": q_cms_heavy,
+        "excise_spans": q_excise_spans,
+        "bloom_seen": q_bloom_seen,
+        "dup_weights": q_dup_weights,
+        "eval_overlap": q_eval_overlap,
+        "semdedup": q_semdedup,
+        "semdedup_recall": q_semdedup_recall,
+        "semdedup_canon_law": q_semdedup_canon_law,
+        "lm_surprise": q_lm_surprise,
+        "lm_separation": q_lm_separation,
+        "lm_terciles": q_lm_terciles,
+        "shard_shuffle": q_shard_shuffle,
+        "quality_trained": q_quality_trained,
+        "anchor_text_salted": q_anchor_text_salted,
+        "graph_prior": q_graph_prior,
+        "pack_tokenized": q_pack_tokenized,
+        "minhash_estimate_recall": q_minhash_estimate_recall,
+        "bpe_counts": q_bpe_counts,
+        "wet_extract": q_wet_extract,
+        # -- round-4 additions, never driver-recorded before round 5 --------
+        "winnowed_spans": q_winnowed_spans,
+        "sequence_pack": q_sequence_pack,
+        "pack_windows": q_pack_windows,
+        "quality_classifier": q_quality_classifier,
+        "anchor_text": q_anchor_text,
+        "resolve_links": q_resolve_links,
+        "pagerank_dangling": q_pagerank_dangling,
+        "pagerank_by_host": q_pagerank_by_host,
+        # -- round-3-late entries, driver-unseen through round 4 ------------
+        "robots_filter": q_robots_filter,
+        "pagerank": q_pagerank,
+        "extract_links": q_extract_links,
+        "dsir_weights": q_dsir_weights,
+        "bm25_search": q_bm25_search,
+        "pii_scrub": q_pii_scrub,
+        "media_meta": q_media_meta,
+        "video_frames": q_video_frames,
+        "audio_chunks": q_audio_chunks,
+        "media_resize_plan": q_media_resize_plan,
+        "media_features": q_media_features,
+        "two_pass_localization": q_two_pass_localization,
+        "salted_rollup": q_salted_rollup,
+        "json_extract": q_json_extract,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "minhash_clusters": q_minhash_clusters,
+        "simhash_near_dups": q_simhash_near_dups,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "extraction_pipeline": q_extraction_pipeline,
     }
 
 
