@@ -27,21 +27,7 @@ from ocr_parallel_spark.fanout import fan_out
 MAX_CELL = 4096
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product with the exact left-fold IEEE order. ``dim`` known ->
-    an UNROLLED left-deep codegen chain (higher-order functions are
-    CodegenFallback, interpreted per element — measured ~4x slower per
-    row); the chain performs literally the same additions in the same
-    order (0.0 + a1*b1 + ...), so results are bit-identical (pinned in
-    tests/test_multimodal.py). Keep ``dim=None`` (the HOF form) for
-    projections computing MANY dots: past ~500 unrolled terms the
-    generated method exceeds the JIT threshold and runs slower than the
-    interpreter."""
-    if dim:
-        acc = F.lit(0.0)
-        for i in range(dim):
-            acc = acc + F.get(a, i) * F.get(b, i)
-        return acc
+def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -49,13 +35,7 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    """L2 norm; same unrolling contract as :func:`dot`."""
-    if dim:
-        acc = F.lit(0.0)
-        for i in range(dim):
-            acc = acc + F.get(a, i) * F.get(a, i)
-        return F.sqrt(acc)
+def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
     )
@@ -70,22 +50,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
-def cosine_from_norms(
-    a: Column, b: Column, na: Column, nb: Column, dim: int | None = None
-) -> Column:
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Same arithmetic as ``cosine`` (bit-identical IEEE results) with
     the per-side norms supplied as precomputed columns."""
     d = na * nb
-    return F.when(d > 0, dot(a, b, dim) / d).otherwise(F.lit(0.0))
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
-def _prep_vec(
-    df: DataFrame, vec_col: str, prefix: str, dim: int | None = None
-) -> DataFrame:
+def _prep_vec(df: DataFrame, vec_col: str, prefix: str) -> DataFrame:
     """Materialize the double-cast vector and its norm ONCE per row
     (referenced inside pair expressions they would re-evaluate per pair)."""
     out = df.withColumn(f"{prefix}vec", F.col(vec_col).cast("array<double>"))
-    return out.withColumn(f"{prefix}norm", norm(F.col(f"{prefix}vec"), dim))
+    return out.withColumn(f"{prefix}norm", norm(F.col(f"{prefix}vec")))
 
 
 def brute_force_topk(
@@ -95,28 +71,25 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast the (small) query side,
     score all pairs, window-rank per query. Output: query_id, vec_id,
-    cos_sim, rank. ``dim`` enables the unrolled codegen dot (see
-    :func:`dot`) — bit-identical scores."""
+    cos_sim, rank."""
     from pyspark.sql import Window
 
     q = _prep_vec(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_q")),
         "_q",
         "_q",
-        dim,
     ).drop("_q")
     v = _prep_vec(
-        fan_out(vectors.select(id_col, vec_col)), vec_col, "_v", dim
+        fan_out(vectors.select(id_col, vec_col)), vec_col, "_v"
     ).drop(vec_col)
     pairs = v.crossJoin(F.broadcast(q))
     scored = pairs.withColumn(
         "cos_sim",
         cosine_from_norms(
-            F.col("_vvec"), F.col("_qvec"), F.col("_vnorm"), F.col("_qnorm"), dim
+            F.col("_vvec"), F.col("_qvec"), F.col("_vnorm"), F.col("_qnorm")
         ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -447,8 +420,7 @@ def ivf_topk(
         ).select(id_col, vec_col, F.element_at("ivf_cells", 1).alias("cell"))
     # drop the raw vectors after prep: only the double-cast copy + norm
     # cross the broadcast/join (no dead array bytes per candidate row)
-    dim = len(centroids[0]) if centroids else None
-    vc = _prep_vec(assigned, vec_col, "_v", dim).drop(vec_col)
+    vc = _prep_vec(assigned, vec_col, "_v").drop(vec_col)
     qc = _prep_vec(
         ivf_assign(
             queries.select(query_id_col, F.col(vec_col).alias("_q")),
@@ -458,13 +430,12 @@ def ivf_topk(
         ).select(query_id_col, "_q", F.explode("ivf_cells").alias("cell")),
         "_q",
         "_q",
-        dim,
     ).drop("_q")
     cands = vc.join(F.broadcast(qc), "cell")
     scored = cands.withColumn(
         "cos_sim",
         cosine_from_norms(
-            F.col("_vvec"), F.col("_qvec"), F.col("_vnorm"), F.col("_qnorm"), dim
+            F.col("_vvec"), F.col("_qvec"), F.col("_vnorm"), F.col("_qnorm")
         ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -534,9 +505,7 @@ def semdedup_marks(
         .filter(F.col("_rk") <= max_cell)
         .drop("_rk")
     )
-    v = _prep_vec(
-        eligible, vec_col, "_v", len(centroids[0]) if centroids else None
-    ).drop(vec_col)
+    v = _prep_vec(eligible, vec_col, "_v").drop(vec_col)
     a = v.select(
         F.col("cell"),
         F.col(id_col).alias("_id_a"),
@@ -555,11 +524,7 @@ def semdedup_marks(
     close = pairs.filter(
         F.round(
             cosine_from_norms(
-                F.col("_va"),
-                F.col("_vb"),
-                F.col("_na"),
-                F.col("_nb"),
-                len(centroids[0]) if centroids else None,
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
             ),
             4,
         )
@@ -708,16 +673,16 @@ def lsh_topk(
         .distinct()
     )
     v = _prep_vec(
-        fan_out(vectors.select(id_col, vec_col)), vec_col, "_v", dim
+        fan_out(vectors.select(id_col, vec_col)), vec_col, "_v"
     ).drop(vec_col)
     q = _prep_vec(
-        queries.select(query_id_col, F.col(vec_col).alias("_q")), "_q", "_q", dim
+        queries.select(query_id_col, F.col(vec_col).alias("_q")), "_q", "_q"
     ).drop("_q")
     cands = cand_ids.join(v, id_col).join(F.broadcast(q), query_id_col)
     scored = cands.withColumn(
         "cos_sim",
         cosine_from_norms(
-            F.col("_vvec"), F.col("_qvec"), F.col("_vnorm"), F.col("_qnorm"), dim
+            F.col("_vvec"), F.col("_qvec"), F.col("_vnorm"), F.col("_qnorm")
         ),
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -343,7 +343,7 @@ def q_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = brute_force_topk(emb, queries, k=5, dim=64)
+    out = brute_force_topk(emb, queries, k=5)
     return out.select(
         "query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     )
@@ -404,7 +404,7 @@ def q_embedding_neardup(spark, sf_dir):
             .otherwise(F.col("embedding").cast("array<double>"))
             .alias("v"),
         )
-        .withColumn("_n", norm(F.col("v"), 64))
+        .withColumn("_n", norm(F.col("v")))
         .filter(F.col("_n") > 0)
         .select(
             "vec_id",
@@ -417,7 +417,7 @@ def q_embedding_neardup(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(dot(F.col("a.u"), F.col("b.u"), 64), 4).alias("cos_sim"),
+            F.round(dot(F.col("a.u"), F.col("b.u")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.9)
     )
@@ -574,9 +574,7 @@ def q_ann_recall(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = brute_force_topk(emb, queries_df, k=5, dim=64).select(
-        "query_id", "vec_id"
-    )
+    exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "vec_id")
     lsh = lsh_topk(
         emb, queries_df, k=5, dim=64, n_planes=4, n_tables=4, n_probes=4
     ).select("query_id", "vec_id")
@@ -2406,7 +2404,7 @@ def q_semdedup_recall(spark, sf_dir):
 
     emb = _planted_embeddings(spark, sf_dir)
     unit = (
-        emb.withColumn("_n", norm(F.col("embedding"), 64))
+        emb.withColumn("_n", norm(F.col("embedding")))
         .filter(F.col("_n") > 0)
         .select(
             "vec_id",
@@ -2417,7 +2415,7 @@ def q_semdedup_recall(spark, sf_dir):
     truth_marks = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(
-            F.round(dot(F.col("a.u"), F.col("b.u"), 64), 4) >= 0.9
+            F.round(dot(F.col("a.u"), F.col("b.u")), 4) >= 0.9
         )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()

@@ -546,33 +546,3 @@ def test_semdedup_canon_resolves_epsilon_chains(spark):
              for r in semdedup_canon(marks).collect()}
     assert canon[1] == (1, False) and canon[9] == (9, False)
     assert canon[2] == (1, True) and canon[3] == (1, True)
-
-
-def test_unrolled_dot_bit_identical_to_hof(spark, sf_dir):
-    """Round-6: dot/norm with dim= unroll into codegen chains. The fold
-    order is identical (0.0 + x1 + x2 ...), so every score must be
-    BIT-identical to the higher-order-function form — compared via
-    struct-packed doubles, not approx."""
-    import struct
-
-    from pyspark.sql import functions as F
-
-    from ocr_parallel_spark.functions.similarity import dot, norm
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    rows = (
-        emb.select(
-            "vec_id",
-            dot(F.col("v"), F.col("v")).alias("d_hof"),
-            dot(F.col("v"), F.col("v"), 64).alias("d_unroll"),
-            norm(F.col("v")).alias("n_hof"),
-            norm(F.col("v"), 64).alias("n_unroll"),
-        )
-        .collect()
-    )
-    assert rows
-    for r in rows:
-        assert struct.pack("<d", r.d_hof) == struct.pack("<d", r.d_unroll)
-        assert struct.pack("<d", r.n_hof) == struct.pack("<d", r.n_unroll)
