@@ -3350,7 +3350,13 @@ def q_simhash_near_dups(spark, sf_dir):
     from ocr_parallel_spark.kernel.simhash import simhash64
     from ocr_parallel_spark.operators.neardup import mark_simhash_near_dups
 
-    d = _docs(spark, sf_dir).select("doc_id", "norm")
+    # No fan_out here: A/B measured the round-robin exchange + fanned
+    # banding join consistently ~25% SLOWER than the plain single-split
+    # scan at this corpus size (1.5s vs 1.9s) — the downstream band
+    # self-join re-shuffles on its own keys regardless (round 6).
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", normalize_col("text").alias("norm")
+    )
 
     def hashes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
