@@ -24,7 +24,11 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--passes", type=int, default=3)
-    ap.add_argument("--stages", action="store_true", help="print per-stage breakdown of the last pass")
+    ap.add_argument(
+        "--stages",
+        action="store_true",
+        help="print per-stage breakdown of the whole run (all passes)",
+    )
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -68,8 +72,6 @@ def main() -> None:
         for p in range(args.passes):
             spark.catalog.clearCache()
             sc.setJobDescription(f"{name} pass {p}")
-            jvm_tracker = sc._jsc.sc().statusTracker()
-            before_ids = set(jvm_tracker.getJobIdsForGroup(None))
             t0 = time.perf_counter()
             materialize(fn(spark, args.sf))
             walls.append(round(time.perf_counter() - t0, 3))
@@ -90,6 +92,9 @@ def main() -> None:
                 for p in glob.glob(d + "/*")
                 if os.path.isfile(p) and "appstatus" not in p
             ]
+        if not logs:
+            print(f"?? no event log found for {app_id}; skipping --stages")
+            return
         _print_stages(sorted(logs)[-1])
 
 
@@ -97,7 +102,6 @@ def _print_stages(log_path: str) -> None:
     import json
 
     stages = {}
-    descs = {}
     job_of_stage = {}
     if log_path.endswith(".zstd"):
         import io

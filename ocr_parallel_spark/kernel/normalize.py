@@ -16,7 +16,6 @@ from __future__ import annotations
 import re
 import unicodedata
 
-_WS_RE = re.compile(r"\s+")
 _SEP3_RE = re.compile(r"\n{3,}")
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ocr_parallel_spark.fanout import fan_out
 from ocr_parallel_spark.operators.classify import normalize_col
 
 HOT_DOMAIN = "hot.example.com"
@@ -65,7 +66,11 @@ def synthesize_pages(
     ``body_repeat=1`` reproduces the original single-paragraph pages
     byte-for-byte.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Fan the raw scan out BEFORE the synthesis join: the kernel and
+    # link-extraction consumers pipeline onto these partitions, and the
+    # probe is free on a bare scan (round 6; fan_out skips non-scan
+    # plans, so callers can no longer fan the synthesized frame itself).
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     if copies > 1:
         reps = spark.range(copies).select(F.col("id").alias("copy_id"))
         docs = (

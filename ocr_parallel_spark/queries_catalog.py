@@ -367,7 +367,7 @@ def q_extraction_pipeline(spark, sf_dir):
     from ocr_parallel_spark.pages import synthesize_pages
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
-    pages = fan_out(synthesize_pages(spark, sf_dir).drop("doc_id"))
+    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
     out = run_extraction_pipeline(pages)
     return out.select(
         "url", "status", "error_type", "text", "content_sha256",
@@ -649,13 +649,11 @@ def _doc_lines(spark, sf_dir, docs=None):
         F.lit(BOILER_B)
     )
     lines_arr = F.concat(F.array(boiler), word_lines(F.split(F.col("norm"), " ")))
-    # dedup_lines (and the CMS variant) read the lines lineage 2-3x;
-    # its own contract says callers with expensive upstream lineage —
-    # normalize + the word_lines HOF here — should materialize first
-    # (round 6; operators/linededup.py docstring).
-    return d.select(
-        "doc_id", F.posexplode(lines_arr).alias("line_no", "line")
-    ).localCheckpoint(eager=False)
+    # NOT checkpointed (round-6 review): materializing the exploded
+    # lines is ~1x corpus bytes of non-fault-tolerant local storage and
+    # A/B-measured a wash locally; the columnar re-scan argument in
+    # operators/linededup.py wins at scale too.
+    return d.select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
 
 
 # CMS gate sizing: 16k columns x 4 rows over the ~tens-of-thousands of
@@ -1380,7 +1378,7 @@ def q_extract_links(spark, sf_dir):
                 }
             )
 
-    return fan_out(pages.select("doc_id", "html")).mapInPandas(
+    return pages.select("doc_id", "html").mapInPandas(
         links_of, "doc_id long, n_links long, links string"
     )
 
@@ -1426,7 +1424,7 @@ def _anchor_links(spark, sf_dir):
                 }
             )
 
-    return fan_out(pages.select("doc_id", "html")).mapInPandas(
+    return pages.select("doc_id", "html").mapInPandas(
         anchors_of, "doc_id long, href string, anchor string"
     )
 
@@ -1543,7 +1541,7 @@ def q_resolve_links(spark, sf_dir):
                 }
             )
 
-    return fan_out(pages.select("doc_id", "url", "html")).mapInPandas(
+    return pages.select("doc_id", "url", "html").mapInPandas(
         resolved_of, "doc_id long, n_links long, resolved string"
     )
 
@@ -1736,12 +1734,11 @@ def q_eval_overlap(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     grams = word_ngrams(F.split(F.col("norm"), " "), 8)
-    # g feeds the bench side AND the corpus probe — checkpoint so the
-    # tokenize + 8-gram explode runs once (the repeated_spans
-    # discipline; round 6).
-    g = d.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
-    ).localCheckpoint(eager=False)
+    # NOT checkpointed (round-6 review): materializing the exploded
+    # gram table is ~8x corpus bytes of non-fault-tolerant local
+    # storage; the bench branch re-explodes only the ~2% eval slice,
+    # which is far cheaper at any scale.
+    g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
     bg = g.filter(F.col("doc_id") % 50 == 7).select(
         F.col("doc_id").alias("bench_id"), "gram"
     )
@@ -1780,10 +1777,10 @@ def q_decontaminate(spark, sf_dir, docs=None):
 
     d = docs if docs is not None else _docs(spark, sf_dir)
     grams = word_ngrams(F.split(F.col("norm"), " "), 8)
-    # g feeds the broadcast bench-gram set AND the probe side (round 6).
-    g = d.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
-    ).localCheckpoint(eager=False)
+    # NOT checkpointed (round-6 review): the bench-gram broadcast side
+    # re-explodes only the tiny eval slice; materializing all corpus
+    # grams would be ~8x corpus bytes at scale.
+    g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
     bench = F.broadcast(
         g.filter(F.col("doc_id") % 50 == 7).select("gram").distinct()
     )
@@ -2994,7 +2991,7 @@ def q_pipeline_counts(spark, sf_dir):
     from ocr_parallel_spark.pages import synthesize_pages
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
-    pages = fan_out(synthesize_pages(spark, sf_dir).drop("doc_id"))
+    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
     out = run_extraction_pipeline(pages)
     return out.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -3016,7 +3013,7 @@ def q_extract_text_pin(spark, sf_dir):
     from ocr_parallel_spark.pages import synthesize_pages
     from ocr_parallel_spark.pipeline import run_extraction_pipeline
 
-    pages = fan_out(synthesize_pages(spark, sf_dir).drop("doc_id"))
+    pages = synthesize_pages(spark, sf_dir).drop("doc_id")
     out = run_extraction_pipeline(pages, near_dups=False)
     return out.select(
         "url",
